@@ -1,0 +1,103 @@
+"""BM25 scoring, float32-exact vs Lucene's ``BM25Similarity``.
+
+Reference (lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java):
+
+- idf  = (float) log(1 + (N - n + 0.5) / (n + 0.5))      [double math -> f32 cast, :100-103]
+- avgdl = (float)(sumTotalTermFreq / (double) docCount)   [:106-108]
+- cache[i] = 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl))
+  — all-FLOAT arithmetic in Java (k1, b, LENGTH_TABLE[i], avgdl are floats)
+  [:181-183]
+- weight = boost * idf (float)                            [:215]
+- score(freq, norm) = weight - weight / (1f + freq * cache[norm & 0xFF])
+  — all-float, exact operation order matters for monotonic rounding [:221-232]
+
+We reproduce every step with numpy float32 ops in the same expression shape
+so scores are bit-identical to Lucene on the same (freq, norm, stats).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_ray.codec.smallfloat import LENGTH_TABLE
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    """Per-field collection statistics (Terms.java:103-121)."""
+
+    doc_count: int
+    sum_total_term_freq: int
+
+
+@dataclass(frozen=True)
+class TermStats:
+    doc_freq: int
+    total_term_freq: int
+
+
+class BM25Scorer:
+    """Precomputed per-(query-term) scorer: vectorized ``score(freqs, norms)``."""
+
+    __slots__ = ("weight", "cache", "idf", "avgdl")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray, idf: float, avgdl: float):
+        self.weight = weight
+        self.cache = cache  # float32[256] norm-inverse table
+        self.idf = idf
+        self.avgdl = avgdl
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """float32 scores for parallel arrays of term freqs and norm bytes."""
+        freqs = np.asarray(freqs).astype(np.float32, copy=False)
+        norm_inverse = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        w = self.weight
+        one = np.float32(1.0)
+        # weight - weight / (1f + freq * normInverse), float32 throughout
+        return w - w / (one + freqs * norm_inverse)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        """Score upper bound for one (freq, norm) impact pair."""
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+
+class BM25Similarity:
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if not (k1 >= 0 and math.isfinite(k1)):
+            raise ValueError(f"illegal k1 value: {k1}")
+        if not (0 <= b <= 1):
+            raise ValueError(f"illegal b value: {b}")
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        # double math, then a single float32 cast — BM25Similarity.java:101-103
+        return np.float32(math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+    def avg_field_length(self, stats: CollectionStats) -> np.float32:
+        return np.float32(stats.sum_total_term_freq / float(stats.doc_count))
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStats,
+        *term_stats: TermStats,
+    ) -> BM25Scorer:
+        if len(term_stats) == 1:
+            idf = self.idf(term_stats[0].doc_freq, collection_stats.doc_count)
+        else:
+            # phrase: sum per-term f32 idfs in a double, cast back (:162-170);
+            # sequential += in double, matching Java's accumulation order
+            acc = 0.0
+            for ts in term_stats:
+                acc += float(self.idf(ts.doc_freq, collection_stats.doc_count))
+            idf = np.float32(acc)
+        avgdl = self.avg_field_length(collection_stats)
+        one = np.float32(1.0)
+        # all-float expression: 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl))
+        cache = one / (self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / avgdl))
+        weight = np.float32(boost) * idf
+        return BM25Scorer(weight, cache.astype(np.float32, copy=False), float(idf), float(avgdl))

@@ -1,0 +1,94 @@
+"""BM25 float32-exactness tests (BaseSimilarityTestCase pattern, FIXTURES.md F4).
+
+Sweeps all 256 norm bytes x freqs x corpus shapes and asserts the score is
+finite, non-negative, monotone in freq, anti-monotone in doc length, and that
+the expression is computed in float32 with Lucene's exact operation order
+(BM25Similarity.java:101-108,181-183,221-232).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_ray.codec.smallfloat import LENGTH_TABLE
+from lucene_ray.search.similarity import BM25Similarity, CollectionStats, TermStats
+
+
+CORPUS_SHAPES = [
+    CollectionStats(doc_count=1, sum_total_term_freq=1),
+    CollectionStats(doc_count=100, sum_total_term_freq=5000),
+    CollectionStats(doc_count=12345, sum_total_term_freq=999999),
+    CollectionStats(doc_count=10**9, sum_total_term_freq=10**11),
+    CollectionStats(doc_count=7, sum_total_term_freq=7),
+]
+
+
+@pytest.mark.parametrize("stats", CORPUS_SHAPES)
+def test_score_sanity_all_norms(stats):
+    sim = BM25Similarity()
+    df = max(1, stats.doc_count // 3)
+    scorer = sim.scorer(1.0, stats, TermStats(df, df * 2))
+    norms = np.arange(256, dtype=np.uint8)
+    for freq in [1, 2, 10, 255]:
+        s = scorer.score(np.full(256, freq), norms)
+        assert s.dtype == np.float32
+        assert np.isfinite(s).all()
+        assert (s >= 0).all()
+    # monotone in freq at fixed norm
+    freqs = np.array([1, 2, 3, 10, 100, 255])
+    for nb in [0, 40, 128, 255]:
+        s = scorer.score(freqs, np.full(len(freqs), nb))
+        assert (np.diff(s) >= 0).all()
+    # anti-monotone in decoded length at fixed freq (LENGTH_TABLE is
+    # non-decreasing in byte value)
+    s = scorer.score(np.full(256, 10), norms)
+    assert (np.diff(s) <= 1e-7).all()
+
+
+def test_idf_matches_reference_formula():
+    sim = BM25Similarity()
+    # idf = (float) log(1 + (N - n + 0.5)/(n + 0.5)), double then f32 cast
+    for n, N in [(1, 1), (1, 100), (50, 100), (999, 1000), (1, 10**9)]:
+        expected = np.float32(math.log(1 + (N - n + 0.5) / (n + 0.5)))
+        assert sim.idf(n, N) == expected
+
+
+def test_exact_known_value():
+    # hand-computed single case, all-f32 op order:
+    # N=4 docs, df=2, sum_ttf=12 -> avgdl=3.0
+    sim = BM25Similarity()
+    stats = CollectionStats(doc_count=4, sum_total_term_freq=12)
+    scorer = sim.scorer(1.0, stats, TermStats(2, 5))
+    idf = np.float32(math.log(1 + (4 - 2 + 0.5) / (2 + 0.5)))
+    avgdl = np.float32(3.0)
+    k1, b = np.float32(1.2), np.float32(0.75)
+    norm_byte = 3  # decodes to length 3 (exact low range)
+    cache = np.float32(1.0) / (k1 * ((np.float32(1) - b) + b * LENGTH_TABLE[norm_byte] / avgdl))
+    freq = np.float32(2.0)
+    expected = idf - idf / (np.float32(1) + freq * cache)
+    got = scorer.score(np.array([2.0]), np.array([norm_byte]))[0]
+    assert got == expected
+
+
+def test_length_table_values():
+    # byte 0..39 decode exactly to themselves (NUM_FREE_VALUES = 40 in
+    # Lucene main: 255 - longToInt4(Integer.MAX_VALUE)=215)
+    from lucene_ray.codec.smallfloat import NUM_FREE_VALUES
+
+    for i in range(NUM_FREE_VALUES):
+        assert LENGTH_TABLE[i] == i
+
+
+def test_boost_and_param_validation():
+    with pytest.raises(ValueError):
+        BM25Similarity(k1=-1)
+    with pytest.raises(ValueError):
+        BM25Similarity(b=1.5)
+    sim = BM25Similarity()
+    stats = CollectionStats(100, 1000)
+    s1 = sim.scorer(1.0, stats, TermStats(10, 20))
+    s2 = sim.scorer(2.0, stats, TermStats(10, 20))
+    a = s1.score(np.array([3]), np.array([10]))[0]
+    b2 = s2.score(np.array([3]), np.array([10]))[0]
+    assert b2 == np.float32(2.0) * a or abs(b2 - 2 * a) < 1e-6
