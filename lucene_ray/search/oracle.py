@@ -1,0 +1,134 @@
+"""Exhaustive scoring oracle — the CheckHits pattern.
+
+An INDEPENDENT implementation path (scalar tokenization, per-doc dict
+postings, no index, no codecs, no pruning) that recomputes any query's full
+result set with the same float32 BM25 formula. Tests assert the engine —
+compressed, chunked, salted, any parallelism — returns rank-identical top-k
+with float-equal scores (SURVEY §5: CheckHits.java:181-318 /
+TestBlockMaxConjunction-style oracle comparison).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_ray.analysis.tokenizer import StandardLikeAnalyzer
+from lucene_ray.search.query import (
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+)
+from lucene_ray.search.similarity import BM25Similarity, CollectionStats, TermStats
+
+
+class ExhaustiveOracle:
+    def __init__(self, docs: list[tuple[int, str]],
+                 analyzer: StandardLikeAnalyzer | None = None,
+                 similarity: BM25Similarity | None = None):
+        """docs: (global_doc_id, text) pairs, in global doc id order."""
+        self.an = analyzer or StandardLikeAnalyzer()
+        self.sim = similarity or BM25Similarity()
+        self.doc_ids: list[int] = []
+        self.postings: list[dict[str, list[int]]] = []  # term -> positions
+        self.lengths: list[int] = []
+        for gid, text in docs:
+            p, n = self.an.invert(text)
+            self.doc_ids.append(gid)
+            self.postings.append(p)
+            self.lengths.append(n)
+        from lucene_ray.codec.smallfloat import int_to_byte4
+
+        self.norm_bytes = [int_to_byte4(n) for n in self.lengths]
+        self.cstats = CollectionStats(
+            doc_count=len(self.lengths), sum_total_term_freq=sum(self.lengths)
+        )
+        # global df/ttf per term
+        self.df: dict[str, int] = {}
+        self.ttf: dict[str, int] = {}
+        for p in self.postings:
+            for t, pos in p.items():
+                self.df[t] = self.df.get(t, 0) + 1
+                self.ttf[t] = self.ttf.get(t, 0) + len(pos)
+
+    def _scorer(self, terms: tuple):
+        tss = [TermStats(self.df.get(t, 0), self.ttf.get(t, 0)) for t in terms]
+        if any(ts.doc_freq == 0 for ts in tss):
+            return None
+        return self.sim.scorer(1.0, self.cstats, *tss)
+
+    def _matches(self, q: Query, i: int) -> tuple[bool, np.float32]:
+        """Does doc i match q, and with what float32 score."""
+        p = self.postings[i]
+        if isinstance(q, TermQuery):
+            if q.term not in p:
+                return False, np.float32(0)
+            scorer = self._scorer((q.term,))
+            s = scorer.score(np.array([len(p[q.term])]), np.array([self.norm_bytes[i]]))[0]
+            return True, np.float32(q.boost) * s if q.boost != 1.0 else s
+        if isinstance(q, PhraseQuery):
+            freq = self._phrase_freq(q.terms, i)
+            if freq == 0:
+                return False, np.float32(0)
+            scorer = self._scorer(tuple(q.terms))
+            s = scorer.score(np.array([freq]), np.array([self.norm_bytes[i]]))[0]
+            return True, np.float32(q.boost) * s if q.boost != 1.0 else s
+        if isinstance(q, PrefixQuery):
+            ok = any(t.startswith(q.prefix) for t in p)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, MatchAllQuery):
+            return True, np.float32(q.boost)
+        if isinstance(q, BooleanQuery):
+            score = np.float32(0)
+            for c in q.must:
+                ok, s = self._matches(c, i)
+                if not ok:
+                    return False, np.float32(0)
+                score = np.float32(score + s)
+            n_should = 0
+            for c in q.should:
+                ok, s = self._matches(c, i)
+                if ok:
+                    n_should += 1
+                    score = np.float32(score + s)
+            if n_should < q.effective_msm:
+                return False, np.float32(0)
+            if not q.must and not q.should:
+                return False, np.float32(0)
+            for c in q.must_not:
+                ok, _ = self._matches(c, i)
+                if ok:
+                    return False, np.float32(0)
+            return True, score
+        raise TypeError(f"unsupported query {q!r}")
+
+    def _phrase_freq(self, terms: tuple, i: int) -> int:
+        p = self.postings[i]
+        pos_lists = []
+        for t in terms:
+            if t not in p:
+                return 0
+            pos_lists.append(p[t])
+        first = pos_lists[0]
+        count = 0
+        for start in first:
+            if all((start + j) in pos_lists[j] for j in range(1, len(terms))):
+                count += 1
+        return count
+
+    def search(self, q: Query, k: int = 10):
+        """(doc_ids, scores, total) with the engine's exact tie-break."""
+        hits = []
+        for i in range(len(self.doc_ids)):
+            ok, s = self._matches(q, i)
+            if ok:
+                hits.append((self.doc_ids[i], s))
+        hits.sort(key=lambda h: (-float(h[1]), h[0]))
+        top = hits[:k]
+        return (
+            np.array([h[0] for h in top], dtype=np.uint64),
+            np.array([h[1] for h in top], dtype=np.float32),
+            len(hits),
+        )

@@ -1,0 +1,212 @@
+"""Query AST + a minimal classic-syntax parser.
+
+The "relational expressions" of the engine (SURVEY §2.9). All queries compile
+to vectorized set/score kernels in ``executor.py``; semantics follow Lucene:
+
+- ``TermQuery``      — BM25-scored term match (TermQuery.java:44)
+- ``BooleanQuery``   — MUST / SHOULD / MUST_NOT with score = sum of matching
+  scoring clauses; a pure-SHOULD query requires >=1 match
+  (BooleanQuery.java, BooleanWeight.java)
+- ``PhraseQuery``    — exact positional conjunction; scored with phrase freq
+  and summed idf (PhraseQuery.java:71, ExactPhraseMatcher.java:39)
+- ``PrefixQuery``    — term-dictionary expansion, constant score 1.0
+  (PrefixQuery.java:29; MultiTermQuery constant-score rewrite)
+- ``MatchAllQuery``  — constant score 1.0 for every doc
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: tuple = field(default_factory=tuple)
+    should: tuple = field(default_factory=tuple)
+    must_not: tuple = field(default_factory=tuple)
+    minimum_should_match: int = 0
+
+    def __init__(self, must=(), should=(), must_not=(), minimum_should_match: int = 0):
+        object.__setattr__(self, "must", tuple(must))
+        object.__setattr__(self, "should", tuple(should))
+        object.__setattr__(self, "must_not", tuple(must_not))
+        object.__setattr__(self, "minimum_should_match", minimum_should_match)
+
+    @property
+    def effective_msm(self) -> int:
+        # pure-disjunction requires one SHOULD match (BooleanWeight semantics)
+        if self.minimum_should_match == 0 and not self.must and self.should:
+            return 1
+        return self.minimum_should_match
+
+
+def collect_terms(q: Query) -> set[str]:
+    """All index terms a query needs postings for (prefixes excluded —
+    expanded against the term dictionary at search time)."""
+    out: set[str] = set()
+    _collect(q, out)
+    return out
+
+
+def _collect(q: Query, out: set[str]) -> None:
+    if isinstance(q, TermQuery):
+        out.add(q.term)
+    elif isinstance(q, PhraseQuery):
+        out.update(q.terms)
+    elif isinstance(q, BooleanQuery):
+        for c in (*q.must, *q.should, *q.must_not):
+            _collect(c, out)
+
+
+def collect_prefixes(q: Query) -> set[str]:
+    out: set[str] = set()
+    if isinstance(q, PrefixQuery):
+        out.add(q.prefix)
+    elif isinstance(q, BooleanQuery):
+        for c in (*q.must, *q.should, *q.must_not):
+            out |= collect_prefixes(c)
+    return out
+
+
+def parse_query(s: str, analyzer=None) -> Query:
+    """Tiny recursive-descent parser over the v1 grammar
+    (SURVEY §2.9 query-parsing row):
+
+        expr     := clause (('AND'|'OR') clause)*   (AND binds as one bool)
+        clause   := ['NOT'] ['+'|'-'] atom
+        atom     := '"' term+ '"' | term'*' | term | '(' expr ')'
+
+    Mixed AND/OR follows the classic parser's simplification: AND'd clauses
+    become MUST, OR'd become SHOULD, NOT/'-' become MUST_NOT.
+    """
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+
+    tk = analyzer or CodeTokenizer()
+    tokens = _lex(s)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def advance():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_atom():
+        t = peek()
+        if t == "(":
+            advance()
+            q = parse_expr()
+            if peek() == ")":
+                advance()
+            return q
+        if t == '"':
+            advance()
+            terms: list[str] = []
+            while peek() not in ('"', None):
+                terms.extend(tk(advance()))
+            if peek() == '"':
+                advance()
+            if len(terms) == 1:
+                return TermQuery(terms[0])
+            return PhraseQuery(terms)
+        word = advance()
+        if word.endswith("*") and len(word) > 1:
+            norm = tk(word[:-1])
+            return PrefixQuery(norm[0] if norm else word[:-1].lower())
+        norm = tk(word)
+        if not norm:
+            return MatchAllQuery()
+        if len(norm) == 1:
+            return TermQuery(norm[0])
+        return PhraseQuery(norm)
+
+    def parse_clause():
+        neg = False
+        while peek() in ("NOT", "-", "+"):
+            t = advance()
+            if t in ("NOT", "-"):
+                neg = not neg
+        q = parse_atom()
+        return ("NOT" if neg else "", q)
+
+    def parse_expr():
+        sign, first = parse_clause()
+        must, should, must_not = [], [], []
+        (must_not if sign else should).append(first)
+        mode = None
+        while peek() in ("AND", "OR"):
+            mode = advance()
+            sign, q = parse_clause()
+            if sign:
+                must_not.append(q)
+            elif mode == "AND":
+                must.append(q)
+            else:
+                should.append(q)
+        if mode == "AND" and should and not must:
+            # "a AND b": the first clause is a MUST too
+            must = should + must
+            should = []
+        while peek() not in (None, ")"):
+            sign, q = parse_clause()
+            (must_not if sign else should).append(q)
+        if not must and not must_not and len(should) == 1:
+            return should[0]
+        return BooleanQuery(must=must, should=should, must_not=must_not)
+
+    return parse_expr()
+
+
+def _lex(s: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c in '()"':
+            out.append(c)
+            i += 1
+        elif c in "+-":
+            out.append(c)
+            i += 1
+        else:
+            j = i
+            while j < len(s) and not s[j].isspace() and s[j] not in '()"':
+                j += 1
+            out.append(s[i:j])
+            i = j
+    return out

@@ -1,0 +1,134 @@
+"""Top-level searcher: global stats -> per-segment scoring -> merged top-k.
+
+The IndexSearcher.search(query, k) analog (SURVEY §3.2 Ray restatement):
+term statistics are resolved *globally* (the one cross-partition dependency),
+BM25 constants precomputed once, each segment scored independently, results
+merged with Lucene's deterministic tie-break (TopDocs.merge,
+TopDocs.java:75-119): score desc, then segment order, then docID — which for
+our monotone global doc ids collapses to (score desc, global_doc_id asc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.search.executor import SegmentContext, SegmentScorer
+from lucene_ray.search.query import (
+    PhraseQuery,
+    Query,
+    collect_prefixes,
+    collect_terms,
+    parse_query,
+)
+from lucene_ray.search.similarity import BM25Similarity, TermStats
+
+
+@dataclass
+class TopDocs:
+    doc_ids: np.ndarray  # uint64 global ids
+    scores: np.ndarray  # float32
+    total_hits: int
+
+
+def _collect_phrases(q: Query) -> list[tuple]:
+    from lucene_ray.search.query import BooleanQuery
+
+    out: list[tuple] = []
+    if isinstance(q, PhraseQuery):
+        out.append(tuple(q.terms))
+    elif isinstance(q, BooleanQuery):
+        for c in (*q.must, *q.should, *q.must_not):
+            out.extend(_collect_phrases(c))
+    return out
+
+
+class Searcher:
+    """Single-process searcher over all segments (driver/tests path).
+
+    The distributed serving path (actor pool, one shard per segment group)
+    reuses exactly the same SegmentScorer kernels — see
+    ``lucene_ray.pipelines.bulk_search``.
+    """
+
+    def __init__(self, reader: IndexReader, similarity: BM25Similarity | None = None):
+        self.reader = reader
+        self.sim = similarity or BM25Similarity()
+
+    def plan(self, q: Query):
+        """Resolve global stats + scorers for a query (Weight creation)."""
+        prefixes = collect_prefixes(q)
+        prefix_terms = {p: self.reader.expand_prefix(p) for p in prefixes}
+        terms = collect_terms(q)
+        all_terms = set(terms)
+        for ts in prefix_terms.values():
+            all_terms.update(ts)
+        stats = self.reader.term_stats(sorted(all_terms))
+        cstats = self.reader.collection_stats()
+        scorers = {}
+        for t in terms:
+            ts = stats.get(t, TermStats(0, 0))
+            if ts.doc_freq > 0:
+                scorers[t] = self.sim.scorer(1.0, cstats, ts)
+        phrase_scorers = {}
+        for ph in _collect_phrases(q):
+            tss = [stats.get(t, TermStats(0, 0)) for t in ph]
+            if all(ts.doc_freq > 0 for ts in tss):
+                phrase_scorers[ph] = self.sim.scorer(1.0, cstats, *tss)
+        return all_terms, scorers, phrase_scorers, prefix_terms
+
+    def segment_scorer(self, seg: int, all_terms, scorers, phrase_scorers, prefix_terms,
+                       need_positions: bool) -> SegmentScorer:
+        table = self.reader.postings(seg, sorted(all_terms))
+        ctx = SegmentContext.from_chunk_table(
+            table,
+            num_docs=self.reader.num_docs(seg),
+            norms=self.reader.norms(seg),
+            global_ids=self.reader.global_doc_ids(seg),
+            with_positions=need_positions,
+        )
+        return SegmentScorer(ctx, scorers, phrase_scorers, prefix_terms)
+
+    def search(self, query: Query | str, k: int = 10) -> TopDocs:
+        q = parse_query(query) if isinstance(query, str) else query
+        all_terms, scorers, phrase_scorers, prefix_terms = self.plan(q)
+        need_pos = bool(_collect_phrases(q))
+        doc_parts, score_parts, total = [], [], 0
+        for seg in self.reader.segs:
+            ss = self.segment_scorer(
+                seg, all_terms, scorers, phrase_scorers, prefix_terms, need_pos
+            )
+            gids, scores, t = ss.top_k(q, k)
+            doc_parts.append(gids)
+            score_parts.append(scores)
+            total += t
+        return merge_topk(doc_parts, score_parts, total, k)
+
+    def search_table(self, query: Query | str, k: int = 10) -> pa.Table:
+        """Top-k joined back to stored fields — result materialization."""
+        td = self.search(query, k)
+        if len(td.doc_ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float32())}
+            )
+        docs = self.reader.lookup_docs(td.doc_ids)
+        order = {int(d): i for i, d in enumerate(td.doc_ids)}
+        idx = sorted(range(len(docs)), key=lambda i: order[docs.column("doc_id")[i].as_py()])
+        docs = docs.take(pa.array(idx))
+        return docs.append_column("score", pa.array(td.scores, pa.float32()))
+
+
+def merge_topk(doc_parts: list[np.ndarray], score_parts: list[np.ndarray],
+               total: int, k: int) -> TopDocs:
+    """TopDocs.merge analog: concatenate per-segment top-k, sort by
+    (-score, global_doc_id), truncate. Scores float32; ties broken by the
+    monotone global doc id (== segment order then docID order)."""
+    if not doc_parts:
+        return TopDocs(np.zeros(0, np.uint64), np.zeros(0, np.float32), 0)
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts).astype(np.float32, copy=False)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return TopDocs(docs[order], scores[order], total)
