@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 search)
+on sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup, ANN, text
+analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (scored BM25 / MinHash / SimHash / IVF / langid are
+rows-only — float32 Lucene arithmetic and sketch internals are not
+SQL-expressible; they are validated by the exhaustive-oracle pytest suite).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,212 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# Shared tokenizer CTE — must mirror lucene_ray.analysis.CodeTokenizer:
+# lowercase, split on [^a-z0-9_]+, drop empties (255-char split path never
+# triggers on these tables).
+_TOKS = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+    "'[^a-z0-9_]+')) AS tok FROM documents) "
+)
+_TOKLIST = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents via the Ray
+    Data pipeline, serve the pinned query battery, return the hits table."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines import fulltext as ft
+
+    sf_dir = "/root/testdata/sf0.001"
+    parts = []
+    for term in ["join", "hash", "customer"]:
+        t = ft.bm25_topk(sf_dir, term, 10)
+        parts.append(t.append_column("query", pa.array([term] * len(t), pa.string())))
+    return pa.concat_tables(parts)
+
+
+def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    return fn
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.ops import ann, dedup, text
+    from lucene_ray.pipelines import fulltext as ft
+    from lucene_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import ray.data
+
+    def _docs(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _query_vec(sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        v = t.loc[t["vec_id"] == 0, "embedding"].iloc[0]
+        return np.asarray(v, dtype=np.float64)[None, :]
+
+    def _ann(sf_dir):
+        out = ann.knn_brute(_emb(sf_dir), _query_vec(sf_dir), k=10)
+        return out.select(["rank", "vec_id"])
+
+    def _ann_ivf(sf_dir):
+        idx = ann.IvfIndex.build(_emb(sf_dir), n_clusters=8, iters=3)
+        return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
+
+    def _sorted_ds(t, cols):
+        import pyarrow as pa
+
+        return t if isinstance(t, pa.Table) else t
+
+    return {
+        # --- full-text engine (index build + query ops, SURVEY §2.5/2.7/2.9) ---
+        "ft_term_hits_join": _q(lambda sf: ft.term_hits(sf, "join")),
+        "ft_term_freqs_hash": _q(lambda sf: ft.term_freqs(sf, "hash")),
+        "ft_bool_and_hits": _q(lambda sf: ft.bool_hits(sf, must=("join", "hash", "scan"))),
+        "ft_bool_or_not_hits": _q(
+            lambda sf: ft.bool_hits(sf, should=("join", "hash"), must_not=("scan",))
+        ),
+        "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
+        "ft_prefix_hits": _q(lambda sf: ft.prefix_hits(sf, "cust")),
+        "ft_doc_freq_top20": _q(lambda sf: ft.doc_freq_topk(sf, 20)),
+        "ft_collection_stats": _q(ft.collection_stats),
+        "ft_bm25_top10_customer": _q(lambda sf: ft.bm25_topk(sf, "customer", 10)),
+        "ft_bm25_top10_bool": _q(lambda sf: ft.bm25_topk(sf, "join AND vector", 10)),
+        # --- dedup family ---
+        "dedup_exact": _q(lambda sf: dedup.exact_dedup(_docs(sf))),
+        "dedup_minhash_pairs": _q(
+            lambda sf: dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
+        ),
+        "dedup_simhash_sigs": _q(lambda sf: dedup.simhash_signatures(_docs(sf))),
+        "dedup_embedding_pairs": _q(
+            lambda sf: dedup.embedding_near_dup(_emb(sf), threshold=0.95)
+        ),
+        # --- text analysis ---
+        "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
+        "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
+        "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
+        # --- similarity search ---
+        "ann_cosine_top10": _q(_ann),
+        "ann_ivf_top10": _q(_ann_ivf),
+        # --- relational operators over the TPC-H-ish tables ---
+        "agg_lineitem_pricing": _q(rel.lineitem_pricing_summary),
+        "join_orders_per_nation": _q(rel.orders_per_nation),
+        "sort_top_orders": _q(rel.top_orders),
+        "events_tumbling_daily": _q(rel.events_tumbling_daily),
+        "events_top_users": _q(rel.top_users_by_events),
+        "part_price_stats": _q(rel.supplier_part_stats),
+        "distinct_order_priorities": _q(rel.distinct_order_priorities),
+        "filter_high_value_orders": _q(rel.filter_high_value_orders),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ft_term_hits_join": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
+        "ft_term_freqs_hash": _TOKS
+        + "SELECT doc_id, count(*)::BIGINT AS tf FROM toks WHERE tok = 'hash' "
+        "GROUP BY doc_id ORDER BY doc_id",
+        "ft_bool_and_hits": _TOKS
+        + "SELECT doc_id FROM toks WHERE tok IN ('join','hash','scan') "
+        "GROUP BY doc_id HAVING count(DISTINCT tok) = 3 ORDER BY doc_id",
+        "ft_bool_or_not_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join','hash') "
+        "AND doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'scan') "
+        "ORDER BY doc_id",
+        "ft_phrase_hits": (
+            "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"
+        ),
+        "ft_prefix_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'cust%' ORDER BY doc_id",
+        "ft_doc_freq_top20": _TOKS
+        + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        "FROM toks WHERE tok <> '' GROUP BY tok "
+        "ORDER BY doc_freq DESC, term LIMIT 20",
+        "ft_collection_stats": (
+            "SELECT (SELECT count(*) FROM documents)::BIGINT AS doc_count, "
+            "(SELECT count(*) FROM (SELECT unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+')) AS tok FROM documents) WHERE tok <> '')::BIGINT "
+            "AS sum_total_term_freq"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text "
+            "ORDER BY doc_id"
+        ),
+        "text_token_stats": (
+            f"SELECT doc_id, len({_TOKLIST})::BIGINT AS n_tokens, "
+            f"len(list_distinct({_TOKLIST}))::BIGINT AS n_unique_tokens, "
+            f"md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            f"len({_TOKLIST})::BIGINT AS n_tokens, "
+            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha_chars, "
+            "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
+            f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
+            "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        "ann_cosine_top10": (
+            "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id = 0)) DESC, vec_id)::BIGINT AS rank, "
+            "vec_id FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
+        "agg_lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) AS sum_disc_price, "
+            "count(*)::BIGINT AS count_order, "
+            "round(sum(l_quantity) / count(*), 4) AS avg_qty "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "join_orders_per_nation": (
+            "SELECT n_name, count(*)::BIGINT AS order_count FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "sort_top_orders": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_tumbling_daily": (
+            "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(*)::BIGINT AS n_events, round(sum(round(value, 6)), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY event_type, day"
+        ),
+        "events_top_users": (
+            "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
+            "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        "part_price_stats": (
+            "SELECT p_type, count(*)::BIGINT AS n_parts, "
+            "round(min(p_retailprice), 2) AS min_price, "
+            "round(max(p_retailprice), 2) AS max_price, "
+            "round(avg(p_retailprice), 4) AS avg_price "
+            "FROM part GROUP BY p_type ORDER BY p_type"
+        ),
+        "distinct_order_priorities": (
+            "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+        ),
+        "filter_high_value_orders": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
+            "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+    }

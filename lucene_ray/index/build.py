@@ -183,8 +183,11 @@ class _StageA:
                 "doc_id": pa.array(doc_ids, pa.uint64()),
                 "offset": pa.array(offsets, pa.uint32()),
             }
+            reserved = {"doc_id", "offset", "sha256", "length", "norm"}
             for c in cfg.id_cols:
-                docmap_cols[c] = tbl.column(c)
+                # source columns clashing with engine docmap columns are
+                # stored under <name>_orig (e.g. a table's own doc_id)
+                docmap_cols[c + "_orig" if c in reserved else c] = tbl.column(c)
             if cfg.compute_sha256:
                 # per-row content sha256 — the integrity invariant carried
                 # through ingest (north rule)

@@ -1,0 +1,175 @@
+"""Full-text pipelines over the ``documents`` test table.
+
+Builds (once per sf_dir, cached under /tmp/lucene_ray_cache) an inverted
+index with the engine's Ray Data pipeline, then serves hit-set / tf / stats /
+phrase / prefix / BM25 queries from it. Hit-set-shaped results have exact
+DuckDB oracles via the shared tokenizer grammar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.index.build import IndexConfig, build_index
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.search.query import Query
+from lucene_ray.search.searcher import Searcher
+
+CACHE_ROOT = "/tmp/lucene_ray_cache"
+
+_readers: dict[str, IndexReader] = {}
+
+
+def documents_index(sf_dir: str) -> IndexReader:
+    """Build-or-open the cached documents index for an sf dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def _searcher(sf_dir: str) -> Searcher:
+    return Searcher(documents_index(sf_dir))
+
+
+def _all_matches(sf_dir: str, q: Query) -> np.ndarray:
+    """Global doc ids of ALL matching docs (exhaustive evaluation)."""
+    s = _searcher(sf_dir)
+    all_terms, scorers, phrase_scorers, prefix_terms = s.plan(q)
+    from lucene_ray.search.searcher import _collect_phrases
+
+    need_pos = bool(_collect_phrases(q))
+    parts = []
+    for seg in s.reader.segs:
+        ss = s.segment_scorer(seg, all_terms, scorers, phrase_scorers, prefix_terms, need_pos)
+        docs, _ = ss.evaluate(q)
+        parts.append(ss.ctx.global_ids[docs])
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+
+
+def _orig_ids(sf_dir: str, gids: np.ndarray) -> pa.Table:
+    """Map engine doc ids back to the table's own doc_id column, sorted."""
+    reader = documents_index(sf_dir)
+    if len(gids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
+    ids = sorted(t.column("doc_id_orig").to_pylist())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def term_hits(sf_dir: str, term: str) -> pa.Table:
+    from lucene_ray.search.query import TermQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term)))
+
+
+def bool_hits(sf_dir: str, must=(), should=(), must_not=()) -> pa.Table:
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    q = BooleanQuery(
+        must=[TermQuery(t) for t in must],
+        should=[TermQuery(t) for t in should],
+        must_not=[TermQuery(t) for t in must_not],
+    )
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def phrase_hits(sf_dir: str, terms: list[str]) -> pa.Table:
+    from lucene_ray.search.query import PhraseQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, PhraseQuery(terms)))
+
+
+def prefix_hits(sf_dir: str, prefix: str) -> pa.Table:
+    from lucene_ray.search.query import PrefixQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, PrefixQuery(prefix)))
+
+
+def term_freqs(sf_dir: str, term: str) -> pa.Table:
+    """(doc_id, tf) for every doc containing the term."""
+    reader = documents_index(sf_dir)
+    rows_doc, rows_tf = [], []
+    from lucene_ray.search.executor import SegmentContext
+
+    for seg in reader.segs:
+        tbl = reader.postings(seg, [term])
+        ctx = SegmentContext.from_chunk_table(
+            tbl, reader.num_docs(seg), reader.norms(seg), reader.global_doc_ids(seg)
+        )
+        tp = ctx.postings.get(term)
+        if tp is None:
+            continue
+        gids = ctx.global_ids[tp.docs]
+        orig = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
+        m = dict(zip(orig.column("doc_id").to_pylist(), orig.column("doc_id_orig").to_pylist()))
+        rows_doc.extend(int(m[int(g)]) for g in gids)
+        rows_tf.extend(int(f) for f in tp.freqs)
+    order = np.argsort(np.asarray(rows_doc, dtype=np.int64), kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(rows_doc, dtype=np.int64)[order], pa.int64()),
+            "tf": pa.array(np.asarray(rows_tf, dtype=np.int64)[order], pa.int64()),
+        }
+    )
+
+
+def doc_freq_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k terms by doc_freq (df desc, term asc) from the term stats table."""
+    reader = documents_index(sf_dir)
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(reader.index_dir, "term_stats"), format="parquet").to_table()
+    df = tbl.to_pandas().sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    return pa.Table.from_pandas(
+        df[["term", "doc_freq"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+def collection_stats(sf_dir: str) -> pa.Table:
+    reader = documents_index(sf_dir)
+    cs = reader.collection_stats()
+    return pa.table(
+        {
+            "doc_count": pa.array([cs.doc_count], pa.int64()),
+            "sum_total_term_freq": pa.array([cs.sum_total_term_freq], pa.int64()),
+        }
+    )
+
+
+def bm25_topk(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """BM25 top-k (doc_id, rank, score float32) — scored path, no SQL oracle
+    (float32 Lucene-order arithmetic is not expressible in DuckDB; validated
+    instead by the exhaustive-oracle pytest suite)."""
+    s = _searcher(sf_dir)
+    td = s.search(query, k)
+    reader = documents_index(sf_dir)
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+            "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+            "score": pa.array(td.scores, pa.float32()),
+        }
+    )

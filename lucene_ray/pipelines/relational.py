@@ -1,0 +1,203 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's generic dataset operators — column-pruned reads,
+vectorized filters, partial-then-global aggregation, broadcast joins, sort /
+top-k, distinct, windowed (tumbling) aggregates — each with an exact DuckDB
+oracle. Float aggregates are rounded on BOTH sides so the value-hash compare
+is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape: grouped aggregates over lineitem with a date filter.
+    Partial aggregation happens inside map_batches (combine per batch), the
+    groupby then shuffles only |groups x batches| rows."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        # quantize the per-row product to 4 decimals so the global sum is a
+        # .0001-granular rational — summation order can then never flip the
+        # final 2-decimal rounding (the SQL oracle rounds identically)
+        disc_price = pc.round(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            ),
+            ndigits=4,
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        import pandas as pd
+
+        df = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    out = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    for c in ["sum_qty", "sum_base_price"]:
+        out[c] = out[c].round(2)
+    # disc_price was quantized to 4 decimals per row: round the sum at the
+    # same granularity so no half-boundary (numpy half-even vs SQL half-away)
+    out["sum_disc_price"] = out["sum_disc_price"].round(4)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_per_nation(sf_dir: str) -> pa.Table:
+    """orders |x| customer |x| nation: broadcast the small sides (ray.put once),
+    map_batches does the dict lookup — no shuffle join."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cust_to_nation, nation_name))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c2n, names = ray.get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        nn = [names[c2n[k]] for k in keys]
+        return pa.table({"n_name": pa.array(nn, pa.string())})
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="order_count"))
+    )
+    out = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
+    out["order_count"] = out["order_count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    """sort + limit: top-k orders by totalprice (desc), orderkey asc."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_tumbling_daily(sf_dir: str) -> pa.Table:
+    """Tumbling 1-day window aggregate per event_type (streaming-shaped op:
+    event-time bucketing in map_batches + grouped aggregate)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                # quantized per-row so the grouped sum is order-independent
+                # at the output rounding (see lineitem_pricing_summary)
+                "value": pc.round(batch.column("value"), ndigits=6),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    out = agg.to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
+    agg = (
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    out = agg.to_pandas().sort_values(["n_events", "user_id"], ascending=[False, True]).head(k)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def supplier_part_stats(sf_dir: str) -> pa.Table:
+    """Grouped numeric aggregates with min/max/mean over a join-free table."""
+    agg = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Mean("p_retailprice", alias_name="avg_price"),
+        )
+    )
+    out = agg.to_pandas().sort_values("p_type").reset_index(drop=True)
+    for c in ["min_price", "max_price"]:
+        out[c] = out[c].round(2)
+    out["avg_price"] = out["avg_price"].round(4)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def distinct_order_priorities(sf_dir: str) -> pa.Table:
+    vals = sorted(_read(sf_dir, "orders", ["o_orderpriority"]).unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+def filter_high_value_orders(sf_dir: str) -> pa.Table:
+    """Vectorized filter + count by group (predicate-pushdown shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("o_orderstatus"), pa.scalar("O")),
+            pc.greater(batch.column("o_totalprice"), pa.scalar(100000.0)),
+        )
+        return batch.filter(m).select(["o_orderpriority"])
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    out = agg.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
