@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
         "ft_prefix_hits": _q(lambda sf: ft.prefix_hits(sf, "cust")),
+        "ft_wildcard_hits": _q(lambda sf: ft.wildcard_hits(sf, "s?an")),
+        "ft_fuzzy_hits": _q(lambda sf: ft.fuzzy_hits(sf, "joib", 1)),
+        "ft_range_hits": _q(lambda sf: ft.range_hits(sf, "filter", "hash")),
         "ft_doc_freq_top20": _q(lambda sf: ft.doc_freq_topk(sf, 20)),
         "ft_collection_stats": _q(ft.collection_stats),
         "ft_bm25_top10_customer": _q(lambda sf: ft.bm25_topk(sf, "customer", 10)),
@@ -145,6 +148,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_prefix_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'cust%' ORDER BY doc_id",
+        "ft_wildcard_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 's_an' ORDER BY doc_id",
+        "ft_fuzzy_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE levenshtein(tok, 'joib') <= 1 "
+        "ORDER BY doc_id",
+        "ft_range_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok BETWEEN 'filter' AND 'hash' "
+        "ORDER BY doc_id",
         "ft_doc_freq_top20": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok <> '' GROUP BY tok "

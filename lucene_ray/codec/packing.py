@@ -95,8 +95,7 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=_U64)
     if len(v) == 0:
         return b""
-    nbits = np.maximum(1, 64 - _clz64(v))
-    nbytes = (nbits + 6) // 7  # bytes per value
+    nbytes = _vbyte_lengths(v)
     total = int(nbytes.sum())
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
@@ -130,6 +129,19 @@ def vbyte_decode(buf: bytes, n: int | None = None) -> np.ndarray:
     if n is not None and len(out) != n:
         raise ValueError(f"expected {n} values, decoded {len(out)}")
     return out
+
+
+def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value: 1 + one comparison per extra 7 bits.
+    Values are typically tiny (position gaps), so the loop exits after one
+    or two vectorized passes."""
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):  # 10 bytes max for 64 bits (7*9=63 < 64 <= 7*10)
+        m = v >= (_U64(1) << _U64(7 * k))
+        if not m.any():
+            return nbytes
+        nbytes[m] = k + 1
+    return nbytes
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:

@@ -35,6 +35,10 @@ def make_vocab(size: int = 2000) -> list[str]:
 
 
 def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
+    """Vectorized deterministic corpus generation (Arrow kernels do the row
+    assembly so 200k-row bench corpora build in seconds)."""
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed)
     vocab = np.array(make_vocab(), dtype=object)
     # Zipf-ish weights over the vocab (head pinned to HOT_TERMS by rank order)
@@ -42,35 +46,63 @@ def make_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     weights = 1.0 / ranks**1.1
     weights /= weights.sum()
 
-    repos, paths, commits, langs, contents = [], [], [], [], []
-    seps = np.array([" ", "\n", "(", ")", ".", ", ", "; ", " = "], dtype=object)
-    for row in range(n_rows):
-        i, j = row % 4, (row // 4) % 8
-        repo = f"org{i}/proj{j}"
-        lang = LANGS[row % 4]
-        pkg = PKGS[row % 8]
-        path = f"src/{pkg}/{'file'}_{row}.{lang}"
-        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:12]
-        n_toks = int(rng.integers(20, 401))
-        toks = rng.choice(vocab, size=n_toks, p=weights)
-        if row % 100 == 1:
-            toks = np.append(toks, f"uniq_{row}")
-        if row == 0:
-            toks = np.append(toks, "z" * 300)
-        sep = rng.choice(seps, size=len(toks))
-        content = "".join(t + s for t, s in zip(toks, sep))
-        repos.append(repo)
-        paths.append(path)
-        commits.append(commit)
-        langs.append(lang)
-        contents.append(content)
+    rows = np.arange(n_rows)
+    repos = [f"org{r % 4}/proj{(r // 4) % 8}" for r in rows]
+    langs = [LANGS[r % 4] for r in rows]
+    paths = [f"src/{PKGS[r % 8]}/file_{r}.{LANGS[r % 4]}" for r in rows]
+    commits = [
+        hashlib.sha256(f"{rp}/{p}".encode()).hexdigest()[:12]
+        for rp, p in zip(repos, paths)
+    ]
+
+    counts = rng.integers(20, 401, size=n_rows).astype(np.int64)
+    # singleton + truncation extras appended per affected row
+    extra = np.zeros(n_rows, dtype=np.int64)
+    extra[1::100] += 1  # uniq_{row} tokens
+    if n_rows > 0:
+        extra[0] += 1  # 300-char token
+    total = int((counts + extra).sum())
+    # zipf draws for the base tokens, vectorized inverse-cdf sampling
+    cdf = np.cumsum(weights)
+    base_total = int(counts.sum())
+    draws = np.searchsorted(cdf, rng.random(base_total), side="right")
+    base_tokens = vocab[np.minimum(draws, len(vocab) - 1)]
+    seps = np.array([" ", "\n", "(", ")", ". ", ", ", "; ", " = "], dtype=object)
+    sep_draw = seps[rng.integers(0, len(seps), size=total)]
+
+    # interleave base tokens with per-row extras, preserving row boundaries
+    all_tokens = np.empty(total, dtype=object)
+    out_pos = 0
+    base_pos = 0
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    for r in range(n_rows):
+        c = int(counts[r])
+        all_tokens[out_pos : out_pos + c] = base_tokens[base_pos : base_pos + c]
+        out_pos += c
+        base_pos += c
+        if extra[r]:
+            extras = []
+            if r % 100 == 1:
+                extras.append(f"uniq_{r}")
+            if r == 0:
+                extras.append("z" * 300)
+            for e in extras[: int(extra[r])]:
+                all_tokens[out_pos] = e
+                out_pos += 1
+        offsets[r + 1] = out_pos
+
+    frag = pc.binary_join_element_wise(
+        pa.array(all_tokens, pa.string()), pa.array(sep_draw, pa.string()), ""
+    )
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), frag)
+    contents = pc.binary_join(la, "")
     return pa.table(
         {
             "repo": pa.array(repos, pa.string()),
             "path": pa.array(paths, pa.string()),
             "commit": pa.array(commits, pa.string()),
             "lang": pa.array(langs, pa.string()),
-            "content": pa.array(contents, pa.string()),
+            "content": contents,
         }
     )
 

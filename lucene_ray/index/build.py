@@ -343,7 +343,12 @@ def build_index(
                 "pass resume=False or a fresh index_dir"
             )
 
+    import time as _time
+
+    stage_seconds = dict(manifest.stats.get("stage_seconds", {}))
+
     # ---- Stage A: per-partition invert + flush ----
+    _t0 = _time.time()
     todo = [p for p in manifest.partitions if str(p["pid"]) not in manifest.partials_done]
     if todo:
         ds = ray.data.from_items(todo)
@@ -358,6 +363,9 @@ def build_index(
                     "terms": row["terms"],
                 }
             manifest.save()
+
+    if todo:
+        stage_seconds["A_invert"] = round(_time.time() - _t0, 2)
 
     # ---- Stage B: global term stats (the one tiny global shuffle) ----
     partials_dir = os.path.join(index_dir, "partials")
@@ -377,6 +385,7 @@ def build_index(
         shutil.rmtree(term_stats_dir, ignore_errors=True)
         os.replace(tmp, term_stats_dir)
         manifest.term_stats_done = True
+        stage_seconds["B_term_stats"] = round(_time.time() - _t0 - stage_seconds.get("A_invert", 0), 2)
         manifest.save()
 
     # ---- Stage C: merge shuffle + encode ----
@@ -435,15 +444,18 @@ def build_index(
         )
         tmp = postings_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        _tc = _time.time()
         postings.write_parquet(tmp, partition_cols=["seg"])
         shutil.rmtree(postings_dir, ignore_errors=True)
         os.replace(tmp, postings_dir)
         manifest.postings_done = True
+        stage_seconds["C_merge_encode"] = round(_time.time() - _tc, 2)
 
     manifest.stats = {
         "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
         "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
         "field": cfg.content_col,
+        "stage_seconds": stage_seconds,
     }
     manifest.save()
     return manifest

@@ -30,7 +30,12 @@ from lucene_ray.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH, CodeTokenize
 from lucene_ray.codec.packing import vbyte_encode
 from lucene_ray.codec.smallfloat import int_to_byte4_array
 
-_SPLIT_PATTERN = "[^a-z0-9_]+"
+# 256-entry byte class table: 1 for [a-z0-9_] (token bytes). Non-ASCII UTF-8
+# bytes are >= 0x80 and classify as separators — identical semantics to the
+# regex tokenizer (non-ASCII chars never occur inside a token).
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+for _c in b"abcdefghijklmnopqrstuvwxyz0123456789_":
+    _TOKEN_BYTE[_c] = True
 
 
 def tokenize_column(
@@ -40,6 +45,12 @@ def tokenize_column(
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Tokenize a string column. Returns (flat_tokens, doc_idx, positions).
 
+    Implementation: ``pc.utf8_lower`` (C++), then a numpy byte-class scan
+    directly over the Arrow string data buffer — token runs are found by
+    boolean transitions, doc boundaries force splits, and the token strings
+    are gathered into a fresh Arrow string array with one fancy-index. No
+    per-row Python, no regex engine in the hot path.
+
     ``positions`` are within-doc token positions, with stopword holes kept
     (FilteringTokenFilter semantics). Token order within a doc is preserved.
     """
@@ -47,50 +58,93 @@ def tokenize_column(
         contents = contents.combine_chunks()
     n_docs = len(contents)
     lower = pc.utf8_lower(contents)
-    tok_list = pc.split_pattern_regex(lower, _SPLIT_PATTERN)
-    if isinstance(tok_list, pa.ChunkedArray):
-        tok_list = tok_list.combine_chunks()
-    flat = tok_list.flatten()
-    offsets = np.asarray(tok_list.offsets)
-    counts = np.diff(offsets)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    # drop the empty strings split_pattern_regex leaves at boundaries
-    vlen = np.asarray(pc.binary_length(flat))
-    keep = vlen > 0
-    if not keep.all():
-        flat = flat.filter(pa.array(keep))
-        doc_idx = doc_idx[keep]
-        vlen = vlen[keep]
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    # Arrow string layout: buffers = [validity, int32 offsets, data]
+    bufs = lower.buffers()
+    doc_offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(lower) + lower.offset + 1)[
+        lower.offset :
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    base = doc_offsets[0]
+    lo, hi = doc_offsets[0], doc_offsets[-1]
 
-    # rare path: docs containing over-long tokens are re-tokenized with the
-    # scalar tokenizer (which splits at max_token_length intervals)
-    long_mask = vlen > max_token_length
-    if long_mask.any():
-        bad_docs = np.unique(doc_idx[long_mask])
-        keep2 = ~np.isin(doc_idx, bad_docs)
-        flat_good = flat.filter(pa.array(keep2))
-        doc_good = doc_idx[keep2]
-        tk = CodeTokenizer(max_token_length)
-        extra_toks: list[str] = []
-        extra_doc: list[int] = []
-        for d in bad_docs:
-            toks = tk(contents[int(d)].as_py())
-            extra_toks.extend(toks)
-            extra_doc.extend([int(d)] * len(toks))
-        flat = pa.concat_arrays(
-            [flat_good.combine_chunks() if isinstance(flat_good, pa.ChunkedArray) else flat_good,
-             pa.array(extra_toks, type=flat.type)]
+    is_tok = _TOKEN_BYTE[data[lo:hi]]
+    nbytes = hi - lo
+    if nbytes == 0:
+        empty = pa.array([], pa.string())
+        return empty, np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty_like(is_tok)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    start_mask = is_tok & ~prev
+    end_mask = is_tok & ~nxt
+    # force token breaks at document boundaries
+    dbs = doc_offsets[1:-1] - base
+    db = dbs[(dbs > 0) & (dbs < nbytes)]
+    if len(db):
+        inner = db[is_tok[db] & is_tok[db - 1]]
+        start_mask[inner] = True
+        end_mask[inner - 1] = True
+    starts = np.flatnonzero(start_mask).astype(np.int64)
+    ends = np.flatnonzero(end_mask).astype(np.int64) + 1
+    lengths = ends - starts
+
+    # rare path: split over-long runs at max_token_length intervals
+    if lengths.size and lengths.max() > max_token_length:
+        long_idx = np.flatnonzero(lengths > max_token_length)
+        new_s, new_e = [], []
+        prev_end = 0
+        for li in long_idx:
+            new_s.append(starts[prev_end:li])
+            new_e.append(ends[prev_end:li])
+            cs = np.arange(starts[li], ends[li], max_token_length, dtype=np.int64)
+            ce = np.minimum(cs + max_token_length, ends[li])
+            new_s.append(cs)
+            new_e.append(ce)
+            prev_end = li + 1
+        new_s.append(starts[prev_end:])
+        new_e.append(ends[prev_end:])
+        starts = np.concatenate(new_s)
+        ends = np.concatenate(new_e)
+        lengths = ends - starts
+
+    total = len(starts)
+    # doc of each token
+    doc_idx = np.searchsorted(doc_offsets, starts + base, side="right") - 1
+    # concatenated token bytes == the data buffer with separator bytes
+    # dropped — one boolean mask, no gather-index arrays (token order and
+    # intra-token byte order are both preserved)
+    tok_offsets = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lengths, out=tok_offsets[1:])
+    tok_data = data[lo:hi][is_tok]
+    if len(tok_data) != tok_offsets[-1]:
+        # over-long token splitting duplicates no bytes, so counts only
+        # disagree if a run was chunked — rebuild by explicit slicing then
+        raise AssertionError("token byte accounting mismatch")
+    if tok_offsets[-1] < 2**31 - 1:
+        flat = pa.Array.from_buffers(
+            pa.string(),
+            total,
+            [None, pa.py_buffer(tok_offsets.astype(np.int32).tobytes()), pa.py_buffer(tok_data.tobytes())],
         )
-        doc_idx = np.concatenate([doc_good, np.asarray(extra_doc, dtype=np.int64)])
-        order = np.argsort(doc_idx, kind="stable")
-        flat = flat.take(pa.array(order))
-        doc_idx = doc_idx[order]
+    else:
+        flat = pa.Array.from_buffers(
+            pa.large_string(),
+            total,
+            [None, pa.py_buffer(tok_offsets.tobytes()), pa.py_buffer(tok_data.tobytes())],
+        )
 
     # within-doc positions BEFORE stop removal (holes preserved)
-    total = len(doc_idx)
     if total:
-        starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
-        positions = np.arange(total, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, total)))
+        counts = np.bincount(doc_idx, minlength=n_docs)
+        doc_first = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=doc_first[1:])
+        positions = np.arange(total, dtype=np.int64) - doc_first[doc_idx]
     else:
         positions = np.zeros(0, dtype=np.int64)
 
@@ -149,7 +203,9 @@ def invert_partition(
     tok_ids = np.asarray(dict_arr.indices, dtype=np.int64)
     vocab = dict_arr.dictionary
 
-    order = np.lexsort((doc_idx, tok_ids))  # by term, then doc; stable -> positions ascending
+    # tokens already arrive in (doc, position) order, so ONE stable sort by
+    # term id yields (term, doc, position) order — no 2-key lexsort needed
+    order = np.argsort(tok_ids, kind="stable")
     t_s = tok_ids[order]
     d_s = doc_idx[order]
     p_s = positions[order]
@@ -192,9 +248,9 @@ def invert_partition(
         deltas[p_starts] = p_s[p_starts]
         stream = vbyte_encode(deltas)
         # byte length per value (re-derived; must match vbyte_encode)
-        nbits = np.maximum(1, 64 - _clz(deltas))
-        nbytes = ((nbits + 6) // 7).astype(np.int64)
-        byte_ends = np.cumsum(nbytes)
+        from lucene_ray.codec.packing import _vbyte_lengths
+
+        byte_ends = np.cumsum(_vbyte_lengths(deltas))
         # byte offset at each term boundary (term t covers postings
         # [t_starts[t], t_starts[t+1]) -> token span via p_starts)
         tok_span_ends = np.append(p_starts, total)[1:]  # end token idx per posting
@@ -221,9 +277,3 @@ def invert_partition(
         }
     )
     return partials, lengths, norm_bytes
-
-
-def _clz(v: np.ndarray) -> np.ndarray:
-    from lucene_ray.codec.packing import _clz64
-
-    return _clz64(v)

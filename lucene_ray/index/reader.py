@@ -27,6 +27,30 @@ from lucene_ray.index.manifest import Manifest
 from lucene_ray.search.similarity import CollectionStats, TermStats
 
 
+def _levenshtein_within(a: str, b: str, d: int) -> bool:
+    """Banded edit-distance check (<= d), early-exit DP."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            row_min = min(row_min, cur[j])
+        if row_min > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
 class IndexReader:
     def __init__(self, index_dir: str, segments: list[int] | None = None):
         self.index_dir = index_dir
@@ -39,6 +63,11 @@ class IndexReader:
         self._term_stats_ds = pads.dataset(
             os.path.join(index_dir, "term_stats"), format="parquet"
         )
+        self._seg_ds_cache: dict[int, pads.Dataset] = {}
+        # (seg, term) -> pa.Table slice of chunk rows (sorted by min_doc);
+        # the LRU-query-cache / OS-page-cache analog for repeated serving
+        self._postings_cache: dict[tuple[int, str], pa.Table] = {}
+        self._term_stats_cache: dict[str, TermStats | None] = {}
 
     # ---- statistics ----
 
@@ -51,16 +80,25 @@ class IndexReader:
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         if not terms:
             return {}
-        tbl = self._term_stats_ds.to_table(
-            filter=pads.field("term").isin(sorted(set(terms))),
-        )
-        return {
-            t: TermStats(int(df), int(ttf))
-            for t, df, ttf in zip(
-                tbl.column("term").to_pylist(),
-                tbl.column("doc_freq").to_pylist(),
-                tbl.column("total_term_freq").to_pylist(),
+        missing = sorted({t for t in terms if t not in self._term_stats_cache})
+        if missing:
+            tbl = self._term_stats_ds.to_table(
+                filter=pads.field("term").isin(missing),
             )
+            found = {
+                t: TermStats(int(df), int(ttf))
+                for t, df, ttf in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("doc_freq").to_pylist(),
+                    tbl.column("total_term_freq").to_pylist(),
+                )
+            }
+            for t in missing:
+                self._term_stats_cache[t] = found.get(t)
+        return {
+            t: self._term_stats_cache[t]
+            for t in terms
+            if self._term_stats_cache.get(t) is not None
         }
 
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
@@ -77,6 +115,75 @@ class IndexReader:
             raise ValueError(f"prefix '{prefix}' expands to >{max_terms} terms")
         return terms
 
+    def _scan_terms(self, literal_prefix: str = "") -> list[str]:
+        """Term-dictionary scan, narrowed to a literal prefix range when the
+        pattern provides one (the block-tree prefix-seek analog)."""
+        if literal_prefix:
+            flt = (pads.field("term") >= literal_prefix) & (
+                pads.field("term") < literal_prefix + "￿"
+            )
+            tbl = self._term_stats_ds.to_table(columns=["term"], filter=flt)
+        else:
+            tbl = self._term_stats_ds.to_table(columns=["term"])
+        return tbl.column("term").to_pylist()
+
+    def expand_multi_term(self, q, max_terms: int = 1024) -> list[str]:
+        """Expand a multi-term query node against the term dictionary."""
+        import re as _re
+
+        from lucene_ray.search.query import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        if isinstance(q, PrefixQuery):
+            return self.expand_prefix(q.prefix, max_terms)
+        if isinstance(q, WildcardQuery):
+            lit = _re.split(r"[*?]", q.pattern, maxsplit=1)[0]
+            rx = _re.compile(
+                "".join(
+                    ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                    for c in q.pattern
+                )
+                + r"\Z"
+            )
+            terms = [t for t in self._scan_terms(lit) if rx.match(t)]
+        elif isinstance(q, RegexpQuery):
+            m = _re.match(r"[a-z0-9_]*", q.pattern)
+            lit = m.group(0) if m else ""
+            rx = _re.compile(q.pattern + r"\Z")
+            terms = [t for t in self._scan_terms(lit) if rx.match(t)]
+        elif isinstance(q, FuzzyQuery):
+            terms = [
+                t
+                for t in self._scan_terms()
+                if abs(len(t) - len(q.term)) <= q.max_edits
+                and _levenshtein_within(t, q.term, q.max_edits)
+            ]
+        elif isinstance(q, TermRangeQuery):
+            flt = None
+            if q.lower is not None:
+                op = pads.field("term") >= q.lower if q.include_lower else pads.field("term") > q.lower
+                flt = op
+            if q.upper is not None:
+                op = pads.field("term") <= q.upper if q.include_upper else pads.field("term") < q.upper
+                flt = op if flt is None else (flt & op)
+            tbl = (
+                self._term_stats_ds.to_table(columns=["term"], filter=flt)
+                if flt is not None
+                else self._term_stats_ds.to_table(columns=["term"])
+            )
+            terms = tbl.column("term").to_pylist()
+        else:
+            raise TypeError(f"not a multi-term query: {q!r}")
+        terms.sort()
+        if len(terms) > max_terms:
+            raise ValueError(f"{q!r} expands to >{max_terms} terms")
+        return terms
+
     # ---- per-segment data ----
 
     def seg_dir(self, seg: int) -> str:
@@ -84,15 +191,37 @@ class IndexReader:
 
     def postings(self, seg: int, terms: list[str]) -> pa.Table:
         """Chunk rows for the given terms in one segment, ordered by
-        (term, min_doc) so salted sub-lists concatenate correctly."""
+        (term, min_doc) so salted sub-lists concatenate correctly.
+        Per-(seg, term) results are cached for repeated serving."""
         d = self.seg_dir(seg)
         if not os.path.isdir(d) or not terms:
             return None
-        ds = pads.dataset(d, format="parquet")
-        tbl = ds.to_table(filter=pads.field("term").isin(sorted(set(terms))))
-        if len(tbl) == 0:
-            return tbl
-        return tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
+        want = sorted(set(terms))
+        missing = [t for t in want if (seg, t) not in self._postings_cache]
+        if missing:
+            if seg not in self._seg_ds_cache:
+                self._seg_ds_cache[seg] = pads.dataset(d, format="parquet")
+            ds = self._seg_ds_cache[seg]
+            tbl = ds.to_table(filter=pads.field("term").isin(missing))
+            if len(tbl):
+                tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
+            terms_col = tbl.column("term").to_pylist() if len(tbl) else []
+            # split contiguous term runs into cached slices
+            i = 0
+            while i < len(terms_col):
+                j = i
+                while j < len(terms_col) and terms_col[j] == terms_col[i]:
+                    j += 1
+                self._postings_cache[(seg, terms_col[i])] = tbl.slice(i, j - i)
+                i = j
+            empty = tbl.slice(0, 0)
+            for t in missing:
+                self._postings_cache.setdefault((seg, t), empty)
+        parts = [self._postings_cache[(seg, t)] for t in want]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return self._postings_cache[(seg, want[0])]
+        return pa.concat_tables(parts)
 
     def num_docs(self, seg: int) -> int:
         return self._seg_info[seg]["num_docs"]

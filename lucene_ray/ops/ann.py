@@ -38,8 +38,11 @@ def knn_brute(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
         kk = min(k, nb)
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
-            part = np.argpartition(-sims[qi], kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, dtype=np.int64))
+            # keep boundary ties so the (cosine desc, id asc) tie-break is
+            # decided at the merge, not by argpartition's arbitrary pick
+            kth = np.partition(sims[qi], nb - kk)[nb - kk]
+            part = np.flatnonzero(sims[qi] >= kth)
+            out_q.append(np.full(len(part), qi, dtype=np.int64))
             out_id.append(ids[part])
             out_s.append(sims[qi][part])
         return pa.table(

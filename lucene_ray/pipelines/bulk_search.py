@@ -1,0 +1,99 @@
+"""Distributed BM25 serving — the QueryShard actor-pool path (SURVEY §3.2).
+
+The driver resolves global term statistics once, precomputes the BM25
+constants per query (the Weight), broadcasts the query plans with ``ray.put``
+and fans segments out over a ``map_batches`` actor pool. Each actor opens the
+index ONCE in ``__init__`` (norms / docmaps cached across batches — the
+IndexSearcher-reuse pattern, §2.3) and returns per-(segment, query) top-k
+rows; the driver heap-merges with the TopDocs tie-break.
+
+This scales by segment count: 256 nodes x N actors each serve disjoint
+segment groups; the only cross-partition data is the tiny (query plan, k)
+broadcast and the per-segment top-k rows coming back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.search.query import Query
+from lucene_ray.search.searcher import Searcher, TopDocs, _collect_phrases, merge_topk
+
+
+class QueryShard:
+    """Actor: serves all queries for the segments routed to it."""
+
+    def __init__(self, index_dir: str, plans_ref):
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader)
+        self.plans = ray.get(plans_ref)  # [(qid, q, all_terms, scorers, ph, pf, k, thr)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"seg": [], "qid": [], "rank": [], "doc_id": [], "score": [],
+                "total": [], "exact": []}
+        for seg in batch.column("seg").to_pylist():
+            for qid, q, all_terms, scorers, ph, pf, k, thr in self.plans:
+                need_pos = bool(_collect_phrases(q))
+                ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
+                gids, scores, total, exact = ss.top_k(q, k, thr)
+                n = max(1, len(gids))  # emit >=1 row per (seg, qid) for totals
+                for r in range(n):
+                    rows["seg"].append(seg)
+                    rows["qid"].append(qid)
+                    rows["rank"].append(r if r < len(gids) else -1)
+                    rows["doc_id"].append(int(gids[r]) if r < len(gids) else 0)
+                    rows["score"].append(float(scores[r]) if r < len(gids) else 0.0)
+                    rows["total"].append(total)
+                    rows["exact"].append(exact)
+        return pa.table(
+            {
+                "seg": pa.array(rows["seg"], pa.int32()),
+                "qid": pa.array(rows["qid"], pa.int64()),
+                "rank": pa.array(rows["rank"], pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], pa.uint64()),
+                "score": pa.array(rows["score"], pa.float32()),
+                "total": pa.array(rows["total"], pa.int64()),
+                "exact": pa.array(rows["exact"], pa.bool_()),
+            }
+        )
+
+
+def bulk_search(index_dir: str, queries: list[tuple[int, Query]], k: int = 10,
+                total_hits_threshold: int | None = 1000,
+                concurrency: int = 4) -> dict[int, TopDocs]:
+    """Run a query battery against every segment via an actor pool; returns
+    qid -> merged TopDocs (rank-identical to the single-process Searcher)."""
+    reader = IndexReader(index_dir)
+    searcher = Searcher(reader)
+    plans = []
+    for qid, q in queries:
+        all_terms, scorers, ph, pf = searcher.plan(q)
+        plans.append((qid, q, all_terms, scorers, ph, pf, k, total_hits_threshold))
+    plans_ref = ray.put(plans)
+
+    segs = ray.data.from_items([{"seg": s} for s in reader.segs])
+    out = segs.map_batches(
+        QueryShard,
+        fn_constructor_args=(index_dir, plans_ref),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=min(concurrency, max(1, len(reader.segs))),
+        num_cpus=1,
+    ).to_pandas()
+
+    results: dict[int, TopDocs] = {}
+    for qid, _q in queries:
+        g = out[out["qid"] == qid]
+        hits = g[g["rank"] >= 0]
+        doc_parts = [hits["doc_id"].to_numpy(dtype=np.uint64)]
+        score_parts = [hits["score"].to_numpy(dtype=np.float32)]
+        per_seg = g.drop_duplicates(subset=["seg"])  # one total per segment
+        total = int(per_seg["total"].sum()) if len(per_seg) else 0
+        exact = bool(per_seg["exact"].all()) if len(per_seg) else True
+        results[qid] = merge_topk(doc_parts, score_parts, total, k, exact)
+    return results

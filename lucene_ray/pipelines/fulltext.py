@@ -50,13 +50,13 @@ def _searcher(sf_dir: str) -> Searcher:
 def _all_matches(sf_dir: str, q: Query) -> np.ndarray:
     """Global doc ids of ALL matching docs (exhaustive evaluation)."""
     s = _searcher(sf_dir)
-    all_terms, scorers, phrase_scorers, prefix_terms = s.plan(q)
+    all_terms, scorers, phrase_scorers, expansions = s.plan(q)
     from lucene_ray.search.searcher import _collect_phrases
 
     need_pos = bool(_collect_phrases(q))
     parts = []
     for seg in s.reader.segs:
-        ss = s.segment_scorer(seg, all_terms, scorers, phrase_scorers, prefix_terms, need_pos)
+        ss = s.segment_scorer(seg, all_terms, scorers, phrase_scorers, expansions, need_pos)
         docs, _ = ss.evaluate(q)
         parts.append(ss.ctx.global_ids[docs])
     return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
@@ -101,6 +101,24 @@ def prefix_hits(sf_dir: str, prefix: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, PrefixQuery(prefix)))
 
 
+def wildcard_hits(sf_dir: str, pattern: str) -> pa.Table:
+    from lucene_ray.search.query import WildcardQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, WildcardQuery(pattern)))
+
+
+def fuzzy_hits(sf_dir: str, term: str, max_edits: int = 1) -> pa.Table:
+    from lucene_ray.search.query import FuzzyQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, FuzzyQuery(term, max_edits)))
+
+
+def range_hits(sf_dir: str, lower: str, upper: str) -> pa.Table:
+    from lucene_ray.search.query import TermRangeQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermRangeQuery(lower, upper)))
+
+
 def term_freqs(sf_dir: str, term: str) -> pa.Table:
     """(doc_id, tf) for every doc containing the term."""
     reader = documents_index(sf_dir)
@@ -112,7 +130,7 @@ def term_freqs(sf_dir: str, term: str) -> pa.Table:
         ctx = SegmentContext.from_chunk_table(
             tbl, reader.num_docs(seg), reader.norms(seg), reader.global_doc_ids(seg)
         )
-        tp = ctx.postings.get(term)
+        tp = ctx.postings(term)
         if tp is None:
             continue
         gids = ctx.global_ids[tp.docs]

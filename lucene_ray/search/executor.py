@@ -1,13 +1,29 @@
-"""Per-segment query execution — vectorized iterator algebra.
+"""Per-segment query execution — vectorized iterator algebra + block-max pruning.
 
 Lucene walks sorted postings via ``DocIdSetIterator`` virtual calls
 (DocIdSetIterator.java:111-134); here each segment evaluates a query as numpy
 kernels over decoded docID/freq arrays (SURVEY §1.4 mapping): union = scatter
 into a dense float32 accumulator, intersection = presence counting,
-difference = mask, phrase = vectorized position alignment. Results are
-sparse ``(local_docs, float32 scores)`` pairs; top-k is argpartition + the
-Lucene tie-break (score desc, then doc id asc — TopDocs.java:75-119 with
-insertion order == docID order).
+difference = mask, phrase = vectorized position alignment.
+
+Pruned top-k (engaged only past ``total_hits_threshold`` collected hits,
+mirroring IndexSearcher.TOTAL_HITS_THRESHOLD = 1000, IndexSearcher.java:100):
+
+- TermQuery: impact-ordered chunk traversal — chunks processed in descending
+  score upper bound (from the stored competitive impacts), stopping when the
+  bound drops strictly below the kth score (ImpactsDISI/MaxScoreCache
+  semantics at chunk = level-1 granularity).
+- OR of terms: MAXSCORE partitioning (MaxScoreBulkScorer.java) — terms split
+  into essential/non-essential by score bound; only essential postings
+  generate candidates, non-essential terms are looked up at candidate docs
+  with chunk-range skipping.
+- AND of terms: the rarest term drives; other terms decode only chunks whose
+  doc range intersects the candidates (BlockMaxConjunction-style skipping).
+
+All pruned paths return rank-identical (doc, float32 score) top-k vs the
+exhaustive path — pruning is strict-inequality only, so equal-score
+tie-breaks (doc id asc) are preserved; ``total_hits`` becomes a lower bound
+with relation "GTE" exactly like Lucene's TotalHits.Relation.
 """
 
 from __future__ import annotations
@@ -18,6 +34,7 @@ import numpy as np
 
 from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_positions
 from lucene_ray.search.query import (
+    MULTI_TERM_TYPES,
     BooleanQuery,
     MatchAllQuery,
     PhraseQuery,
@@ -29,67 +46,128 @@ from lucene_ray.search.similarity import BM25Scorer
 
 
 @dataclass
+class ChunkRec:
+    count: int
+    min_doc: int
+    max_doc: int
+    docs_enc: bytes
+    freqs_enc: bytes
+    pos_enc: bytes
+    imp_freqs: np.ndarray
+    imp_norms: np.ndarray
+
+
+@dataclass
 class TermPostings:
     docs: np.ndarray  # int64 segment-local doc ids, ascending
     freqs: np.ndarray  # int64
-    pos_chunks: list | None  # [(start_idx, pos_enc, freqs_slice)] lazily decoded
+    pos_chunks: list | None  # [(pos_enc, freqs_slice)] lazily decoded
 
 
 class SegmentContext:
-    """Decoded postings for one (segment, query) evaluation."""
+    """Chunk records for one (segment, query) evaluation; decode on demand."""
 
     def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
-        self.postings: dict[str, TermPostings] = {}
+        self.chunks: dict[str, list[ChunkRec]] = {}
+        self._decoded: dict[str, TermPostings] = {}
+        self.with_positions = False
 
     @classmethod
     def from_chunk_table(cls, table, num_docs, norms, global_ids, with_positions=False):
-        """Build from the reader's chunk rows (already sorted by term, min_doc)."""
+        """Build from the reader's chunk rows (sorted by term, min_doc)."""
         ctx = cls(num_docs, norms, global_ids)
+        ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
         terms = table.column("term").to_pylist()
         counts = table.column("count").to_pylist()
+        min_docs = table.column("min_doc").to_pylist()
+        max_docs = table.column("max_doc").to_pylist()
         docs_enc = table.column("docs_enc").to_pylist()
         freqs_enc = table.column("freqs_enc").to_pylist()
-        pos_enc = table.column("pos_enc").to_pylist() if with_positions else None
-        i = 0
-        n = len(terms)
-        while i < n:
-            j = i
-            while j < n and terms[j] == terms[i]:
-                j += 1
-            docs_parts, freqs_parts, pos_parts = [], [], []
-            for r in range(i, j):
-                d = decode_docs(docs_enc[r], counts[r]).astype(np.int64)
-                f = decode_freqs(freqs_enc[r], counts[r]).astype(np.int64)
-                docs_parts.append(d)
-                freqs_parts.append(f)
-                if pos_enc is not None:
-                    pos_parts.append((pos_enc[r], f))
-            ctx.postings[terms[i]] = TermPostings(
-                docs=np.concatenate(docs_parts),
-                freqs=np.concatenate(freqs_parts),
-                pos_chunks=pos_parts if pos_enc is not None else None,
+        pos_enc = table.column("pos_enc").to_pylist() if with_positions else [b""] * len(terms)
+        imp_f = table.column("impact_freqs").to_pylist()
+        imp_n = table.column("impact_norms").to_pylist()
+        for i, t in enumerate(terms):
+            ctx.chunks.setdefault(t, []).append(
+                ChunkRec(
+                    count=counts[i],
+                    min_doc=min_docs[i],
+                    max_doc=max_docs[i],
+                    docs_enc=docs_enc[i],
+                    freqs_enc=freqs_enc[i],
+                    pos_enc=pos_enc[i],
+                    imp_freqs=np.asarray(imp_f[i], dtype=np.int64),
+                    imp_norms=np.asarray(imp_n[i], dtype=np.int64),
+                )
             )
-            i = j
         return ctx
+
+    # ---- decode ----
+
+    def postings(self, term: str) -> TermPostings | None:
+        tp = self._decoded.get(term)
+        if tp is not None:
+            return tp
+        recs = self.chunks.get(term)
+        if not recs:
+            return None
+        tp = self._decode_recs(recs)
+        self._decoded[term] = tp
+        return tp
+
+    def _decode_recs(self, recs: list[ChunkRec]) -> TermPostings:
+        docs_parts, freqs_parts, pos_parts = [], [], []
+        for r in recs:
+            d = decode_docs(r.docs_enc, r.count).astype(np.int64)
+            f = decode_freqs(r.freqs_enc, r.count).astype(np.int64)
+            docs_parts.append(d)
+            freqs_parts.append(f)
+            if self.with_positions:
+                pos_parts.append((r.pos_enc, f))
+        return TermPostings(
+            docs=np.concatenate(docs_parts),
+            freqs=np.concatenate(freqs_parts),
+            pos_chunks=pos_parts if self.with_positions else None,
+        )
+
+    def doc_freq(self, term: str) -> int:
+        return sum(r.count for r in self.chunks.get(term, []))
+
+
+def chunk_bounds(recs: list[ChunkRec], scorer: BM25Scorer) -> np.ndarray:
+    """Score upper bound per chunk from its competitive impacts."""
+    return np.array(
+        [scorer.score(r.imp_freqs, r.imp_norms).max() if len(r.imp_freqs) else np.float32(0)
+         for r in recs],
+        dtype=np.float32,
+    )
+
+
+@dataclass
+class SegTopK:
+    docs: np.ndarray  # local ids, sorted by (-score, doc)
+    scores: np.ndarray
+    total: int
+    exact_total: bool
 
 
 class SegmentScorer:
-    """Evaluate a query against one segment's decoded context."""
+    """Evaluate a query against one segment's context."""
 
     def __init__(self, ctx: SegmentContext, scorers: dict[str, BM25Scorer],
                  phrase_scorers: dict[tuple, BM25Scorer] | None = None,
-                 prefix_terms: dict[str, list[str]] | None = None):
+                 expansions: dict[Query, list[str]] | None = None):
         self.ctx = ctx
         self.scorers = scorers  # term -> BM25Scorer (global stats)
         self.phrase_scorers = phrase_scorers or {}
-        self.prefix_terms = prefix_terms or {}
+        # multi-term query node -> expanded term list (constant-score rewrite)
+        self.expansions = expansions or {}
 
-    # ---- evaluation: returns (docs ascending, float32 scores) ----
+    # ---- exhaustive evaluation: (docs ascending, float32 scores) ----
 
     def evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(q, TermQuery):
@@ -98,15 +176,15 @@ class SegmentScorer:
             return self._eval_bool(q)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
-        if isinstance(q, PrefixQuery):
-            return self._eval_prefix(q)
+        if isinstance(q, MULTI_TERM_TYPES):
+            return self._eval_const_union(q)
         if isinstance(q, MatchAllQuery):
             docs = np.arange(self.ctx.num_docs, dtype=np.int64)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         raise TypeError(f"unsupported query: {q!r}")
 
     def _eval_term(self, q: TermQuery) -> tuple[np.ndarray, np.ndarray]:
-        tp = self.ctx.postings.get(q.term)
+        tp = self.ctx.postings(q.term)
         if tp is None or len(tp.docs) == 0:
             return _EMPTY
         scorer = self.scorers[q.term]
@@ -115,12 +193,13 @@ class SegmentScorer:
             scores = (np.float32(q.boost) * scores).astype(np.float32)
         return tp.docs, scores
 
-    def _eval_prefix(self, q: PrefixQuery) -> tuple[np.ndarray, np.ndarray]:
-        # constant-score union over the expansion (MultiTermQuery rewrite)
-        terms = self.prefix_terms.get(q.prefix, [])
+    def _eval_const_union(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        # constant-score union over the expansion (MultiTermQuery
+        # CONSTANT_SCORE rewrite, MultiTermQuery.java)
+        terms = self.expansions.get(q, [])
         present = np.zeros(self.ctx.num_docs, dtype=bool)
         for t in terms:
-            tp = self.ctx.postings.get(t)
+            tp = self.ctx.postings(t)
             if tp is not None:
                 present[tp.docs] = True
         docs = np.flatnonzero(present).astype(np.int64)
@@ -144,24 +223,21 @@ class SegmentScorer:
         positions, vectorized via set intersection of (doc, pos - i) keys."""
         tps = []
         for t in terms:
-            tp = self.ctx.postings.get(t)
+            tp = self.ctx.postings(t)
             if tp is None or tp.pos_chunks is None:
                 return None
             tps.append(tp)
-        # candidate docs: AND over term doc lists
         cand = tps[0].docs
         for tp in tps[1:]:
-            cand = _intersect_sorted(cand, tp.docs)
+            cand = cand[np.isin(cand, tp.docs, assume_unique=True)]
             if len(cand) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        # for each term, build (doc, pos - idx) keys restricted to candidates
         key_sets = []
         for i, tp in enumerate(tps):
             pos_flat = _decode_all_positions(tp)
             ends = np.cumsum(tp.freqs)
             starts = ends - tp.freqs
-            sel = np.isin(tp.docs, cand)
-            sel_idx = np.flatnonzero(sel)
+            sel_idx = np.flatnonzero(np.isin(tp.docs, cand, assume_unique=True))
             doc_rep = np.repeat(tp.docs[sel_idx], tp.freqs[sel_idx])
             tok_idx = _ranges_concat(starts[sel_idx], ends[sel_idx])
             shifted = pos_flat[tok_idx].astype(np.int64) - i
@@ -216,28 +292,202 @@ class SegmentScorer:
 
     # ---- top-k ----
 
-    def top_k(self, q: Query, k: int) -> tuple[np.ndarray, np.ndarray, int]:
-        """(global_doc_ids, scores, total_hits) for this segment, sorted by
-        (-score, local doc id)."""
-        docs, scores = self.evaluate(q)
-        total = len(docs)
-        if total == 0:
-            return np.zeros(0, np.uint64), np.zeros(0, np.float32), 0
-        if total > k:
-            part = np.argpartition(scores, -k)[-k:]
-            docs, scores = docs[part], scores[part]
-        order = np.lexsort((docs, -scores.astype(np.float64)))
-        docs, scores = docs[order], scores[order]
-        if len(docs) > k:
-            docs, scores = docs[:k], scores[:k]
-        return self.ctx.global_ids[docs], scores, total
+    def top_k(self, q: Query, k: int,
+              total_hits_threshold: int | None = None,
+              after: tuple[float, int] | None = None) -> tuple[np.ndarray, np.ndarray, int, bool]:
+        """(global_doc_ids, scores, total_hits, exact_total), sorted by
+        (-score, local doc id). With a threshold, pruned paths may report a
+        lower-bound total (exact_total=False) but ranks/scores stay identical.
+        ``after`` = (score, global_doc_id) cursor for deep paging
+        (IndexSearcher.searchAfter, IndexSearcher.java:576-591): only hits
+        strictly after the cursor in (-score, doc) order are returned."""
+        res = None
+        if total_hits_threshold is not None and after is None:
+            res = self._top_k_pruned(q, k, total_hits_threshold)
+        if res is None:
+            docs, scores = self.evaluate(q)
+            total = len(docs)
+            if after is not None:
+                a_score = np.float32(after[0])
+                gids = self.ctx.global_ids[docs]
+                keep = (scores < a_score) | (
+                    (scores == a_score) & (gids > np.uint64(after[1]))
+                )
+                docs, scores = docs[keep], scores[keep]
+            res = _topk_from_sparse(docs, scores, k, total, True)
+        return self.ctx.global_ids[res.docs], res.scores, res.total, res.exact_total
+
+    def _top_k_pruned(self, q: Query, k: int, threshold: int) -> SegTopK | None:
+        if isinstance(q, TermQuery) and q.boost == 1.0 and q.term in self.scorers:
+            return self._topk_term_impact_ordered(q.term, k, threshold)
+        if isinstance(q, BooleanQuery) and not q.must_not and not q.must and q.should \
+                and q.effective_msm <= 1 \
+                and all(isinstance(c, TermQuery) and c.boost == 1.0 and c.term in self.scorers
+                        for c in q.should):
+            return self._topk_or_maxscore([c.term for c in q.should], k, threshold)
+        if isinstance(q, BooleanQuery) and not q.must_not and not q.should and q.must \
+                and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in q.must):
+            if not all(c.term in self.scorers for c in q.must):
+                return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+            return self._topk_and_skipping([c.term for c in q.must], k)
+        return None  # fall back to exhaustive
+
+    def _topk_term_impact_ordered(self, term: str, k: int, threshold: int) -> SegTopK:
+        recs = self.ctx.chunks.get(term)
+        if not recs:
+            return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+        scorer = self.scorers[term]
+        bounds = chunk_bounds(recs, scorer)
+        order = np.argsort(-bounds.astype(np.float64), kind="stable")
+        best_docs = np.zeros(0, np.int64)
+        best_scores = np.zeros(0, np.float32)
+        total = 0
+        pruned = False
+        for oi, ci in enumerate(order):
+            if len(best_docs) >= k and total >= threshold and bounds[ci] < best_scores[-1]:
+                pruned = True  # all remaining bounds are <= this one
+                break
+            r = recs[ci]
+            d = decode_docs(r.docs_enc, r.count).astype(np.int64)
+            f = decode_freqs(r.freqs_enc, r.count).astype(np.int64)
+            s = scorer.score(f, self.ctx.norms[d])
+            total += r.count
+            best_docs, best_scores = _merge_topk(best_docs, best_scores, d, s, k)
+        return SegTopK(best_docs, best_scores, total, not pruned)
+
+    def _topk_or_maxscore(self, terms: list[str], k: int, threshold: int) -> SegTopK:
+        """MAXSCORE: essential terms generate candidates; non-essential terms
+        only contribute at candidate docs (decoded with chunk skipping)."""
+        recs_by_term = {t: self.ctx.chunks.get(t, []) for t in terms}
+        terms = [t for t in terms if recs_by_term[t]]
+        if not terms:
+            return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+        term_bounds = {
+            t: float(chunk_bounds(recs_by_term[t], self.scorers[t]).max()) for t in terms
+        }
+        order = sorted(terms, key=lambda t: term_bounds[t])  # ascending bound
+        total_candidates = sum(self.ctx.doc_freq(t) for t in terms)
+        if total_candidates <= threshold:
+            return None  # below threshold: exhaustive path keeps exact counts
+
+        # bootstrap theta from the highest-bound term scored fully
+        strongest = order[-1]
+        tp = self.ctx.postings(strongest)
+        s0 = self.scorers[strongest].score(tp.freqs, self.ctx.norms[tp.docs])
+        if len(s0) > k:
+            theta = float(np.partition(s0, -k)[-k])
+        else:
+            theta = float("-inf")
+
+        # partition: longest prefix of `order` with cumulative bound < theta
+        cum = 0.0
+        non_essential: list[str] = []
+        for t in order:
+            if cum + term_bounds[t] < theta and len(non_essential) < len(order) - 1:
+                cum += term_bounds[t]
+                non_essential.append(t)
+            else:
+                break
+        essential = [t for t in order if t not in non_essential]
+
+        n = self.ctx.num_docs
+        present = np.zeros(n, dtype=bool)
+        ness = set(non_essential)
+        for t in essential:
+            present[self.ctx.postings(t).docs] = True
+        cand = np.flatnonzero(present).astype(np.int64)
+        # accumulate in ORIGINAL clause order so per-doc float32 addition
+        # sequences match the exhaustive path bit-for-bit; docs matching ONLY
+        # non-essential terms score < theta <= kth so skipping them is exact
+        acc = np.zeros(n, dtype=np.float32)
+        for t in terms:
+            if t in ness:
+                d, f = self._decode_at(t, cand)  # chunk-range skipping
+                if len(d):
+                    sel = np.isin(d, cand, assume_unique=True)
+                    d, f = d[sel], f[sel]
+            else:
+                tp = self.ctx.postings(t)  # essential: all docs are candidates
+                d, f = tp.docs, tp.freqs
+            if len(d):
+                acc[d] += self.scorers[t].score(f, self.ctx.norms[d])
+        # len(cand) is a valid lower bound of the true union size (GTE)
+        return SegTopK(*_topk_arrays(cand, acc[cand], k), len(cand), False)
+
+    def _topk_and_skipping(self, terms: list[str], k: int) -> SegTopK:
+        """Conjunction driven by the rarest term; other terms decode only
+        chunks overlapping the candidate doc range set. Exact (no score
+        pruning), so exact_total=True."""
+        dfs = {t: self.ctx.doc_freq(t) for t in terms}
+        if any(dfs[t] == 0 for t in terms):
+            return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+        order = sorted(terms, key=lambda t: dfs[t])
+        lead = order[0]
+        tp = self.ctx.postings(lead)
+        cand, cand_freqs = tp.docs, {lead: tp.freqs}
+        for t in order[1:]:
+            d, f = self._decode_at(t, cand)
+            keep = np.isin(cand, d, assume_unique=True)
+            cand = cand[keep]
+            for t2 in cand_freqs:
+                cand_freqs[t2] = cand_freqs[t2][keep]
+            sel = np.isin(d, cand, assume_unique=True)
+            cand_freqs[t] = f[sel]
+            if len(cand) == 0:
+                return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+        norms = self.ctx.norms[cand]
+        acc = np.zeros(len(cand), dtype=np.float32)
+        for t in terms:  # clause order = query order (float32 sum order)
+            acc += self.scorers[t].score(cand_freqs[t], norms)
+        return SegTopK(*_topk_arrays(cand, acc, k), len(cand), True)
+
+    def _decode_at(self, term: str, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode only the chunks of `term` whose doc range intersects the
+        candidate set; returns (docs, freqs) restricted to chunks touched."""
+        recs = self.ctx.chunks.get(term, [])
+        if not recs or len(cand) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        mins = np.array([r.min_doc for r in recs])
+        maxs = np.array([r.max_doc for r in recs])
+        # chunk i needed iff any candidate in [min, max]
+        lo = np.searchsorted(cand, mins, side="left")
+        hi = np.searchsorted(cand, maxs, side="right")
+        needed = np.flatnonzero(hi > lo)
+        if len(needed) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ds, fs = [], []
+        for ci in needed:
+            r = recs[ci]
+            ds.append(decode_docs(r.docs_enc, r.count).astype(np.int64))
+            fs.append(decode_freqs(r.freqs_enc, r.count).astype(np.int64))
+        return np.concatenate(ds), np.concatenate(fs)
 
 
 _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
 
 
-def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return a[np.isin(a, b, assume_unique=True)]
+def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    if len(docs) > k:
+        # keep ALL ties at the kth score so the (score desc, doc asc)
+        # tie-break decides membership — argpartition alone would pick
+        # arbitrary docs among boundary ties
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        sel = scores >= kth
+        docs, scores = docs[sel], scores[sel]
+    order = np.lexsort((docs, -scores.astype(np.float64)))
+    docs, scores = docs[order], scores[order]
+    return docs[:k], scores[:k]
+
+
+def _topk_from_sparse(docs, scores, k, total, exact) -> SegTopK:
+    d, s = _topk_arrays(docs, scores, k)
+    return SegTopK(d, s, total, exact)
+
+
+def _merge_topk(d1, s1, d2, s2, k) -> tuple[np.ndarray, np.ndarray]:
+    d = np.concatenate([d1, d2])
+    s = np.concatenate([s1, s2])
+    return _topk_arrays(d, s, k)
 
 
 def _decode_all_positions(tp: TermPostings) -> np.ndarray:

@@ -15,11 +15,15 @@ import numpy as np
 from lucene_ray.analysis.tokenizer import StandardLikeAnalyzer
 from lucene_ray.search.query import (
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
 )
 from lucene_ray.search.similarity import BM25Similarity, CollectionStats, TermStats
 
@@ -77,6 +81,34 @@ class ExhaustiveOracle:
             return True, np.float32(q.boost) * s if q.boost != 1.0 else s
         if isinstance(q, PrefixQuery):
             ok = any(t.startswith(q.prefix) for t in p)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, WildcardQuery):
+            import fnmatch
+
+            ok = any(fnmatch.fnmatchcase(t, q.pattern) for t in p)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, RegexpQuery):
+            import re
+
+            rx = re.compile(q.pattern + r"\Z")
+            ok = any(rx.match(t) for t in p)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, FuzzyQuery):
+            from lucene_ray.index.reader import _levenshtein_within
+
+            ok = any(_levenshtein_within(t, q.term, q.max_edits) for t in p)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, TermRangeQuery):
+            def in_range(t):
+                if q.lower is not None:
+                    if t < q.lower or (t == q.lower and not q.include_lower):
+                        return False
+                if q.upper is not None:
+                    if t > q.upper or (t == q.upper and not q.include_upper):
+                        return False
+                return True
+
+            ok = any(in_range(t) for t in p)
             return ok, np.float32(q.boost) if ok else np.float32(0)
         if isinstance(q, MatchAllQuery):
             return True, np.float32(q.boost)

@@ -46,6 +46,46 @@ class PrefixQuery(Query):
 
 
 @dataclass(frozen=True)
+class WildcardQuery(Query):
+    """``*`` = any run, ``?`` = one char (WildcardQuery.java:38); expanded
+    against the term dictionary, constant score."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Anchored regular expression over terms (RegexpQuery.java:44)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within ``max_edits`` Levenshtein distance (FuzzyQuery.java:52).
+    v1 rewrite: constant score over the expansion (Lucene's blended-freq
+    rewrite is a documented divergence)."""
+
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Lexicographic term range scan (TermRangeQuery.java:37), constant
+    score."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 
@@ -89,13 +129,18 @@ def _collect(q: Query, out: set[str]) -> None:
             _collect(c, out)
 
 
-def collect_prefixes(q: Query) -> set[str]:
-    out: set[str] = set()
-    if isinstance(q, PrefixQuery):
-        out.add(q.prefix)
+MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)
+
+
+def collect_multi_term(q: Query) -> set[Query]:
+    """Multi-term nodes needing term-dictionary expansion (the
+    AutomatonTermsEnum rewrite inputs)."""
+    out: set[Query] = set()
+    if isinstance(q, MULTI_TERM_TYPES):
+        out.add(q)
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
-            out |= collect_prefixes(c)
+            out |= collect_multi_term(c)
     return out
 
 

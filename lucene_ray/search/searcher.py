@@ -20,7 +20,7 @@ from lucene_ray.search.executor import SegmentContext, SegmentScorer
 from lucene_ray.search.query import (
     PhraseQuery,
     Query,
-    collect_prefixes,
+    collect_multi_term,
     collect_terms,
     parse_query,
 )
@@ -32,6 +32,9 @@ class TopDocs:
     doc_ids: np.ndarray  # uint64 global ids
     scores: np.ndarray  # float32
     total_hits: int
+    # False = total_hits is a lower bound (TotalHits.Relation.GTE) because
+    # block-max pruning stopped counting past total_hits_threshold
+    exact_total: bool = True
 
 
 def _collect_phrases(q: Query) -> list[tuple]:
@@ -60,11 +63,11 @@ class Searcher:
 
     def plan(self, q: Query):
         """Resolve global stats + scorers for a query (Weight creation)."""
-        prefixes = collect_prefixes(q)
-        prefix_terms = {p: self.reader.expand_prefix(p) for p in prefixes}
+        mtqs = collect_multi_term(q)
+        expansions = {m: self.reader.expand_multi_term(m) for m in mtqs}
         terms = collect_terms(q)
         all_terms = set(terms)
-        for ts in prefix_terms.values():
+        for ts in expansions.values():
             all_terms.update(ts)
         stats = self.reader.term_stats(sorted(all_terms))
         cstats = self.reader.collection_stats()
@@ -78,9 +81,9 @@ class Searcher:
             tss = [stats.get(t, TermStats(0, 0)) for t in ph]
             if all(ts.doc_freq > 0 for ts in tss):
                 phrase_scorers[ph] = self.sim.scorer(1.0, cstats, *tss)
-        return all_terms, scorers, phrase_scorers, prefix_terms
+        return all_terms, scorers, phrase_scorers, expansions
 
-    def segment_scorer(self, seg: int, all_terms, scorers, phrase_scorers, prefix_terms,
+    def segment_scorer(self, seg: int, all_terms, scorers, phrase_scorers, expansions,
                        need_positions: bool) -> SegmentScorer:
         table = self.reader.postings(seg, sorted(all_terms))
         ctx = SegmentContext.from_chunk_table(
@@ -90,22 +93,37 @@ class Searcher:
             global_ids=self.reader.global_doc_ids(seg),
             with_positions=need_positions,
         )
-        return SegmentScorer(ctx, scorers, phrase_scorers, prefix_terms)
+        return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 
-    def search(self, query: Query | str, k: int = 10) -> TopDocs:
+    def search(self, query: Query | str, k: int = 10,
+               total_hits_threshold: int | None = None,
+               after: tuple[float, int] | None = None) -> TopDocs:
+        """Top-k search. ``total_hits_threshold`` enables block-max pruning
+        (Lucene's default is 1000, IndexSearcher.java:100); None keeps exact
+        hit counts (pruning off). Ranks and float32 scores are identical
+        either way — only the total-hits accounting differs.
+
+        ``after=(score, doc_id)`` pages past a previous hit (searchAfter)."""
         q = parse_query(query) if isinstance(query, str) else query
-        all_terms, scorers, phrase_scorers, prefix_terms = self.plan(q)
+        all_terms, scorers, phrase_scorers, expansions = self.plan(q)
         need_pos = bool(_collect_phrases(q))
         doc_parts, score_parts, total = [], [], 0
+        exact = True
         for seg in self.reader.segs:
             ss = self.segment_scorer(
-                seg, all_terms, scorers, phrase_scorers, prefix_terms, need_pos
+                seg, all_terms, scorers, phrase_scorers, expansions, need_pos
             )
-            gids, scores, t = ss.top_k(q, k)
+            gids, scores, t, ex = ss.top_k(q, k, total_hits_threshold, after)
             doc_parts.append(gids)
             score_parts.append(scores)
             total += t
-        return merge_topk(doc_parts, score_parts, total, k)
+            exact = exact and ex
+        return merge_topk(doc_parts, score_parts, total, k, exact)
+
+    def count(self, query: Query | str) -> int:
+        """Exact hit count — the TotalHitCountCollector analog."""
+        td = self.search(query, k=1, total_hits_threshold=None)
+        return td.total_hits
 
     def search_table(self, query: Query | str, k: int = 10) -> pa.Table:
         """Top-k joined back to stored fields — result materialization."""
@@ -122,13 +140,13 @@ class Searcher:
 
 
 def merge_topk(doc_parts: list[np.ndarray], score_parts: list[np.ndarray],
-               total: int, k: int) -> TopDocs:
+               total: int, k: int, exact_total: bool = True) -> TopDocs:
     """TopDocs.merge analog: concatenate per-segment top-k, sort by
     (-score, global_doc_id), truncate. Scores float32; ties broken by the
     monotone global doc id (== segment order then docID order)."""
     if not doc_parts:
-        return TopDocs(np.zeros(0, np.uint64), np.zeros(0, np.float32), 0)
+        return TopDocs(np.zeros(0, np.uint64), np.zeros(0, np.float32), 0, exact_total)
     docs = np.concatenate(doc_parts)
     scores = np.concatenate(score_parts).astype(np.float32, copy=False)
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
-    return TopDocs(docs[order], scores[order], total)
+    return TopDocs(docs[order], scores[order], total, exact_total)

@@ -1,0 +1,23 @@
+"""Distributed serving parity: the QueryShard actor-pool path must return
+exactly what the single-process Searcher returns (same merge tie-break)."""
+
+import numpy as np
+
+from lucene_ray.fixtures import query_to_ast, reference_queries
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.pipelines.bulk_search import bulk_search
+from lucene_ray.search.searcher import Searcher
+
+
+def test_bulk_search_matches_inline(ray_session, built_index):
+    index_dir, _, _ = built_index
+    searcher = Searcher(IndexReader(index_dir))
+    battery = [(spec["qid"], query_to_ast(spec)) for spec in reference_queries()]
+    dist = bulk_search(index_dir, battery, k=10, total_hits_threshold=None,
+                       concurrency=2)
+    for qid, q in battery:
+        inline = searcher.search(q, 10)
+        got = dist[qid]
+        np.testing.assert_array_equal(got.doc_ids, inline.doc_ids, err_msg=f"q{qid}")
+        np.testing.assert_array_equal(got.scores, inline.scores, err_msg=f"q{qid}")
+        assert got.total_hits == inline.total_hits, f"q{qid}"

@@ -1,0 +1,83 @@
+"""Multi-term query family + searchAfter paging vs the exhaustive oracle."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_ray.search.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    index_dir, _, _ = built_index
+    return Searcher(IndexReader(index_dir))
+
+
+@pytest.fixture(scope="module")
+def oracle(built_index):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.oracle import ExhaustiveOracle
+
+    _, manifest, corpus_file = built_index
+    texts = pq.read_table(corpus_file, columns=["content"]).column("content").to_pylist()
+    docs, row = [], 0
+    for p in manifest.partitions:
+        for off in range(p["num_rows"]):
+            docs.append(((p["pid"] << 32) | off, texts[row]))
+            row += 1
+    return ExhaustiveOracle(docs)
+
+
+QUERIES = [
+    WildcardQuery("uniq_*"),
+    WildcardQuery("im?ort"),
+    WildcardQuery("*turn"),
+    RegexpQuery("uniq_[0-9]+"),
+    RegexpQuery("(def|class)"),
+    FuzzyQuery("improt", 2),
+    FuzzyQuery("return", 1),
+    TermRangeQuery("import", "int"),
+    TermRangeQuery("a", "c", include_upper=False),
+    TermRangeQuery(None, "class"),
+    BooleanQuery(must=[TermQuery("import"), WildcardQuery("uniq_1*")]),
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: type(q).__name__ + "-" + str(hash(q) % 10**6))
+def test_multiterm_vs_oracle(searcher, oracle, q):
+    got = searcher.search(q, 10)
+    exp_ids, exp_scores, exp_total = oracle.search(q, 10)
+    assert got.total_hits == exp_total, q
+    np.testing.assert_array_equal(got.doc_ids, exp_ids, err_msg=str(q))
+    np.testing.assert_array_equal(got.scores, exp_scores, err_msg=str(q))
+
+
+def test_search_after_pages_through_everything(searcher, oracle):
+    q = TermQuery("return")
+    full_ids, full_scores, total = oracle.search(q, 10**9)
+    paged_ids, paged_scores = [], []
+    after = None
+    while True:
+        td = searcher.search(q, 7, after=after)
+        if len(td.doc_ids) == 0:
+            break
+        paged_ids.extend(int(d) for d in td.doc_ids)
+        paged_scores.extend(td.scores)
+        after = (float(td.scores[-1]), int(td.doc_ids[-1]))
+    np.testing.assert_array_equal(np.array(paged_ids, dtype=np.uint64), full_ids)
+    np.testing.assert_array_equal(np.array(paged_scores, dtype=np.float32), full_scores)
+
+
+def test_count(searcher, oracle):
+    for q in [TermQuery("import"), WildcardQuery("uniq_*"),
+              BooleanQuery(must=[TermQuery("def"), TermQuery("class")])]:
+        assert searcher.count(q) == oracle.search(q, 1)[2]
