@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": _q(rel.top_users_by_events),
         "part_price_stats": _q(rel.supplier_part_stats),
         "distinct_order_priorities": _q(rel.distinct_order_priorities),
+        "grouped_topk_orders": _q(rel.grouped_topk_orders),
+        "sampled_avg_quantity": _q(rel.sampled_avg_quantity),
         "filter_high_value_orders": _q(rel.filter_high_value_orders),
     }
 
@@ -230,6 +232,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_order_priorities": (
             "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+        ),
+        "grouped_topk_orders": (
+            "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"
         ),
         "filter_high_value_orders": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "

@@ -48,7 +48,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from lucene_ray.codec.postings import CHUNK_SIZE, decode_positions, encode_chunk
-from lucene_ray.index.invert import invert_partition
+from lucene_ray.index.invert import invert_partition, merge_partials, shift_doc_offsets
 from lucene_ray.index.manifest import Manifest
 
 
@@ -66,6 +66,10 @@ class IndexConfig:
     max_token_length: int = 255
     stopwords: tuple = ()
     compression: str = "zstd"
+    # docs per inverter slice inside a Stage-A task (bounds the working set)
+    invert_slice_docs: int = 1024
+    # hash buckets per segment for the merge shuffle (terms per map_groups call)
+    merge_buckets: int = 64
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -151,14 +155,35 @@ def docmap_path(index_dir: str, pid: int) -> str:
     return os.path.join(index_dir, "docmap", f"pid={pid:06d}.parquet")
 
 
+def _tune_allocators() -> None:
+    """Keep freed pages resident in long-lived workers: Arrow's jemalloc
+    decay off (pages retained for reuse). Fresh page faults are expensive on
+    virtualized memory; the inverter's sliced working set then runs entirely
+    in already-faulted pages."""
+    try:
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+
+
 class _StageA:
-    """Per-partition reader + inverter + writer (stateless task body)."""
+    """Per-partition reader + inverter + writer (stateless task body).
+
+    Documents are inverted in slices of ``invert_slice_docs`` and the
+    per-slice partials merged (same vectorized merge as Stage C) — this
+    bounds the working set so allocator pages are reused across slices
+    instead of freshly faulted, which is what lets many concurrent
+    inverters scale."""
 
     def __init__(self, cfg: IndexConfig, index_dir: str):
         self.cfg = cfg
         self.index_dir = index_dir
+        self._tuned = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._tuned:
+            _tune_allocators()
+            self._tuned = True
         cfg = self.cfg
         out = {"pid": [], "rows": [], "tokens": [], "terms": []}
         for spec in batch.to_pylist():
@@ -170,11 +195,26 @@ class _StageA:
             if rr:
                 tbl = tbl.slice(rr[0], rr[1] - rr[0])
             content = tbl.column(cfg.content_col)
-            partials, lengths, norms = invert_partition(
-                content,
-                max_token_length=cfg.max_token_length,
-                stopwords=frozenset(cfg.stopwords) or None,
-                with_positions=cfg.with_positions,
+            sl = max(64, cfg.invert_slice_docs)
+            slice_tables, len_parts, norm_parts = [], [], []
+            for s0 in range(0, len(tbl), sl):
+                part, lens, nrms = invert_partition(
+                    content.slice(s0, min(sl, len(tbl) - s0))
+                    if isinstance(content, pa.ChunkedArray)
+                    else content.slice(s0, min(sl, len(tbl) - s0)),
+                    max_token_length=cfg.max_token_length,
+                    stopwords=frozenset(cfg.stopwords) or None,
+                    with_positions=cfg.with_positions,
+                )
+                slice_tables.append(shift_doc_offsets(part, s0))
+                len_parts.append(lens)
+                norm_parts.append(nrms)
+            partials = merge_partials(slice_tables)
+            lengths = (
+                np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64)
+            )
+            norms = (
+                np.concatenate(norm_parts) if norm_parts else np.zeros(0, np.uint8)
             )
             n = len(tbl)
             offsets = np.arange(n, dtype=np.uint32)
@@ -213,11 +253,19 @@ class _StageA:
 
 
 class _MergeEncode:
-    """Per-(segment, term, salt) group merge + chunk encode (map_groups body).
+    """Bucket-level merge + chunk encode (map_groups body).
 
-    The SegmentMerger analog: concatenate partial postings in pid order
-    (docIDs remapped by the per-pid doc base — MergeState.DocMap equivalent),
-    then cut into chunk rows with compressed blocks + impacts.
+    The SegmentMerger analog, amortized: each call receives ALL partial rows
+    of one (segment, hash bucket) and merges every (term, salt) group inside
+    it — dozens of terms per call, so the per-group scheduling overhead of
+    the groupby vanishes. Per group: partial postings are concatenated in
+    pid order (docIDs remapped by the per-pid doc base — MergeState.DocMap
+    equivalent) and cut into chunk rows.
+
+    Positions are NEVER re-encoded here: each doc's vbyte delta stream is
+    self-contained (first position absolute), so merged streams are plain
+    byte concatenation, and chunk splits are byte-sliced using a vectorized
+    continuation-bit scan.
     """
 
     def __init__(self, cfg: IndexConfig, doc_base_ref, index_dir: str):
@@ -232,59 +280,80 @@ class _MergeEncode:
         return self._doc_base
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        order = pc.sort_indices(group.column("pid"))
-        group = group.take(order)
-        pids = np.asarray(group.column("pid"), dtype=np.int64)
-        base = self.doc_base
-        docs_parts, freqs_parts, norms_parts, pos_parts = [], [], [], []
-        for i in range(len(group)):
-            offs = np.asarray(group.column("doc_offsets")[i].values, dtype=np.uint64)
-            fr = np.asarray(group.column("freqs")[i].values, dtype=np.uint64)
-            nm = np.asarray(group.column("norms")[i].values, dtype=np.int64)
-            docs_parts.append(offs + np.uint64(base[pids[i]]))
-            freqs_parts.append(fr)
-            norms_parts.append(nm)
-            if cfg.with_positions:
-                pos_parts.append(
-                    decode_positions(group.column("pos_enc")[i].as_py(), fr.astype(np.int64))
-                )
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freqs_parts)
-        norms = np.concatenate(norms_parts)
-        positions = np.concatenate(pos_parts) if cfg.with_positions else None
-        pos_bounds = np.cumsum(freqs.astype(np.int64)) if cfg.with_positions else None
+        from lucene_ray.codec.packing import delta_encode, encode_blocks
+        from lucene_ray.codec.postings import competitive_impacts
 
-        term = group.column("term")[0].as_py()
-        seg = group.column("seg")[0].as_py()
-        chunk0 = int(group.column("chunk_base")[0].as_py())
+        cfg = self.cfg
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("term", "ascending"), ("salt", "ascending"), ("pid", "ascending")],
+        )
+        g = group.take(order)
+        terms = g.column("term").to_pylist()
+        salts = np.asarray(g.column("salt"), dtype=np.int64)
+        pids = np.asarray(g.column("pid"), dtype=np.int64)
+        chunk_bases = np.asarray(g.column("chunk_base"), dtype=np.int64)
+        seg = int(g.column("seg")[0].as_py()) if len(g) else 0
+        doc_off_col = g.column("doc_offsets").combine_chunks()
+        freqs_col = g.column("freqs").combine_chunks()
+        norms_col = g.column("norms").combine_chunks()
+        pos_col = g.column("pos_enc").combine_chunks() if cfg.with_positions else None
+        base = self.doc_base
+        cs = cfg.chunk_size
+
         rows: dict = {
             "seg": [], "term": [], "chunk": [], "count": [],
             "min_doc": [], "max_doc": [], "docs_enc": [], "freqs_enc": [],
             "pos_enc": [], "impact_freqs": [], "impact_norms": [],
         }
-        cs = cfg.chunk_size
-        n = len(docs)
-        for ci, start in enumerate(range(0, n, cs)):
-            end = min(start + cs, n)
+        n = len(g)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and terms[j] == terms[i] and salts[j] == salts[i]:
+                j += 1
+            docs = np.concatenate(
+                [np.asarray(doc_off_col[r].values, dtype=np.int64) + base[pids[r]]
+                 for r in range(i, j)]
+            )
+            freqs = np.concatenate(
+                [np.asarray(freqs_col[r].values, dtype=np.int64) for r in range(i, j)]
+            )
+            norms = np.concatenate(
+                [np.asarray(norms_col[r].values, dtype=np.int64) for r in range(i, j)]
+            )
             if cfg.with_positions:
-                p0 = 0 if start == 0 else int(pos_bounds[start - 1])
-                p1 = int(pos_bounds[end - 1])
-                chunk_pos = positions[p0:p1]
-            else:
-                chunk_pos = None
-            ch = encode_chunk(docs[start:end], freqs[start:end], norms[start:end], chunk_pos)
-            rows["seg"].append(seg)
-            rows["term"].append(term)
-            rows["chunk"].append(chunk0 + ci)
-            rows["count"].append(ch.count)
-            rows["min_doc"].append(ch.min_doc)
-            rows["max_doc"].append(ch.max_doc)
-            rows["docs_enc"].append(ch.docs_enc)
-            rows["freqs_enc"].append(ch.freqs_enc)
-            rows["pos_enc"].append(ch.pos_enc)
-            rows["impact_freqs"].append(ch.impact_freqs.tolist())
-            rows["impact_norms"].append(ch.impact_norms.tolist())
+                pos_stream = b"".join(pos_col[r].as_py() for r in range(i, j))
+                sb = np.frombuffer(pos_stream, dtype=np.uint8)
+                value_ends = np.flatnonzero((sb & 0x80) == 0) + 1
+                pos_counts = np.cumsum(freqs)
+            total = len(docs)
+            if total > 1 and not (docs[1:] > docs[:-1]).all():
+                raise ValueError("docs out of order in merge")  # ordering invariant
+            for ci, start in enumerate(range(0, total, cs)):
+                end = min(start + cs, total)
+                d = docs[start:end]
+                f = freqs[start:end]
+                nb = norms[start:end]
+                if cfg.with_positions:
+                    b0 = 0 if start == 0 else int(value_ends[pos_counts[start - 1] - 1])
+                    b1 = int(value_ends[pos_counts[end - 1] - 1])
+                    chunk_pos = pos_stream[b0:b1]
+                else:
+                    chunk_pos = b""
+                imp_f, imp_n = competitive_impacts(f, nb)
+                rows["seg"].append(seg)
+                rows["term"].append(terms[i])
+                rows["chunk"].append(int(chunk_bases[i]) + ci)
+                rows["count"].append(end - start)
+                rows["min_doc"].append(int(d[0]))
+                rows["max_doc"].append(int(d[-1]))
+                rows["docs_enc"].append(encode_blocks(delta_encode(d.astype(np.uint64))))
+                rows["freqs_enc"].append(encode_blocks(f.astype(np.uint64)))
+                rows["pos_enc"].append(chunk_pos)
+                rows["impact_freqs"].append(imp_f.tolist())
+                rows["impact_norms"].append(imp_n.tolist())
+            i = j
         return pa.table(
             {
                 "seg": pa.array(rows["seg"], pa.int32()),
@@ -367,88 +436,16 @@ def build_index(
     if todo:
         stage_seconds["A_invert"] = round(_time.time() - _t0, 2)
 
-    # ---- Stage B: global term stats (the one tiny global shuffle) ----
-    partials_dir = os.path.join(index_dir, "partials")
-    term_stats_dir = os.path.join(index_dir, "term_stats")
+    # ---- Stage B: global term stats (tiny; driver fast path when small) ----
     if not manifest.term_stats_done:
-        stats_ds = (
-            ray.data.read_parquet(partials_dir, columns=["term", "df", "ttf"])
-            .groupby("term")
-            .aggregate(
-                Sum("df", alias_name="doc_freq"),
-                Sum("ttf", alias_name="total_term_freq"),
-            )
-        )
-        tmp = term_stats_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        stats_ds.write_parquet(tmp)
-        shutil.rmtree(term_stats_dir, ignore_errors=True)
-        os.replace(tmp, term_stats_dir)
-        manifest.term_stats_done = True
-        stage_seconds["B_term_stats"] = round(_time.time() - _t0 - stage_seconds.get("A_invert", 0), 2)
-        manifest.save()
+        _tb = _time.time()
+        _run_stage_b(index_dir, manifest)
+        stage_seconds["B_term_stats"] = round(_time.time() - _tb, 2)
 
     # ---- Stage C: merge shuffle + encode ----
-    postings_dir = os.path.join(index_dir, "postings")
     if not manifest.postings_done:
-        n_pids = len(manifest.partitions)
-        doc_base_arr = np.zeros(n_pids, dtype=np.int64)
-        seg_arr = np.zeros(n_pids, dtype=np.int32)
-        pid_pos_arr = np.zeros(n_pids, dtype=np.int32)  # position within segment
-        for seg in manifest.segments:
-            acc = 0
-            for j, pid in enumerate(seg["pids"]):
-                doc_base_arr[pid] = acc
-                seg_arr[pid] = seg["seg"]
-                pid_pos_arr[pid] = j
-                acc += manifest.partitions[pid]["num_rows"]
-
-        hot_terms = _load_hot_terms(term_stats_dir, cfg.hot_df_threshold)
-        doc_base_ref = ray.put(doc_base_arr)
-        pps = cfg.partitions_per_segment
-        n_salts = max(1, min(cfg.n_salts, pps))
-        # chunk_base gives salted sub-groups disjoint chunk-id ranges so that
-        # chunk ids stay unique per (seg, term); ordering at read time is by
-        # min_doc, which is globally consistent because salt buckets are
-        # contiguous pid ranges.
-        max_chunks_per_salt = (
-            pps * max(p["num_rows"] for p in manifest.partitions) // cfg.chunk_size + 2
-        )
-
-        def add_shuffle_keys(batch: pa.Table) -> pa.Table:
-            pids = np.asarray(batch.column("pid"), dtype=np.int64)
-            seg = seg_arr[pids]
-            if hot_terms:
-                is_hot = np.asarray(
-                    pc.is_in(batch.column("term"), value_set=pa.array(sorted(hot_terms)))
-                )
-            else:
-                is_hot = np.zeros(len(batch), dtype=bool)
-            salt = np.where(is_hot, (pid_pos_arr[pids] * n_salts) // pps, 0).astype(np.int32)
-            chunk_base = (salt * max_chunks_per_salt).astype(np.int32)
-            batch = batch.append_column("seg", pa.array(seg, pa.int32()))
-            batch = batch.append_column("salt", pa.array(salt, pa.int32()))
-            batch = batch.append_column("chunk_base", pa.array(chunk_base, pa.int32()))
-            return batch
-
-        merger = _MergeEncode(cfg, doc_base_ref, index_dir)
-
-        def merge_encode(group: pa.Table) -> pa.Table:
-            return merger(group)
-
-        postings = (
-            ray.data.read_parquet(partials_dir)
-            .map_batches(add_shuffle_keys, batch_format="pyarrow")
-            .groupby(["seg", "term", "salt"])
-            .map_groups(merge_encode, batch_format="pyarrow")
-        )
-        tmp = postings_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
         _tc = _time.time()
-        postings.write_parquet(tmp, partition_cols=["seg"])
-        shutil.rmtree(postings_dir, ignore_errors=True)
-        os.replace(tmp, postings_dir)
-        manifest.postings_done = True
+        _run_stage_c(index_dir, manifest, cfg)
         stage_seconds["C_merge_encode"] = round(_time.time() - _tc, 2)
 
     manifest.stats = {
@@ -459,6 +456,239 @@ def build_index(
     }
     manifest.save()
     return manifest
+
+
+def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
+    """Incremental build — the NRT refresh analog (SURVEY §2.11).
+
+    New input files become new partitions (pids continue after the existing
+    plan) grouped into NEW segments; Stage A runs only for them, term stats
+    are re-aggregated (global stats must see the new docs), and Stage C runs
+    only over the new partials, writing additional ``seg=N`` directories.
+    Existing segment postings are untouched; readers see the new docs at the
+    next manifest generation (DirectoryReader.openIfChanged analog)."""
+    manifest = Manifest.load(index_dir)
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in manifest.config.items()})
+    paths = [source] if isinstance(source, str) else list(source)
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+        else:
+            expanded.append(p)
+    known_files = {p["file"] for p in manifest.partitions}
+    new_files = [f for f in expanded if f not in known_files]
+    if not new_files:
+        return manifest
+
+    base_pid = len(manifest.partitions)
+    new_parts = plan_partitions(new_files, cfg)
+    for i, p in enumerate(new_parts):
+        p["pid"] = base_pid + i
+    manifest.partitions.extend(new_parts)
+    base_seg = len(manifest.segments)
+    for pid0 in range(0, len(new_parts), cfg.partitions_per_segment):
+        group = new_parts[pid0 : pid0 + cfg.partitions_per_segment]
+        manifest.segments.append(
+            {
+                "seg": base_seg + pid0 // cfg.partitions_per_segment,
+                "pids": [p["pid"] for p in group],
+                "num_docs": sum(p["num_rows"] for p in group),
+            }
+        )
+    manifest.term_stats_done = False
+    manifest.save()
+
+    # Stage A for the new partitions only
+    ds = ray.data.from_items(new_parts)
+    metrics = ds.map_batches(
+        _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
+    )
+    for batch in metrics.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            manifest.partials_done[str(row["pid"])] = {
+                "rows": row["rows"], "tokens": row["tokens"], "terms": row["terms"],
+            }
+        manifest.save()
+
+    # Stage B rebuild (global stats must include the new docs)
+    _run_stage_b(index_dir, manifest)
+
+    # Stage C only over the new partials
+    new_pids = [p["pid"] for p in new_parts]
+    _run_stage_c(index_dir, manifest, cfg, only_pids=new_pids, append=True)
+    manifest.stats = {
+        "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
+        "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
+        "field": cfg.content_col,
+        "stage_seconds": manifest.stats.get("stage_seconds", {}),
+    }
+    manifest.save()
+    return manifest
+
+
+def compact_segments(index_dir: str, seg_ids: list[int]) -> Manifest:
+    """Merge segments into one — the TieredMergePolicy/SegmentMerger analog
+    (SURVEY §3.3). Like Lucene, compaction REUSES the build's merge+encode
+    operator: it re-runs Stage C over the durable Stage-A partials of the
+    chosen segments and swaps the manifest. Global doc ids are unchanged
+    (they derive from (pid, offset)), so search results are identical."""
+    manifest = Manifest.load(index_dir)
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in manifest.config.items()})
+    chosen = [s for s in manifest.segments if s["seg"] in set(seg_ids)]
+    if len(chosen) < 2:
+        return manifest
+    keep = [s for s in manifest.segments if s["seg"] not in set(seg_ids)]
+    merged_pids = sorted(pid for s in chosen for pid in s["pids"])
+    new_seg_id = max(s["seg"] for s in manifest.segments) + 1
+    merged = {
+        "seg": new_seg_id,
+        "pids": merged_pids,
+        "num_docs": sum(manifest.partitions[p]["num_rows"] for p in merged_pids),
+    }
+    manifest.segments = keep + [merged]
+    _run_stage_c(index_dir, manifest, cfg, only_pids=merged_pids, append=True)
+    for sid in seg_ids:
+        shutil.rmtree(os.path.join(index_dir, "postings", f"seg={sid}"),
+                      ignore_errors=True)
+    manifest.save()
+    return manifest
+
+
+# partial-postings rows below this use the driver-side Arrow aggregate
+# (one small read beats a whole Ray execution); above it, the distributed
+# groupby(term) path runs
+_STAGE_B_DRIVER_MAX_ROWS = 5_000_000
+
+
+def _run_stage_b(index_dir: str, manifest: Manifest) -> None:
+    partials_dir = os.path.join(index_dir, "partials")
+    term_stats_dir = os.path.join(index_dir, "term_stats")
+    tmp = term_stats_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total_rows = sum(m.get("terms", 0) for m in manifest.partials_done.values())
+    if total_rows and total_rows <= _STAGE_B_DRIVER_MAX_ROWS:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(partials_dir, format="parquet").to_table(
+            columns=["term", "df", "ttf"]
+        )
+        agg = tbl.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+        agg = agg.rename_columns(["term", "doc_freq", "total_term_freq"])
+        agg = agg.sort_by("term")
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(agg, os.path.join(tmp, "term_stats.parquet"))
+    else:
+        from ray.data.aggregate import Sum as _Sum
+
+        stats_ds = (
+            ray.data.read_parquet(partials_dir, columns=["term", "df", "ttf"])
+            .groupby("term")
+            .aggregate(
+                _Sum("df", alias_name="doc_freq"),
+                _Sum("ttf", alias_name="total_term_freq"),
+            )
+        )
+        stats_ds.write_parquet(tmp)
+    shutil.rmtree(term_stats_dir, ignore_errors=True)
+    os.replace(tmp, term_stats_dir)
+    manifest.term_stats_done = True
+    manifest.save()
+
+
+def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
+                 only_pids: list[int] | None = None, append: bool = False) -> None:
+    """The merge-shuffle stage, parameterized so incremental builds and
+    compaction reuse it over a subset of partitions."""
+    postings_dir = os.path.join(index_dir, "postings")
+    n_pids = len(manifest.partitions)
+    doc_base_arr = np.zeros(n_pids, dtype=np.int64)
+    seg_arr = np.zeros(n_pids, dtype=np.int32)
+    pid_pos_arr = np.zeros(n_pids, dtype=np.int32)
+    parts_per_seg = np.zeros(n_pids, dtype=np.int32)
+    for seg in manifest.segments:
+        acc = 0
+        for j, pid in enumerate(seg["pids"]):
+            doc_base_arr[pid] = acc
+            seg_arr[pid] = seg["seg"]
+            pid_pos_arr[pid] = j
+            parts_per_seg[pid] = len(seg["pids"])
+            acc += manifest.partitions[pid]["num_rows"]
+
+    term_stats_dir = os.path.join(index_dir, "term_stats")
+    hot_terms = _load_hot_terms(term_stats_dir, cfg.hot_df_threshold)
+    doc_base_ref = ray.put(doc_base_arr)
+    n_salts = max(1, min(cfg.n_salts, cfg.partitions_per_segment))
+    max_chunks_per_salt = (
+        cfg.partitions_per_segment
+        * max(p["num_rows"] for p in manifest.partitions)
+        // cfg.chunk_size
+        + 2
+    )
+
+    merge_buckets = max(1, cfg.merge_buckets)
+
+    def add_shuffle_keys(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        pids = np.asarray(batch.column("pid"), dtype=np.int64)
+        seg = seg_arr[pids]
+        term_dict = batch.column("term").combine_chunks().dictionary_encode()
+        vocab = term_dict.dictionary.to_pylist()
+        vhash = np.array([zlib.crc32(t.encode()) for t in vocab], dtype=np.int64)
+        term_hash = vhash[np.asarray(term_dict.indices, dtype=np.int64)]
+        if hot_terms:
+            is_hot = np.asarray(
+                pc.is_in(batch.column("term"), value_set=pa.array(sorted(hot_terms)))
+            )
+        else:
+            is_hot = np.zeros(len(batch), dtype=bool)
+        pps = np.maximum(parts_per_seg[pids], 1)
+        salt = np.where(is_hot, (pid_pos_arr[pids] * n_salts) // pps, 0).astype(np.int32)
+        chunk_base = (salt * max_chunks_per_salt).astype(np.int32)
+        # deterministic hash bucket over (term, salt): one map_groups call
+        # handles a whole bucket of term groups (amortizes per-group cost);
+        # salted sub-groups of a hot term scatter to different buckets
+        bucket = ((term_hash + salt.astype(np.int64) * np.int64(0x9E3779B1)) % merge_buckets).astype(np.int32)
+        batch = batch.append_column("seg", pa.array(seg, pa.int32()))
+        batch = batch.append_column("salt", pa.array(salt, pa.int32()))
+        batch = batch.append_column("chunk_base", pa.array(chunk_base, pa.int32()))
+        batch = batch.append_column("bucket", pa.array(bucket, pa.int32()))
+        return batch
+
+    if only_pids is None:
+        src = os.path.join(index_dir, "partials")
+        reader = ray.data.read_parquet(src)
+    else:
+        reader = ray.data.read_parquet([partials_path(index_dir, p) for p in only_pids])
+
+    merger = _MergeEncode(cfg, doc_base_ref, index_dir)
+
+    def merge_encode(group: pa.Table) -> pa.Table:
+        return merger(group)
+
+    postings = (
+        reader.map_batches(add_shuffle_keys, batch_format="pyarrow")
+        .groupby(["seg", "bucket"])
+        .map_groups(merge_encode, batch_format="pyarrow")
+    )
+    tmp = postings_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    postings.write_parquet(tmp, partition_cols=["seg"])
+    if append:
+        os.makedirs(postings_dir, exist_ok=True)
+        for d in os.listdir(tmp):
+            dst = os.path.join(postings_dir, d)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(os.path.join(tmp, d), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(postings_dir, ignore_errors=True)
+        os.replace(tmp, postings_dir)
+    manifest.postings_done = True
 
 
 def _load_hot_terms(term_stats_dir: str, threshold: int) -> set[str]:

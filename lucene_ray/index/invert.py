@@ -277,3 +277,113 @@ def invert_partition(
         }
     )
     return partials, lengths, norm_bytes
+
+
+def shift_doc_offsets(partials: pa.Table, base: int) -> pa.Table:
+    """Rebase slice-local doc offsets to partition-local (add ``base``)."""
+    if base == 0 or len(partials) == 0:
+        return partials
+    la = partials.column("doc_offsets")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    shifted = pa.ListArray.from_arrays(
+        la.offsets, pc.add(la.values, pa.scalar(base, pa.uint32()))
+    )
+    return partials.set_column(
+        partials.schema.get_field_index("doc_offsets"), "doc_offsets", shifted
+    )
+
+
+def merge_partials(tables: list[pa.Table]) -> pa.Table:
+    """Merge per-slice partial-postings tables into one partition table.
+
+    Rows for the same term are concatenated in input order (slices are
+    processed in ascending doc order, so merged doc lists stay sorted).
+    Fully vectorized: one stable sort by interned term id, then offset
+    arithmetic on the flattened list/binary buffers. This is the same merge
+    the Stage-C map_groups performs across partitions — slicing bounds the
+    inverter's working set so worker pages are reused instead of re-faulted
+    (crucial on virtualized memory; also the behavior you want under real
+    memory pressure at scale).
+    """
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return _empty_partials()
+    if len(tables) == 1:
+        return tables[0]
+    cat = pa.concat_tables(tables).combine_chunks()
+    term_dict = cat.column("term").combine_chunks().dictionary_encode()
+    tok_ids = np.asarray(term_dict.indices, dtype=np.int64)
+    order = np.argsort(tok_ids, kind="stable")
+    cat = cat.take(pa.array(order))
+    t_sorted = tok_ids[order]
+    n = len(t_sorted)
+    chg = np.empty(n, dtype=bool)
+    chg[0] = True
+    chg[1:] = t_sorted[1:] != t_sorted[:-1]
+    g_starts = np.flatnonzero(chg)
+    n_groups = len(g_starts)
+
+    df = np.add.reduceat(np.asarray(cat.column("df"), dtype=np.int64), g_starts)
+    ttf = np.add.reduceat(np.asarray(cat.column("ttf"), dtype=np.int64), g_starts)
+
+    def merge_list_col(name, typ):
+        la = cat.column(name).combine_chunks()
+        row_counts = np.diff(np.asarray(la.offsets, dtype=np.int64))
+        grp_counts = np.add.reduceat(row_counts, g_starts)
+        new_offsets = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(grp_counts, out=new_offsets[1:])
+        # flatten() yields values in row order after the take
+        return pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32), pa.int32()), la.flatten()
+        )
+
+    doc_offsets = merge_list_col("doc_offsets", pa.uint32())
+    freqs = merge_list_col("freqs", pa.uint32())
+    norms = merge_list_col("norms", pa.uint8())
+
+    ba = cat.column("pos_enc").combine_chunks()
+    boffs = np.frombuffer(
+        ba.buffers()[1], dtype=np.int32, count=len(ba) + ba.offset + 1
+    )[ba.offset :].astype(np.int64)
+    byte_counts = np.diff(boffs)
+    grp_bytes = np.add.reduceat(byte_counts, g_starts)
+    new_boffsets = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(grp_bytes, out=new_boffsets[1:])
+    # slice the contiguous data buffer to this array's [first, last) window
+    b0 = int(boffs[0])
+    data = ba.buffers()[2]
+    pos_enc = pa.Array.from_buffers(
+        pa.binary(),
+        n_groups,
+        [None,
+         pa.py_buffer((new_boffsets + 0).astype(np.int32).tobytes()),
+         pa.py_buffer(bytes(memoryview(data)[b0 : b0 + int(new_boffsets[-1])]))],
+    )
+
+    terms = term_dict.dictionary.take(pa.array(t_sorted[g_starts]))
+    return pa.table(
+        {
+            "term": terms,
+            "df": pa.array(df, pa.int64()),
+            "ttf": pa.array(ttf, pa.int64()),
+            "doc_offsets": doc_offsets,
+            "freqs": freqs,
+            "norms": norms,
+            "pos_enc": pos_enc,
+        }
+    )
+
+
+def _empty_partials() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "ttf": pa.array([], pa.int64()),
+            "doc_offsets": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+            "norms": pa.array([], pa.list_(pa.uint8())),
+            "pos_enc": pa.array([], pa.binary()),
+        }
+    )

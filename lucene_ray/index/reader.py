@@ -101,7 +101,7 @@ class IndexReader:
             if self._term_stats_cache.get(t) is not None
         }
 
-    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+    def expand_prefix(self, prefix: str, max_terms: int = 65536) -> list[str]:
         """Terms with the given prefix — the AutomatonTermsEnum analog
         (a range scan over the sorted term dictionary)."""
         tbl = self._term_stats_ds.to_table(
@@ -127,7 +127,7 @@ class IndexReader:
             tbl = self._term_stats_ds.to_table(columns=["term"])
         return tbl.column("term").to_pylist()
 
-    def expand_multi_term(self, q, max_terms: int = 1024) -> list[str]:
+    def expand_multi_term(self, q, max_terms: int = 65536) -> list[str]:
         """Expand a multi-term query node against the term dictionary."""
         import re as _re
 

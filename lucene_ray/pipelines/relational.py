@@ -177,6 +177,36 @@ def supplier_part_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k (the grouping-module GroupingSearch analog, SURVEY §2.5):
+    per o_orderpriority, the k highest-value orders."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def topk(group):
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return g.head(k)
+
+    out = (
+        ds.groupby("o_orderpriority")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sampled_avg_quantity(sf_dir: str, fraction: float = 0.1, seed: int = 7) -> pa.Table:
+    """Sampled aggregate (RandomSamplingFacetsCollector analog): mean
+    l_quantity over a seeded random sample. Deterministic for a fixed seed
+    and block layout but not SQL-expressible -> rows-only check."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"]).random_sample(fraction, seed=seed)
+    mean = ds.mean("l_quantity")
+    return pa.table({"avg_qty_sampled": pa.array([round(float(mean), 4)], pa.float64())})
+
+
 def distinct_order_priorities(sf_dir: str) -> pa.Table:
     vals = sorted(_read(sf_dir, "orders", ["o_orderpriority"]).unique("o_orderpriority"))
     return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
