@@ -52,6 +52,7 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import ann, dedup, text
+    from lucene_ray.ops import multimodal as mm
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import relational as rel
 
@@ -113,6 +114,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
+        "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        "ft_facet_lang": _q(lambda sf: ft.facet_counts(sf, "join", "lang")),
+        # multimodal plumbing (deterministic stub decoder; schema/actor real)
+        "mm_decode_images": _q(
+            lambda sf: mm.decode_images(
+                ray.data.from_arrow(mm.make_fake_media_table(200))
+            )
+        ),
+        "mm_frame_sample": _q(
+            lambda sf: mm.sample_frames(
+                ray.data.from_arrow(mm.make_fake_media_table(100, kind="video")),
+                frames_per_clip=4,
+            )
+        ),
         # --- similarity search ---
         "ann_cosine_top10": _q(_ann),
         "ann_ivf_top10": _q(_ann_ivf),
@@ -158,6 +173,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_range_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok BETWEEN 'filter' AND 'hash' "
         "ORDER BY doc_id",
+        "ft_facet_lang": (
+            "WITH hits AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok "
+            "FROM documents) WHERE tok = 'join') "
+            "SELECT lang, count(*)::BIGINT AS n_docs FROM documents "
+            "WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY lang ORDER BY lang"
+        ),
         "ft_doc_freq_top20": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok <> '' GROUP BY tok "

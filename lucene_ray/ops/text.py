@@ -135,3 +135,31 @@ class LangId:
 
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+class BpeishCounter:
+    """Stateful stage: GPT-2-style pretokenizer regex compiled once per
+    actor; counts subword-ish tokens per doc (the 'token counting' op of a
+    training-data pipeline — an approximation of a BPE tokenizer's
+    pretokenization pass, deterministic and library-free)."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(
+            r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = [len(self.pat.findall(t)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def bpe_token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(BpeishCounter, batch_format="pyarrow", concurrency=2)

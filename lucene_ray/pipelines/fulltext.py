@@ -171,6 +171,30 @@ def collection_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
+    """Facet counts over a query's hit set (FacetsCollector analog,
+    SURVEY §2.5): count matching docs per value of a docvalues-style
+    column."""
+    from collections import Counter
+
+    from lucene_ray.search.query import TermQuery
+
+    gids = _all_matches(sf_dir, TermQuery(term))
+    if len(gids) == 0:
+        return pa.table({facet_col: pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    reader = documents_index(sf_dir)
+    rows = reader.lookup_docs(gids, columns=["doc_id", facet_col])
+    counts = Counter(rows.column(facet_col).to_pylist())
+    keys = sorted(counts)
+    return pa.table(
+        {
+            facet_col: pa.array(keys, pa.string()),
+            "n_docs": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def bm25_topk(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """BM25 top-k (doc_id, rank, score float32) — scored path, no SQL oracle
     (float32 Lucene-order arithmetic is not expressible in DuckDB; validated
