@@ -45,9 +45,8 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
-from lucene_ray.codec.postings import CHUNK_SIZE, decode_positions, encode_chunk
+from lucene_ray.codec.postings import CHUNK_SIZE
 from lucene_ray.index.invert import invert_partition, merge_partials, shift_doc_offsets
 from lucene_ray.index.manifest import Manifest
 

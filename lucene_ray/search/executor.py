@@ -38,7 +38,6 @@ from lucene_ray.search.query import (
     BooleanQuery,
     MatchAllQuery,
     PhraseQuery,
-    PrefixQuery,
     Query,
     TermQuery,
 )
