@@ -465,7 +465,14 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
     are re-aggregated (global stats must see the new docs), and Stage C runs
     only over the new partials, writing additional ``seg=N`` directories.
     Existing segment postings are untouched; readers see the new docs at the
-    next manifest generation (DirectoryReader.openIfChanged analog)."""
+    next manifest generation (DirectoryReader.openIfChanged analog).
+
+    Crash-safe by repair-on-reentry: partitions may be registered in the
+    manifest before their data exists (doc ids derive from the plan, so
+    registration is deterministic), and every re-entry detects and re-runs
+    incomplete stages — pids missing from ``partials_done`` re-run Stage A,
+    segments whose ``seg=N`` postings dir is absent re-run Stage C — instead
+    of returning early on the known-files check."""
     manifest = Manifest.load(index_dir)
     cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in manifest.config.items()})
@@ -478,45 +485,64 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
             expanded.append(p)
     known_files = {p["file"] for p in manifest.partitions}
     new_files = [f for f in expanded if f not in known_files]
-    if not new_files:
+    # repair detection: a previous add may have crashed after registering
+    # partitions/segments but before writing their data
+    stale_parts = [p for p in manifest.partitions
+                   if str(p["pid"]) not in manifest.partials_done]
+    missing_seg_pids = [
+        pid
+        for s in manifest.segments
+        if not os.path.isdir(os.path.join(index_dir, "postings", f"seg={s['seg']}"))
+        for pid in s["pids"]
+    ]
+    if not new_files and not stale_parts and not missing_seg_pids:
         return manifest
 
-    base_pid = len(manifest.partitions)
-    new_parts = plan_partitions(new_files, cfg)
-    for i, p in enumerate(new_parts):
-        p["pid"] = base_pid + i
-    manifest.partitions.extend(new_parts)
-    base_seg = len(manifest.segments)
-    for pid0 in range(0, len(new_parts), cfg.partitions_per_segment):
-        group = new_parts[pid0 : pid0 + cfg.partitions_per_segment]
-        manifest.segments.append(
-            {
-                "seg": base_seg + pid0 // cfg.partitions_per_segment,
-                "pids": [p["pid"] for p in group],
-                "num_docs": sum(p["num_rows"] for p in group),
-            }
-        )
-    manifest.term_stats_done = False
-    manifest.save()
-
-    # Stage A for the new partitions only
-    ds = ray.data.from_items(new_parts)
-    metrics = ds.map_batches(
-        _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
-    )
-    for batch in metrics.iter_batches(batch_format="pyarrow"):
-        for row in batch.to_pylist():
-            manifest.partials_done[str(row["pid"])] = {
-                "rows": row["rows"], "tokens": row["tokens"], "terms": row["terms"],
-            }
+    new_parts = []
+    if new_files:
+        base_pid = len(manifest.partitions)
+        new_parts = plan_partitions(new_files, cfg)
+        for i, p in enumerate(new_parts):
+            p["pid"] = base_pid + i
+        manifest.partitions.extend(new_parts)
+        base_seg = 1 + max((s["seg"] for s in manifest.segments), default=-1)
+        for pid0 in range(0, len(new_parts), cfg.partitions_per_segment):
+            group = new_parts[pid0 : pid0 + cfg.partitions_per_segment]
+            manifest.segments.append(
+                {
+                    "seg": base_seg + pid0 // cfg.partitions_per_segment,
+                    "pids": [p["pid"] for p in group],
+                    "num_docs": sum(p["num_rows"] for p in group),
+                }
+            )
+        manifest.term_stats_done = False
         manifest.save()
 
-    # Stage B rebuild (global stats must include the new docs)
-    _run_stage_b(index_dir, manifest)
+    # Stage A for new + previously-registered-but-incomplete partitions
+    todo_parts = stale_parts + new_parts
+    if todo_parts:
+        ds = ray.data.from_items(todo_parts)
+        metrics = ds.map_batches(
+            _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
+        )
+        for batch in metrics.iter_batches(batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                manifest.partials_done[str(row["pid"])] = {
+                    "rows": row["rows"], "tokens": row["tokens"], "terms": row["terms"],
+                }
+            manifest.save()
+        manifest.term_stats_done = False
 
-    # Stage C only over the new partials
-    new_pids = [p["pid"] for p in new_parts]
-    _run_stage_c(index_dir, manifest, cfg, only_pids=new_pids, append=True)
+    # Stage B rebuild (global stats must include the new docs)
+    if not manifest.term_stats_done:
+        _run_stage_b(index_dir, manifest)
+
+    # Stage C over new partials + any segment whose postings dir is missing
+    todo_pids = sorted(
+        set(missing_seg_pids) | {p["pid"] for p in new_parts}
+    )
+    if todo_pids:
+        _run_stage_c(index_dir, manifest, cfg, only_pids=todo_pids, append=True)
     manifest.stats = {
         "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
         "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
@@ -549,10 +575,15 @@ def compact_segments(index_dir: str, seg_ids: list[int]) -> Manifest:
     }
     manifest.segments = keep + [merged]
     _run_stage_c(index_dir, manifest, cfg, only_pids=merged_pids, append=True)
+    # write-manifest-LAST for the new state, but BEFORE deleting superseded
+    # data: a crash here leaves either (old manifest + old dirs intact) or
+    # (new manifest + stale old dirs as harmless garbage) — never a durable
+    # manifest referencing deleted postings (SegmentInfos two-phase commit
+    # semantics, SegmentInfos.java:55-64)
+    manifest.save()
     for sid in seg_ids:
         shutil.rmtree(os.path.join(index_dir, "postings", f"seg={sid}"),
                       ignore_errors=True)
-    manifest.save()
     return manifest
 
 

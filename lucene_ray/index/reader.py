@@ -154,6 +154,11 @@ class IndexReader:
         elif isinstance(q, RegexpQuery):
             m = _re.match(r"[a-z0-9_]*", q.pattern)
             lit = m.group(0) if m else ""
+            # a quantifier right after the literal run makes its LAST char
+            # optional/repeatable ('ab?c' matches 'ac', 'jo*n' matches 'jn'),
+            # so that char cannot be part of the seek prefix
+            if lit and len(lit) < len(q.pattern) and q.pattern[len(lit)] in "?*{":
+                lit = lit[:-1]
             rx = _re.compile(q.pattern + r"\Z")
             terms = [t for t in self._scan_terms(lit) if rx.match(t)]
         elif isinstance(q, FuzzyQuery):

@@ -187,9 +187,11 @@ class SegmentScorer:
         if tp is None or len(tp.docs) == 0:
             return _EMPTY
         scorer = self.scorers[q.term]
-        scores = scorer.score(tp.freqs, self.ctx.norms[tp.docs])
         if q.boost != 1.0:
-            scores = (np.float32(q.boost) * scores).astype(np.float32)
+            # fold boost into the weight (weight = boost * idf), matching
+            # Lucene's BM25Similarity.scorer — see BM25Scorer.with_boost
+            scorer = scorer.with_boost(q.boost)
+        scores = scorer.score(tp.freqs, self.ctx.norms[tp.docs])
         return tp.docs, scores
 
     def _eval_const_union(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -212,9 +214,9 @@ class SegmentScorer:
         if len(docs) == 0:
             return _EMPTY
         scorer = self.phrase_scorers[tuple(q.terms)]
-        scores = scorer.score(pfreqs, self.ctx.norms[docs])
         if q.boost != 1.0:
-            scores = (np.float32(q.boost) * scores).astype(np.float32)
+            scorer = scorer.with_boost(q.boost)
+        scores = scorer.score(pfreqs, self.ctx.norms[docs])
         return docs, scores
 
     def _phrase_freqs(self, terms: tuple) -> tuple[np.ndarray, np.ndarray] | None:

@@ -57,11 +57,12 @@ class ExhaustiveOracle:
                 self.df[t] = self.df.get(t, 0) + 1
                 self.ttf[t] = self.ttf.get(t, 0) + len(pos)
 
-    def _scorer(self, terms: tuple):
+    def _scorer(self, terms: tuple, boost: float = 1.0):
         tss = [TermStats(self.df.get(t, 0), self.ttf.get(t, 0)) for t in terms]
         if any(ts.doc_freq == 0 for ts in tss):
             return None
-        return self.sim.scorer(1.0, self.cstats, *tss)
+        # boost folds into the weight (weight = boost * idf), as in Lucene
+        return self.sim.scorer(boost, self.cstats, *tss)
 
     def _matches(self, q: Query, i: int) -> tuple[bool, np.float32]:
         """Does doc i match q, and with what float32 score."""
@@ -69,16 +70,16 @@ class ExhaustiveOracle:
         if isinstance(q, TermQuery):
             if q.term not in p:
                 return False, np.float32(0)
-            scorer = self._scorer((q.term,))
+            scorer = self._scorer((q.term,), q.boost)
             s = scorer.score(np.array([len(p[q.term])]), np.array([self.norm_bytes[i]]))[0]
-            return True, np.float32(q.boost) * s if q.boost != 1.0 else s
+            return True, s
         if isinstance(q, PhraseQuery):
             freq = self._phrase_freq(q.terms, i)
             if freq == 0:
                 return False, np.float32(0)
-            scorer = self._scorer(tuple(q.terms))
+            scorer = self._scorer(tuple(q.terms), q.boost)
             s = scorer.score(np.array([freq]), np.array([self.norm_bytes[i]]))[0]
-            return True, np.float32(q.boost) * s if q.boost != 1.0 else s
+            return True, s
         if isinstance(q, PrefixQuery):
             ok = any(t.startswith(q.prefix) for t in p)
             return ok, np.float32(q.boost) if ok else np.float32(0)

@@ -59,6 +59,14 @@ class BM25Scorer:
         # weight - weight / (1f + freq * normInverse), float32 throughout
         return w - w / (one + freqs * norm_inverse)
 
+    def with_boost(self, boost: float) -> "BM25Scorer":
+        """Boost folded into the weight BEFORE the score expression, exactly
+        as Lucene builds weight = boost * idf (BM25Similarity.java:215) —
+        NOT a post-multiplication of scores, which differs in the last ulp."""
+        return BM25Scorer(
+            np.float32(boost) * np.float32(self.idf), self.cache, self.idf, self.avgdl
+        )
+
     def max_score(self, freq: int, norm_byte: int) -> np.float32:
         """Score upper bound for one (freq, norm) impact pair."""
         return self.score(np.array([freq]), np.array([norm_byte]))[0]

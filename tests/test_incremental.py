@@ -89,3 +89,72 @@ def test_add_documents_is_idempotent_for_known_files(ray_session, corpora, tmp_p
     m2 = add_documents(idx, extra)  # already indexed -> no-op
     assert len(m2.partitions) == len(m1.partitions)
     assert m2.doc_count == m1.doc_count
+
+
+def test_add_documents_repairs_crashed_add(ray_session, corpora, tmp_path):
+    """A crash after the manifest registered new partitions/segments but
+    before Stage A/C wrote their data must be recoverable by re-running
+    add_documents with the same source (repair-on-reentry, not early
+    return at the known-files check)."""
+    from lucene_ray.index.build import plan_partitions
+    from lucene_ray.index.manifest import Manifest
+
+    base, extra = corpora
+    cfg = IndexConfig(**CFG)
+    idx = str(tmp_path / "crashed")
+    build_index(base, idx, cfg)
+
+    # simulate the crashed state: partitions + segments registered, no data
+    m = Manifest.load(idx)
+    base_pid = len(m.partitions)
+    new_parts = plan_partitions([extra], cfg)
+    for i, p in enumerate(new_parts):
+        p["pid"] = base_pid + i
+    m.partitions.extend(new_parts)
+    base_seg = 1 + max(s["seg"] for s in m.segments)
+    for pid0 in range(0, len(new_parts), cfg.partitions_per_segment):
+        group = new_parts[pid0 : pid0 + cfg.partitions_per_segment]
+        m.segments.append({
+            "seg": base_seg + pid0 // cfg.partitions_per_segment,
+            "pids": [p["pid"] for p in group],
+            "num_docs": sum(p["num_rows"] for p in group),
+        })
+    m.term_stats_done = False
+    m.save()
+
+    m2 = add_documents(idx, extra)  # same files: must repair, not no-op
+    assert m2.doc_count == 900
+    assert all(str(p["pid"]) in m2.partials_done for p in m2.partitions)
+
+    full_dir = str(tmp_path / "crashed_full")
+    build_index([base, extra], full_dir, cfg)
+    assert _results(idx) == _results(full_dir)
+
+
+def test_compaction_crash_window_leaves_manifest_consistent(
+    ray_session, corpora, tmp_path
+):
+    """compact_segments saves the manifest BEFORE deleting superseded
+    segment dirs, so the stale dirs are harmless garbage: searches through
+    the new manifest must not depend on them."""
+    import os
+    import shutil
+
+    base, extra = corpora
+    cfg = IndexConfig(**CFG)
+    idx = str(tmp_path / "ccrash")
+    build_index([base, extra], idx, cfg)
+    before = _results(idx)
+    m = IndexReader(idx).manifest
+    segs = [s["seg"] for s in m.segments][:2]
+    # keep copies of the dirs compaction will delete, then restore them to
+    # simulate a crash in the delete window (manifest saved, dirs present)
+    saved = {}
+    for sid in segs:
+        d = os.path.join(idx, "postings", f"seg={sid}")
+        saved[sid] = d + ".keep"
+        shutil.copytree(d, saved[sid])
+    compact_segments(idx, segs)
+    for sid, keep in saved.items():
+        shutil.copytree(keep, os.path.join(idx, "postings", f"seg={sid}"))
+    assert _results(idx) == before  # stale dirs are ignored

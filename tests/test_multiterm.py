@@ -43,12 +43,20 @@ QUERIES = [
     WildcardQuery("*turn"),
     RegexpQuery("uniq_[0-9]+"),
     RegexpQuery("(def|class)"),
+    # leading literal run followed by a quantifier: the seek prefix must
+    # drop the quantified char or hits like 'iport'/'retrn' are missed
+    RegexpQuery("im?port"),
+    RegexpQuery("retur*n"),
+    RegexpQuery("uniq_?[0-9]+"),
     FuzzyQuery("improt", 2),
     FuzzyQuery("return", 1),
     TermRangeQuery("import", "int"),
     TermRangeQuery("a", "c", include_upper=False),
     TermRangeQuery(None, "class"),
     BooleanQuery(must=[TermQuery("import"), WildcardQuery("uniq_1*")]),
+    # boost folded into the weight (weight = boost*idf), engine vs oracle
+    TermQuery("import", boost=2.5),
+    BooleanQuery(should=[TermQuery("import", boost=0.3), TermQuery("return")]),
 ]
 
 
