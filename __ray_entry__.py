@@ -107,8 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
         ),
         "dedup_simhash_sigs": _q(lambda sf: dedup.simhash_signatures(_docs(sf))),
+        "dedup_simhash_pairs": _q(lambda sf: dedup.simhash_pairs(_docs(sf))),
+        # exact block-pair path — verifiable against a DuckDB cross join
         "dedup_embedding_pairs": _q(
-            lambda sf: dedup.embedding_near_dup(_emb(sf), threshold=0.95)
+            lambda sf: dedup.embedding_near_dup(_emb(sf), threshold=0.45)
+        ),
+        # hyperplane-LSH bucketed path (the approximate 100-TB shape)
+        "dedup_embedding_pairs_lsh": _q(
+            lambda sf: dedup.embedding_near_dup(_emb(sf), threshold=0.45, method="lsh")
         ),
         # --- text analysis ---
         "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
@@ -193,6 +199,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text "
             "ORDER BY doc_id"
+        ),
+        "dedup_embedding_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY id_a, id_b"
         ),
         "text_token_stats": (
             f"SELECT doc_id, len({_TOKLIST})::BIGINT AS n_tokens, "

@@ -1,18 +1,29 @@
 """Deduplication operators (exact, MinHash+LSH, SimHash, embedding-cosine).
 
-Ray-Data-first shapes:
+Ray-Data-first shapes, all streaming (nothing materializes a full dataset on
+the driver — only the final, small pair/kept-id tables):
 
 - exact: content-hash in ``map_batches`` -> ``groupby(hash)`` -> keep the
   min-id row per group (the hash-partitioned analog of Lucene's
   ``updateDocument(Term, doc)`` delete-by-key upsert, IndexWriter.java:1844);
-- MinHash+LSH: shingle -> vectorized minhash signature -> explode to
-  (band, band_hash, id) rows -> ``groupby(band, band_hash)`` -> candidate
-  pairs -> exact-Jaccard verify (the MinHashFilter analog,
+- MinHash+LSH: vectorized shingle hashing -> minhash signature (universal
+  hashes (a*x+b) mod p, chunked ``np.minimum.reduceat``) -> explode to
+  (band, band_key, id, sig) rows -> ``groupby(band, band_key)`` emits pairs
+  AND verifies them in-group (the signatures are already in the group, so no
+  driver-side signature table is ever built) -> ``groupby(id_a, id_b)``
+  dedups across bands (the MinHashFilter analog,
   lucene/analysis/common/src/java/org/apache/lucene/analysis/minhash/MinHashFilter.java:48);
-- SimHash: 64-bit signature, banded into 4x16-bit keys so pairs within
-  Hamming distance 3 land in >=1 shared bucket;
-- embedding cosine: blockwise matmul of normalized vectors against a
-  broadcast matrix (exact for small refs; LSH-bucketed at scale).
+- SimHash: 64-bit signature via 64 ``np.bincount`` votes, banded into
+  4x16-bit keys so pairs within Hamming distance 3 land in >=1 shared
+  bucket; ``simhash_pairs`` verifies Hamming distance in-group;
+- embedding cosine: EXACT block-pair path (every pair of Arrow blocks is a
+  Ray task doing one matmul — O(N^2) compute, O(N^2/B^2) per task, nothing
+  on the driver but block refs) and an approximate hyperplane-LSH bucketed
+  path for high thresholds at 100-TB scale.
+
+Determinism: every hash is content-derived (md5 / fixed multipliers / seeded
+rng) — no Python ``hash()`` anywhere, so outputs are identical across
+workers, runs, and PYTHONHASHSEED values.
 """
 
 from __future__ import annotations
@@ -25,7 +36,12 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = np.uint64((1 << 61) - 1)
+# 64-bit odd mixing constants (Knuth LCG / FNV-1a prime); uint64 wrap is the
+# intended semantics for the shingle/band combiners
+_POLY_MULT = np.uint64(6364136223846793005)
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
@@ -48,187 +64,450 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     return kept
 
 
-def _shingles(tokens: list[str], k: int) -> set[int]:
-    if len(tokens) < k:
-        return {hash(" ".join(tokens)) & 0xFFFFFFFFFFFF}
-    out = set()
-    for i in range(len(tokens) - k + 1):
-        sh = " ".join(tokens[i : i + k])
-        out.add(int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little"))
-    return out
+def _token_hash64(flat_tokens: pa.Array) -> np.ndarray:
+    """Content-deterministic 64-bit hash per token: md5 over the (small)
+    unique vocab, broadcast to occurrences via dictionary indices."""
+    if len(flat_tokens) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    d = flat_tokens.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    vocab = d.dictionary.to_pylist()
+    vh = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in vocab),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    return vh[np.asarray(d.indices, dtype=np.int64)]
+
+
+def _shingle_keys(tok_h: np.ndarray, doc_idx: np.ndarray, n_docs: int,
+                  k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc, shingle_hash32) of every k-token shingle, vectorized.
+
+    Shingle hash = polynomial combine (uint64 wrap) of the k token hashes,
+    folded to 32 bits — 32-bit values keep the universal-hash products below
+    2^64 (no wrap before the mod-p in the minhash). Docs with fewer than k
+    tokens contribute one whole-doc shingle (poly over all their tokens).
+    """
+    n_tok = len(tok_h)
+    counts = np.bincount(doc_idx, minlength=n_docs) if n_tok else np.zeros(n_docs, np.int64)
+    out_doc, out_hash = [], []
+    if n_tok >= k:
+        # windows whose k tokens all belong to the same doc
+        valid = doc_idx[: n_tok - k + 1] == doc_idx[k - 1 :]
+        h = tok_h[: n_tok - k + 1].copy()
+        for j in range(1, k):
+            h = h * _POLY_MULT + tok_h[j : n_tok - k + 1 + j]
+        out_doc.append(doc_idx[: n_tok - k + 1][valid])
+        out_hash.append(h[valid])
+    # short (but non-empty) docs: one shingle = poly over all their tokens
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short):
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        sh = np.empty(len(short), dtype=np.uint64)
+        for i, d in enumerate(short):  # bounded: only docs with < k tokens
+            h = np.uint64(0)
+            for t in tok_h[starts[d] : starts[d + 1]]:
+                h = h * _POLY_MULT + t
+            sh[i] = h
+        out_doc.append(short.astype(np.int64))
+        out_hash.append(sh)
+    if not out_doc:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    docs = np.concatenate(out_doc)
+    hashes = np.concatenate(out_hash)
+    h32 = ((hashes >> np.uint64(32)) ^ (hashes & np.uint64(0xFFFFFFFF)))
+    # unique (doc, shingle) pairs, sorted by doc — the shingle SET per doc
+    key = (docs.astype(np.uint64) << np.uint64(32)) | h32
+    key = np.unique(key)
+    return (key >> np.uint64(32)).astype(np.int64), key & np.uint64(0xFFFFFFFF)
 
 
 class _MinHasher:
-    """Vectorized universal-hash minhash: h_i(x) = (a_i*x + b_i) mod p."""
+    """Universal-hash minhash h_i(x) = (a_i*x + b_i) mod p, p = 2^61-1.
+
+    a, b < 2^32 and x < 2^32, so a*x + b < 2^64: the product cannot wrap
+    before the mod — the hash family really is the stated (a*x+b) mod p."""
 
     def __init__(self, num_perm: int, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        if len(shingle_hashes) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        x = shingle_hashes.astype(np.uint64)[None, :]  # (1, n)
-        # (a*x + b) mod p with python-int safety via object? use uint64 with
-        # mod-p on 128-bit intermediates emulated in float-free numpy:
-        prods = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prods.min(axis=1)
+    def signatures(self, sh_doc: np.ndarray, sh_hash: np.ndarray,
+                   n_docs: int) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix; docs with no shingles
+        get the sentinel p (empty-set signature). Vectorized: permutations
+        processed in chunks of 16, per-doc min via ``np.minimum.reduceat``."""
+        sigs = np.full((n_docs, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if len(sh_doc) == 0:
+            return sigs
+        # group starts per doc present (sh_doc is sorted ascending)
+        chg = np.empty(len(sh_doc), dtype=bool)
+        chg[0] = True
+        chg[1:] = sh_doc[1:] != sh_doc[:-1]
+        starts = np.flatnonzero(chg)
+        present = sh_doc[starts]
+        for c0 in range(0, self.num_perm, 16):
+            a = self.a[c0 : c0 + 16, None]
+            b = self.b[c0 : c0 + 16, None]
+            vals = (a * sh_hash[None, :] + b) % _MERSENNE  # (chunk, n_shingles)
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (chunk, n_present)
+            sigs[present, c0 : c0 + 16] = mins.T
+        return sigs
 
 
 def minhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 128,
-                       shingle_k: int = 3) -> ray.data.Dataset:
+                       shingle_k: int = 3, seed: int = 42) -> ray.data.Dataset:
     from lucene_ray.index.invert import tokenize_column
 
-    class Sig:
-        def __init__(self):
-            self.mh = _MinHasher(num_perm)
+    def sig(batch: pa.Table) -> pa.Table:
+        mh = _MinHasher(num_perm, seed)
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        n = len(batch)
+        tok_h = _token_hash64(flat)
+        sh_doc, sh_hash = _shingle_keys(tok_h, doc_idx, n, shingle_k)
+        sigs = mh.signatures(sh_doc, sh_hash, n)
+        offsets = np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(sigs.ravel(), pa.uint64())
+        )
+        return pa.table({id_col: batch.column(id_col), "sig": sig_arr})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            flat, doc_idx, _ = tokenize_column(batch.column(text_col))
-            n = len(batch)
-            toks = flat.to_pylist()
-            per_doc: list[list[str]] = [[] for _ in range(n)]
-            for t, d in zip(toks, doc_idx):
-                per_doc[d].append(t)
-            sigs = [
-                self.mh.signature(np.fromiter(_shingles(per_doc[i], shingle_k), np.uint64))
-                for i in range(n)
-            ]
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-                }
-            )
+    return ds.map_batches(sig, batch_format="pyarrow")
 
-    return ds.map_batches(Sig, batch_format="pyarrow", concurrency=2)
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.flatten(), dtype=np.uint64).reshape(len(arr), num_perm)
 
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.5) -> pa.Table:
-    """Candidate near-duplicate pairs via banded LSH, verified by estimated
-    Jaccard (signature agreement). Returns (id_a, id_b, jaccard_est) rows
-    with id_a < id_b, sorted."""
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_docs: int = 4096,
+                      seed: int = 42) -> pa.Table:
+    """Near-duplicate pairs via banded LSH, verified by estimated Jaccard
+    (full-signature agreement) INSIDE the band group — signatures travel
+    with the exploded band rows, so verification needs no driver-side
+    signature table and no second shuffle join. Cross-band duplicates are
+    collapsed by a ``groupby(id_a, id_b)`` aggregate. Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b, sorted.
+
+    Skew guard: a bucket larger than ``max_bucket_docs`` (a degenerate
+    near-identical cluster) emits only the consecutive-id chain instead of
+    all O(B^2) pairs — connected components are preserved, output stays
+    O(B) per bucket.
+    """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sig_list = batch.column("sig").to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, sig in enumerate(sig_list):
-            s = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
-            for b in range(bands):
-                key = hashlib.md5(s[b].tobytes()).hexdigest()[:16]
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_key.append(key)
+        n = len(batch)
+        sm = _sig_matrix(batch.column("sig"), num_perm)  # (n, num_perm)
+        b3 = sm.reshape(n, bands, rows_per_band)
+        # vectorized FNV-1a-style band key over the band's minhash values
+        key = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        for r in range(rows_per_band):
+            key = (key ^ b3[:, :, r]) * _FNV_PRIME
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n), bands))
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.string()),
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(key.ravel(), pa.uint64()),
+                "sig": sig_col.take(rep),
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "jaccard_est": pa.array([], pa.float64())}
+    )
+
+    def emit_verified_pairs(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return empty_pairs
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sm = _sig_matrix(group.column("sig"), num_perm)[order]
+        if g > max_bucket_docs:
+            ii = np.arange(g - 1)
+            jj = ii + 1
+        else:
+            ii, jj = np.triu_indices(g, 1)
+        est = (sm[ii] == sm[jj]).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii[keep]], pa.int64()),
+                "id_b": pa.array(ids[jj[keep]], pa.int64()),
+                "jaccard_est": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "key"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-    ).to_arrow_refs()
-    tables = [ray.get(r) for r in pairs]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
-    allp = pa.concat_tables(tables).to_pandas().drop_duplicates()
-
-    # verify with full-signature agreement (estimated Jaccard)
-    sig_tbl = sigs.to_pandas()
-    sig_map = {r[id_col]: np.asarray(r["sig"], dtype=np.uint64) for _, r in sig_tbl.iterrows()}
-    est = [
-        float((sig_map[ra] == sig_map[rb]).mean())
-        for ra, rb in zip(allp["id_a"], allp["id_b"])
-    ]
-    allp["jaccard_est"] = est
-    allp = allp[allp["jaccard_est"] >= jaccard_threshold]
-    allp = allp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(allp, preserve_index=False)
+        .map_groups(emit_verified_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("jaccard_est", alias_name="jaccard_est"))
+    )
+    out = pairs.to_pandas()  # final pair table only — small by construction
+    if out.empty:
+        return empty_pairs
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id") -> ray.data.Dataset:
-    """64-bit SimHash over token hashes (weighted by tf)."""
+    """64-bit SimHash over token hashes (weighted by tf), vectorized: one
+    ``np.bincount`` vote per bit — no per-doc scans."""
     from lucene_ray.index.invert import tokenize_column
 
     def sim(batch: pa.Table) -> pa.Table:
         flat, doc_idx, _ = tokenize_column(batch.column(text_col))
         n = len(batch)
-        toks = flat.to_pylist()
-        hashes = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-            dtype=np.uint64,
-        )
+        hashes = _token_hash64(flat)
+        totals = np.bincount(doc_idx, minlength=n).astype(np.int64)
         out = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            sel = hashes[doc_idx == i]
-            if len(sel) == 0:
-                continue
-            bits = ((sel[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((votes > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+        for j in range(64):
+            ones = np.bincount(
+                doc_idx, weights=(hashes >> np.uint64(j)) & np.uint64(1), minlength=n
+            )
+            # bit j set iff +1 votes outnumber -1 votes (sum(2b-1) > 0)
+            out |= (2 * ones > totals).astype(np.uint64) << np.uint64(j)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(out, pa.uint64())})
 
     return ds.map_batches(sim, batch_format="pyarrow")
 
 
-def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
-                       vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
-    """All pairs with cosine similarity >= threshold. The reference matrix is
-    broadcast once (ray.put) and each batch does one matmul against it."""
-    mat_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = mat_tbl[id_col].to_numpy()
-    mat = np.stack(mat_tbl[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+def simhash_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by SimHash: 4x16-bit bands guarantee any pair within
+    Hamming distance 3 shares >=1 band bucket (pigeonhole); candidates are
+    verified (popcount of XOR) inside the band group. Returns
+    (id_a, id_b, hamming), id_a < id_b, sorted."""
+    sigs = simhash_signatures(ds, text_col, id_col)
 
-    def block(batch: pa.Table) -> pa.Table:
-        rids, rmat = ray.get(ref)
-        bids = np.asarray(batch.column(id_col))
-        bmat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ rmat.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = bids[ii] < rids[jj]
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        h = np.asarray(batch.column("simhash"), dtype=np.uint64)
+        bands_ = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            bands_[:, b] = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
         return pa.table(
             {
-                "id_a": pa.array(bids[ii][keep].astype(np.int64), pa.int64()),
-                "id_b": pa.array(rids[jj][keep].astype(np.int64), pa.int64()),
-                "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
+                id_col: pa.array(np.repeat(np.asarray(batch.column(id_col)), 4), pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(bands_.ravel(), pa.uint64()),
+                "simhash": pa.array(np.repeat(h, 4), pa.uint64()),
             }
         )
 
-    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+
+    def verify(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return empty
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        h = np.asarray(group.column("simhash"), dtype=np.uint64)[order]
+        ii, jj = np.triu_indices(g, 1)
+        x = h[ii] ^ h[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for j in range(64):
+            ham += ((x >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[ii[keep]], pa.int64()),
+                         "id_b": pa.array(ids[jj[keep]], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(verify, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    out = pairs.to_pandas()
     if out.empty:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return empty
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy-ish (n, dim) matrix from a fixed-width list<float> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    return np.asarray(arr.flatten()).reshape(n, -1).astype(dtype, copy=False)
+
+
+@ray.remote
+def _block_pair_cosine(a_tbl: pa.Table, b_tbl: pa.Table, same: bool,
+                       threshold: float, vec_col: str, id_col: str,
+                       round_digits: int) -> pa.Table:
+    """Cosine pairs >= threshold between two Arrow blocks (one matmul).
+    cosine = dot/(|a||b|) — the same expression DuckDB's
+    list_cosine_similarity evaluates, so oracle values agree after
+    rounding."""
+    a_ids = np.asarray(a_tbl.column(id_col), dtype=np.int64)
+    b_ids = np.asarray(b_tbl.column(id_col), dtype=np.int64)
+    a = _list_matrix(a_tbl.column(vec_col))
+    b = _list_matrix(b_tbl.column(vec_col))
+    na = np.maximum(np.linalg.norm(a, axis=1), 1e-300)
+    nb = np.maximum(np.linalg.norm(b, axis=1), 1e-300)
+    sims = (a @ b.T) / np.outer(na, nb)
+    ii, jj = np.nonzero(sims >= threshold)
+    if same:
+        keep = a_ids[ii] < b_ids[jj]
+    else:
+        keep = np.ones(len(ii), dtype=bool)
+    ia, jb, s = a_ids[ii[keep]], b_ids[jj[keep]], sims[ii[keep], jj[keep]]
+    lo = np.minimum(ia, jb)
+    hi = np.maximum(ia, jb)
+    return pa.table(
+        {
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+            "cosine": pa.array(np.round(s, round_digits), pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       method: str = "exact", lsh_tables: int = 16,
+                       lsh_bits: int = 8, seed: int = 42,
+                       round_digits: int = 6) -> pa.Table:
+    """All pairs with cosine similarity >= threshold.
+
+    - ``method="exact"``: block-pair join — every pair of Arrow blocks is
+      one Ray task doing one matmul. Exact at any scale; total compute is
+      the unavoidable O(N^2), but per-task work is O(|block|^2) and the
+      driver holds only object refs, never vectors.
+    - ``method="lsh"``: random-hyperplane LSH — explode each vector into
+      ``lsh_tables`` bucket keys of ``lsh_bits`` sign bits, all-pairs
+      verify within buckets, dedup across tables. Approximate (recall
+      ~1 - (1 - p^bits)^tables with p = 1 - theta/pi); the 100-TB path for
+      high thresholds where p is close to 1.
+    """
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if method == "lsh":
+        return _embedding_lsh_pairs(ds, threshold, vec_col, id_col,
+                                    lsh_tables, lsh_bits, seed, round_digits, empty)
+
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    futures = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futures.append(
+                _block_pair_cosine.remote(refs[i], refs[j], i == j, threshold,
+                                          vec_col, id_col, round_digits)
+            )
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _embedding_lsh_pairs(ds, threshold, vec_col, id_col, tables, bits, seed,
+                         round_digits, empty: pa.Table) -> pa.Table:
+    first = ds.take(1)
+    if not first:
+        return empty
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables, bits, dim))
+    planes_ref = ray.put(planes)
+    pw2 = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _list_matrix(batch.column(vec_col))
+        n = len(batch)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        keys = np.empty((n, tables), dtype=np.uint64)
+        for t in range(tables):
+            signs = (m @ pl[t].T) >= 0  # (n, bits)
+            keys[:, t] = signs.astype(np.uint64) @ pw2
+        vec_col_arr = batch.column(vec_col)
+        if isinstance(vec_col_arr, pa.ChunkedArray):
+            vec_col_arr = vec_col_arr.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n), tables))
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, tables), pa.int64()),
+                "tbl": pa.array(np.tile(np.arange(tables, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(keys.ravel(), pa.uint64()),
+                vec_col: vec_col_arr.take(rep),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return empty
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _list_matrix(group.column(vec_col))[order]
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ii, jj = np.triu_indices(g, 1)
+        s = sims[ii, jj]
+        keep = s >= threshold
+        return pa.table({"id_a": pa.array(ids[ii[keep]], pa.int64()),
+                         "id_b": pa.array(ids[jj[keep]], pa.int64()),
+                         "cosine": pa.array(np.round(s[keep], round_digits), pa.float64())})
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["tbl", "key"])
+        .map_groups(verify, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
+    out = pairs.to_pandas()
+    if out.empty:
+        return empty
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

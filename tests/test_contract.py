@@ -24,6 +24,7 @@ SUBSET = [
     "ft_doc_freq_top20",
     "ft_collection_stats",
     "dedup_exact",
+    "dedup_embedding_pairs",
     "text_token_stats",
     "text_quality",
     "ann_cosine_top10",
@@ -87,7 +88,8 @@ def test_all_queries_run_and_oracles_are_subset(ray_session):
     qs = entrymod.queries()
     assert set(entrymod.oracle_sql()) <= set(qs)
     # rows-only queries at least execute and return a well-formed result
-    for name in ["dedup_minhash_pairs", "dedup_simhash_sigs", "text_langid",
+    for name in ["dedup_minhash_pairs", "dedup_simhash_sigs", "dedup_simhash_pairs",
+                 "dedup_embedding_pairs_lsh", "text_langid",
                  "ann_ivf_top10", "ft_bm25_top10_customer"]:
         out = _to_pandas(qs[name](SF))
         assert out is not None and len(out.columns) > 0
