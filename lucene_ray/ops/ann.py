@@ -3,18 +3,27 @@
 - ``knn_brute``: exact top-k cosine — per-batch numpy matmul against a
   broadcast query matrix (ray.put once, read per task), per-batch partial
   top-k, heap-merge on the driver. This is the always-correct baseline.
-- ``IvfIndex``: the scale path — kmeans-lite coarse quantizer trained with a
-  few distributed E-steps, vectors bucketed by nearest centroid; queries
-  probe only ``nprobe`` buckets. Same per-bucket brute kernel.
+- ``IvfIndex``: the scale path — kmeans-lite coarse quantizer trained with
+  distributed E-steps, vectors PERSISTED as bucket-partitioned parquet
+  (one directory per centroid). A query reads ONLY its ``nprobe`` probed
+  bucket directories — nprobe/n_clusters of the files, not a filtered full
+  scan — the moral equivalent of Lucene's HNSW entry-point narrowing
+  (lucene/core/src/java/org/apache/lucene/util/hnsw/HnswGraphSearcher.java)
+  expressed as partition pruning.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
 
 import ray
 import ray.data
+
+from lucene_ray.ops.dedup import _list_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -31,8 +40,7 @@ def knn_brute(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        mat = _normalize(mat)
+        mat = _normalize(_list_matrix(batch.column(vec_col)))
         sims = qm @ mat.T  # (nq, nb)
         nq, nb = sims.shape
         kk = min(k, nb)
@@ -72,22 +80,25 @@ def knn_brute(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
 
 
 class IvfIndex:
-    """Coarse-quantized ANN: kmeans centroids + bucket assignment.
+    """Coarse-quantized ANN over a bucket-partitioned parquet layout.
 
     Build: E-steps distributed via map_batches (partial sums per centroid),
-    M-step on the driver — the classic mergeable-sketch shape.
+    M-step on the driver — the classic mergeable-sketch shape; then one
+    assignment pass writes ``index_dir/bucket=N/*.parquet``.
+    Search: probe the ``nprobe`` nearest centroids and read ONLY those
+    bucket directories.
     """
 
-    def __init__(self, centroids: np.ndarray, buckets: ray.data.Dataset,
+    def __init__(self, index_dir: str, centroids: np.ndarray,
                  vec_col: str, id_col: str):
+        self.index_dir = index_dir
         self.centroids = centroids  # (c, d) normalized
-        self.buckets = buckets  # Dataset with added "bucket" column
         self.vec_col = vec_col
         self.id_col = id_col
 
     @classmethod
-    def build(cls, ds: ray.data.Dataset, n_clusters: int = 16, iters: int = 4,
-              vec_col: str = "embedding", id_col: str = "vec_id",
+    def build(cls, ds: ray.data.Dataset, index_dir: str, n_clusters: int = 16,
+              iters: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
               seed: int = 42) -> "IvfIndex":
         sample = ds.limit(max(n_clusters * 8, 256)).to_pandas()
         mat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
@@ -99,7 +110,7 @@ class IvfIndex:
 
             def estep(batch: pa.Table) -> pa.Table:
                 c = ray.get(cref)
-                m = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+                m = _normalize(_list_matrix(batch.column(vec_col)))
                 assign = np.argmax(m @ c.T, axis=1)
                 sums = np.zeros_like(c)
                 np.add.at(sums, assign, m)
@@ -125,23 +136,54 @@ class IvfIndex:
 
         def assign_bucket(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            m = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            m = _normalize(_list_matrix(batch.column(vec_col)))
             assign = np.argmax(m @ c.T, axis=1)
             return batch.append_column("bucket", pa.array(assign, pa.int32()))
 
-        buckets = ds.map_batches(assign_bucket, batch_format="pyarrow")
-        return cls(cent, buckets, vec_col, id_col)
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign_bucket, batch_format="pyarrow").write_parquet(
+            index_dir, partition_cols=["bucket"]
+        )
+        meta = {
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "n_clusters": int(len(cent)),
+            "centroids": cent.tolist(),
+        }
+        with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(index_dir, cent, vec_col, id_col)
 
-    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
+    @classmethod
+    def open(cls, index_dir: str) -> "IvfIndex":
+        with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+            meta = json.load(f)
+        return cls(index_dir, np.asarray(meta["centroids"], dtype=np.float64),
+                   meta["vec_col"], meta["id_col"])
+
+    def probed_paths(self, queries: np.ndarray, nprobe: int) -> list[str]:
         q = _normalize(np.asarray(queries, dtype=np.float64))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
         wanted = sorted(set(probe.ravel().tolist()))
-        import pyarrow.compute as pc
+        dirs = [os.path.join(self.index_dir, f"bucket={b}") for b in wanted]
+        return [
+            os.path.join(d, f)
+            for d in dirs
+            if os.path.isdir(d)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
 
-        want_arr = pa.array(wanted, pa.int32())
-
-        def keep_probed(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch.column("bucket"), value_set=want_arr))
-
-        sub = self.buckets.map_batches(keep_probed, batch_format="pyarrow")
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
+        """Top-k over the probed buckets only: the read is restricted to
+        nprobe/n_clusters of the index files (partition pruning), not a
+        filtered scan of everything."""
+        paths = self.probed_paths(queries, nprobe)
+        if not paths:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sub = ray.data.read_parquet(paths, columns=[self.id_col, self.vec_col])
+        q = _normalize(np.asarray(queries, dtype=np.float64))
         return knn_brute(sub, q, k, self.vec_col, self.id_col)
