@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- full-text engine (index build + query ops, SURVEY §2.5/2.7/2.9) ---
         "ft_term_hits_join": _q(lambda sf: ft.term_hits(sf, "join")),
+        "ft_term_hits_after_delete": _q(
+            lambda sf: ft.term_hits_after_delete(sf, "join")
+        ),
         "ft_term_freqs_hash": _q(lambda sf: ft.term_freqs(sf, "hash")),
         "ft_bool_and_hits": _q(lambda sf: ft.bool_hits(sf, must=("join", "hash", "scan"))),
         "ft_bool_or_not_hits": _q(
@@ -164,6 +167,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_term_hits_join": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
+        "ft_term_hits_after_delete": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' "
+        "AND doc_id % 7 <> 0 ORDER BY doc_id",
         "ft_term_freqs_hash": _TOKS
         + "SELECT doc_id, count(*)::BIGINT AS tf FROM toks WHERE tok = 'hash' "
         "GROUP BY doc_id ORDER BY doc_id",

@@ -267,16 +267,47 @@ class _MergeEncode:
     continuation-bit scan.
     """
 
-    def __init__(self, cfg: IndexConfig, doc_base_ref, index_dir: str):
+    def __init__(self, cfg: IndexConfig, doc_base_ref, index_dir: str,
+                 deleted_ref=None):
         self.cfg = cfg
         self.doc_base_ref = doc_base_ref
+        # pid -> sorted int64 partition-local offsets to EXPUNGE (compaction
+        # squeezing tombstoned docs out of the postings, DocIDMerger-with-
+        # deletes semantics, SegmentMerger.java:113-171)
+        self.deleted_ref = deleted_ref
         self._doc_base = None
+        self._deleted = None
 
     @property
     def doc_base(self) -> np.ndarray:
         if self._doc_base is None:
             self._doc_base = ray.get(self.doc_base_ref)
         return self._doc_base
+
+    @property
+    def deleted(self) -> dict:
+        if self.deleted_ref is None:
+            return {}
+        if self._deleted is None:
+            self._deleted = ray.get(self.deleted_ref)
+        return self._deleted
+
+    def _row_arrays(self, r, pids, doc_off_col, freqs_col, norms_col, pos_col):
+        """One partial-postings row's arrays, with tombstoned docs filtered
+        out (positions byte-sliced per doc — each doc's vbyte delta stream
+        is self-contained, so removal is a gather of byte spans)."""
+        doc_off = np.asarray(doc_off_col[r].values, dtype=np.int64)
+        f = np.asarray(freqs_col[r].values, dtype=np.int64)
+        nb = np.asarray(norms_col[r].values, dtype=np.int64)
+        posb = pos_col[r].as_py() if pos_col is not None else b""
+        dele = self.deleted.get(int(pids[r]))
+        if dele is not None and len(dele):
+            keep = ~np.isin(doc_off, dele)
+            if not keep.all():
+                if pos_col is not None and len(posb):
+                    posb = _filter_pos_stream(posb, f, keep)
+                doc_off, f, nb = doc_off[keep], f[keep], nb[keep]
+        return doc_off, f, nb, posb
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from lucene_ray.codec.packing import delta_encode, encode_blocks
@@ -311,22 +342,27 @@ class _MergeEncode:
             j = i
             while j < n and terms[j] == terms[i] and salts[j] == salts[i]:
                 j += 1
-            docs = np.concatenate(
-                [np.asarray(doc_off_col[r].values, dtype=np.int64) + base[pids[r]]
-                 for r in range(i, j)]
-            )
-            freqs = np.concatenate(
-                [np.asarray(freqs_col[r].values, dtype=np.int64) for r in range(i, j)]
-            )
-            norms = np.concatenate(
-                [np.asarray(norms_col[r].values, dtype=np.int64) for r in range(i, j)]
-            )
+            docs_l, freqs_l, norms_l, pos_l = [], [], [], []
+            for r in range(i, j):
+                d0, f0, n0, p0 = self._row_arrays(
+                    r, pids, doc_off_col, freqs_col, norms_col, pos_col
+                )
+                docs_l.append(d0 + base[pids[r]])
+                freqs_l.append(f0)
+                norms_l.append(n0)
+                pos_l.append(p0)
+            docs = np.concatenate(docs_l)
+            freqs = np.concatenate(freqs_l)
+            norms = np.concatenate(norms_l)
             if cfg.with_positions:
-                pos_stream = b"".join(pos_col[r].as_py() for r in range(i, j))
+                pos_stream = b"".join(pos_l)
                 sb = np.frombuffer(pos_stream, dtype=np.uint8)
                 value_ends = np.flatnonzero((sb & 0x80) == 0) + 1
                 pos_counts = np.cumsum(freqs)
             total = len(docs)
+            if total == 0:
+                i = j
+                continue  # every posting of this (term, salt) was expunged
             if total > 1 and not (docs[1:] > docs[:-1]).all():
                 raise ValueError("docs out of order in merge")  # ordering invariant
             for ci, start in enumerate(range(0, total, cs)):
@@ -368,6 +404,21 @@ class _MergeEncode:
                 "impact_norms": pa.array(rows["impact_norms"], pa.list_(pa.int32())),
             }
         )
+
+
+def _filter_pos_stream(stream: bytes, freqs: np.ndarray, keep: np.ndarray) -> bytes:
+    """Drop the position runs of non-kept docs from a concatenated vbyte
+    stream. Vectorized: value boundaries via the continuation-bit scan,
+    per-doc byte spans from the (unfiltered) freqs, one gather."""
+    from lucene_ray.search.executor import _ranges_concat
+
+    sb = np.frombuffer(stream, dtype=np.uint8)
+    value_ends = np.flatnonzero((sb & 0x80) == 0) + 1  # byte end per value
+    ends_v = np.cumsum(freqs)  # value-index end per doc
+    byte_ends = value_ends[ends_v - 1]
+    byte_starts = np.concatenate([[0], byte_ends[:-1]])
+    idx = _ranges_concat(byte_starts[keep], byte_ends[keep])
+    return sb[idx].tobytes()
 
 
 def build_index(
@@ -553,12 +604,98 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
     return manifest
 
 
-def compact_segments(index_dir: str, seg_ids: list[int]) -> Manifest:
+def delete_by_term(index_dir: str, col: str, values: list) -> Manifest:
+    """Delete every document whose stored field ``col`` is in ``values`` —
+    the ``IndexWriter.deleteDocuments(Term...)`` analog
+    (lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1694).
+
+    Deletes are TOMBSTONES: a parquet set of global doc_ids written as a new
+    tombstone generation and applied as a live-docs mask at query time
+    (LiveDocsFormat semantics). Collection/term statistics intentionally
+    still include deleted docs until segments are rewritten — exactly
+    Lucene's behavior, so scores of surviving docs do not move on delete.
+
+    The matching scan is distributed (column-pruned map_batches over the
+    docmap files); the driver never holds the matched ids."""
+    manifest = Manifest.load(index_dir)
+    docmap_dir = os.path.join(index_dir, "docmap")
+    # source columns that clash with engine docmap columns were stored
+    # under <name>_orig (see _StageA); resolve the user-facing name
+    reserved = {"doc_id", "offset", "sha256", "length", "norm"}
+    phys_col = col + "_orig" if col in reserved else col
+    ds = ray.data.read_parquet(docmap_dir, columns=["doc_id", phys_col])
+    val_arr = pa.array(sorted(set(values)))
+
+    def match(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(phys_col), value_set=val_arr)
+        return batch.filter(mask).select(["doc_id"])
+
+    gen_name = f"ts-{manifest.generation + 1:06d}"
+    out_dir = os.path.join(index_dir, "tombstones", gen_name)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(match, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    manifest.tombstones.append(gen_name)
+    manifest.save()
+    return manifest
+
+
+def upsert_documents(index_dir: str, source: str | list[str],
+                     key_col: str) -> Manifest:
+    """Delete-then-add keyed by ``key_col`` — the
+    ``IndexWriter.updateDocument(Term, doc)`` analog (IndexWriter.java:1844):
+    docs in ``source`` replace any existing docs sharing their key; the new
+    versions become visible at the next manifest generation."""
+    paths = [source] if isinstance(source, str) else list(source)
+    keys: set = set()
+    for p in paths:
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            keys.update(pq.read_table(f, columns=[key_col]).column(key_col).to_pylist())
+    delete_by_term(index_dir, key_col, sorted(keys))
+    return add_documents(index_dir, source)
+
+
+def load_tombstones(index_dir: str, manifest: Manifest | None = None) -> np.ndarray:
+    """All deleted global doc_ids (sorted uint64; empty if none)."""
+    manifest = manifest or Manifest.load(index_dir)
+    parts = []
+    for gen_name in manifest.tombstones:
+        d = os.path.join(index_dir, "tombstones", gen_name)
+        if os.path.isdir(d):
+            import pyarrow.dataset as pads
+
+            parts.append(
+                np.asarray(
+                    pads.dataset(d, format="parquet").to_table(columns=["doc_id"])
+                    .column("doc_id"),
+                    dtype=np.uint64,
+                )
+            )
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def compact_segments(index_dir: str, seg_ids: list[int],
+                     expunge_deletes: bool = True) -> Manifest:
     """Merge segments into one — the TieredMergePolicy/SegmentMerger analog
     (SURVEY §3.3). Like Lucene, compaction REUSES the build's merge+encode
     operator: it re-runs Stage C over the durable Stage-A partials of the
     chosen segments and swaps the manifest. Global doc ids are unchanged
-    (they derive from (pid, offset)), so search results are identical."""
+    (they derive from (pid, offset)), so search results are identical.
+
+    With ``expunge_deletes`` (default), tombstoned docs are squeezed out of
+    the merged postings (SegmentMerger's delete compaction). Global doc ids
+    stay stable, so the docmap keeps its rows and the tombstone mask remains
+    in force for non-postings paths (MatchAll / stored-field scans) — the
+    postings just stop carrying dead entries."""
     manifest = Manifest.load(index_dir)
     cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in manifest.config.items()})
@@ -574,7 +711,19 @@ def compact_segments(index_dir: str, seg_ids: list[int]) -> Manifest:
         "num_docs": sum(manifest.partitions[p]["num_rows"] for p in merged_pids),
     }
     manifest.segments = keep + [merged]
-    _run_stage_c(index_dir, manifest, cfg, only_pids=merged_pids, append=True)
+    deleted_map = None
+    if expunge_deletes:
+        ts = load_tombstones(index_dir, manifest)
+        if len(ts):
+            ts_pid = (ts >> np.uint64(32)).astype(np.int64)
+            ts_off = (ts & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            sel = np.isin(ts_pid, np.asarray(merged_pids, dtype=np.int64))
+            deleted_map = {
+                int(p): np.sort(ts_off[sel][ts_pid[sel] == p])
+                for p in np.unique(ts_pid[sel])
+            }
+    _run_stage_c(index_dir, manifest, cfg, only_pids=merged_pids, append=True,
+                 deleted=deleted_map)
     # write-manifest-LAST for the new state, but BEFORE deleting superseded
     # data: a crash here leaves either (old manifest + old dirs intact) or
     # (new manifest + stale old dirs as harmless garbage) — never a durable
@@ -630,7 +779,8 @@ def _run_stage_b(index_dir: str, manifest: Manifest) -> None:
 
 
 def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
-                 only_pids: list[int] | None = None, append: bool = False) -> None:
+                 only_pids: list[int] | None = None, append: bool = False,
+                 deleted: dict | None = None) -> None:
     """The merge-shuffle stage, parameterized so incremental builds and
     compaction reuse it over a subset of partitions."""
     postings_dir = os.path.join(index_dir, "postings")
@@ -695,7 +845,8 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     else:
         reader = ray.data.read_parquet([partials_path(index_dir, p) for p in only_pids])
 
-    merger = _MergeEncode(cfg, doc_base_ref, index_dir)
+    deleted_ref = ray.put(deleted) if deleted else None
+    merger = _MergeEncode(cfg, doc_base_ref, index_dir, deleted_ref)
 
     def merge_encode(group: pa.Table) -> pa.Table:
         return merger(group)

@@ -48,6 +48,11 @@ class Manifest:
     term_stats_done: bool = False
     postings_done: bool = False
     stats: dict = field(default_factory=dict)
+    # tombstone generations (dir names under index_dir/tombstones/), each a
+    # parquet file set of deleted global doc_ids — the live-docs analog
+    # (lucene/core/src/java/org/apache/lucene/index/LiveDocsFormat; deletes
+    # buffered in index/BufferedUpdates.java)
+    tombstones: list[str] = field(default_factory=list)
 
     # ---- persistence ----
 
@@ -62,6 +67,7 @@ class Manifest:
             "term_stats_done": self.term_stats_done,
             "postings_done": self.postings_done,
             "stats": self.stats,
+            "tombstones": self.tombstones,
         }
         gen_path = os.path.join(self.index_dir, f"manifest-{self.generation:06d}.json")
         _atomic_write_json(gen_path, payload)
@@ -86,6 +92,7 @@ class Manifest:
         m.term_stats_done = payload["term_stats_done"]
         m.postings_done = payload["postings_done"]
         m.stats = payload["stats"]
+        m.tombstones = payload.get("tombstones", [])
         return m
 
     @classmethod

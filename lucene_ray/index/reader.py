@@ -68,6 +68,10 @@ class IndexReader:
         # the LRU-query-cache / OS-page-cache analog for repeated serving
         self._postings_cache: dict[tuple[int, str], pa.Table] = {}
         self._term_stats_cache: dict[str, TermStats | None] = {}
+        # point-in-time live-docs state (LiveDocsFormat analog): tombstones
+        # loaded once per reader open, per-segment masks cached
+        self._tombstones: np.ndarray | None = None
+        self._live_cache: dict[int, np.ndarray | None] = {}
 
     # ---- statistics ----
 
@@ -254,6 +258,26 @@ class IndexReader:
                 pa.concat_tables(parts).column("doc_id"), dtype=np.uint64
             )
         return self._docids_cache[seg]
+
+    def tombstones(self) -> np.ndarray:
+        if self._tombstones is None:
+            from lucene_ray.index.build import load_tombstones
+
+            self._tombstones = load_tombstones(self.index_dir, self.manifest)
+        return self._tombstones
+
+    def live_mask(self, seg: int) -> np.ndarray | None:
+        """bool[num_docs] live-docs mask for a segment, or None when the
+        segment has no deletes (the common case — zero overhead)."""
+        if seg not in self._live_cache:
+            ts = self.tombstones()
+            if len(ts) == 0:
+                self._live_cache[seg] = None
+            else:
+                gids = self.global_doc_ids(seg)
+                mask = ~np.isin(gids, ts)
+                self._live_cache[seg] = None if mask.all() else mask
+        return self._live_cache[seg]
 
     # ---- stored fields ----
 

@@ -43,13 +43,40 @@ def documents_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def documents_index_deleted(sf_dir: str) -> IndexReader:
+    """Build-or-open a copy of the documents index with every doc whose
+    doc_id is divisible by 7 tombstoned (delete_by_term) — the live-docs
+    test surface for the driver contract."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import delete_by_term
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:del-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-del-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        if not manifest.tombstones:
+            ids = pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
+            delete_by_term(index_dir, "doc_id", [i for i in ids if i % 7 == 0])
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
 def _searcher(sf_dir: str) -> Searcher:
     return Searcher(documents_index(sf_dir))
 
 
-def _all_matches(sf_dir: str, q: Query) -> np.ndarray:
+def _all_matches(sf_dir: str, q: Query, reader: IndexReader | None = None) -> np.ndarray:
     """Global doc ids of ALL matching docs (exhaustive evaluation)."""
-    s = _searcher(sf_dir)
+    s = Searcher(reader) if reader is not None else _searcher(sf_dir)
     all_terms, scorers, phrase_scorers, expansions = s.plan(q)
     from lucene_ray.search.searcher import _collect_phrases
 
@@ -62,9 +89,9 @@ def _all_matches(sf_dir: str, q: Query) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
 
 
-def _orig_ids(sf_dir: str, gids: np.ndarray) -> pa.Table:
+def _orig_ids(sf_dir: str, gids: np.ndarray, reader: IndexReader | None = None) -> pa.Table:
     """Map engine doc ids back to the table's own doc_id column, sorted."""
-    reader = documents_index(sf_dir)
+    reader = reader if reader is not None else documents_index(sf_dir)
     if len(gids) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
@@ -76,6 +103,15 @@ def term_hits(sf_dir: str, term: str) -> pa.Table:
     from lucene_ray.search.query import TermQuery
 
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term)))
+
+
+def term_hits_after_delete(sf_dir: str, term: str) -> pa.Table:
+    """Term hit set over the tombstoned index: deleted docs (doc_id % 7 == 0)
+    must be excluded by the live-docs mask."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_index_deleted(sf_dir)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
 
 
 def bool_hits(sf_dir: str, must=(), should=(), must_not=()) -> pa.Table:

@@ -66,18 +66,24 @@ class TermPostings:
 class SegmentContext:
     """Chunk records for one (segment, query) evaluation; decode on demand."""
 
-    def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray):
+    def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray,
+                 live: np.ndarray | None = None):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
+        # bool[num_docs] live-docs mask (None = no deletes). Lucene passes
+        # liveDocs into every scorer (Weight.scorer -> LeafReader.getLiveDocs);
+        # here deleted docs are filtered from every evaluation's result set.
+        self.live = live
         self.chunks: dict[str, list[ChunkRec]] = {}
         self._decoded: dict[str, TermPostings] = {}
         self.with_positions = False
 
     @classmethod
-    def from_chunk_table(cls, table, num_docs, norms, global_ids, with_positions=False):
+    def from_chunk_table(cls, table, num_docs, norms, global_ids,
+                        with_positions=False, live=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
-        ctx = cls(num_docs, norms, global_ids)
+        ctx = cls(num_docs, norms, global_ids, live)
         ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
@@ -169,6 +175,14 @@ class SegmentScorer:
     # ---- exhaustive evaluation: (docs ascending, float32 scores) ----
 
     def evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        docs, scores = self._evaluate(q)
+        live = self.ctx.live
+        if live is not None and len(docs):
+            keep = live[docs]
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def _evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(q, TermQuery):
             return self._eval_term(q)
         if isinstance(q, BooleanQuery):
@@ -351,8 +365,11 @@ class SegmentScorer:
             r = recs[ci]
             d = decode_docs(r.docs_enc, r.count).astype(np.int64)
             f = decode_freqs(r.freqs_enc, r.count).astype(np.int64)
+            if self.ctx.live is not None:
+                keep = self.ctx.live[d]
+                d, f = d[keep], f[keep]
             s = scorer.score(f, self.ctx.norms[d])
-            total += r.count
+            total += len(d)
             best_docs, best_scores = _merge_topk(best_docs, best_scores, d, s, k)
         return SegTopK(best_docs, best_scores, total, not pruned)
 
@@ -371,10 +388,15 @@ class SegmentScorer:
         if total_candidates <= threshold:
             return None  # below threshold: exhaustive path keeps exact counts
 
-        # bootstrap theta from the highest-bound term scored fully
+        # bootstrap theta from the highest-bound term scored fully (live
+        # docs only — a deleted doc must never raise the pruning threshold)
         strongest = order[-1]
         tp = self.ctx.postings(strongest)
-        s0 = self.scorers[strongest].score(tp.freqs, self.ctx.norms[tp.docs])
+        t_docs, t_freqs = tp.docs, tp.freqs
+        if self.ctx.live is not None:
+            keep0 = self.ctx.live[t_docs]
+            t_docs, t_freqs = t_docs[keep0], t_freqs[keep0]
+        s0 = self.scorers[strongest].score(t_freqs, self.ctx.norms[t_docs])
         if len(s0) > k:
             theta = float(np.partition(s0, -k)[-k])
         else:
@@ -396,6 +418,8 @@ class SegmentScorer:
         ness = set(non_essential)
         for t in essential:
             present[self.ctx.postings(t).docs] = True
+        if self.ctx.live is not None:
+            present &= self.ctx.live
         cand = np.flatnonzero(present).astype(np.int64)
         # accumulate in ORIGINAL clause order so per-doc float32 addition
         # sequences match the exhaustive path bit-for-bit; docs matching ONLY
@@ -425,7 +449,11 @@ class SegmentScorer:
         order = sorted(terms, key=lambda t: dfs[t])
         lead = order[0]
         tp = self.ctx.postings(lead)
-        cand, cand_freqs = tp.docs, {lead: tp.freqs}
+        cand, lead_freqs = tp.docs, tp.freqs
+        if self.ctx.live is not None:
+            keep0 = self.ctx.live[cand]
+            cand, lead_freqs = cand[keep0], lead_freqs[keep0]
+        cand_freqs = {lead: lead_freqs}
         for t in order[1:]:
             d, f = self._decode_at(t, cand)
             keep = np.isin(cand, d, assume_unique=True)

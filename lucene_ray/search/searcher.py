@@ -92,6 +92,7 @@ class Searcher:
             norms=self.reader.norms(seg),
             global_ids=self.reader.global_doc_ids(seg),
             with_positions=need_positions,
+            live=self.reader.live_mask(seg),
         )
         return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 # everything including the heavy ANN/minhash paths)
 SUBSET = [
     "ft_term_hits_join",
+    "ft_term_hits_after_delete",
     "ft_term_freqs_hash",
     "ft_bool_and_hits",
     "ft_bool_or_not_hits",
