@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ft.bool_hits(sf, should=("join", "hash"), must_not=("scan",))
         ),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
+        "ft_phrase_slop_hits": _q(
+            lambda sf: ft.phrase_hits(sf, ["batch", "window"], slop=3)
+        ),
         "ft_prefix_hits": _q(lambda sf: ft.prefix_hits(sf, "cust")),
         "ft_wildcard_hits": _q(lambda sf: ft.wildcard_hits(sf, "s?an")),
         "ft_fuzzy_hits": _q(lambda sf: ft.fuzzy_hits(sf, "joib", 1)),
@@ -183,6 +186,16 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_hits": (
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"
+        ),
+        # sloppy hit-set: exists (pa, pb) with |(pb - 1) - pa| <= slop —
+        # equivalent to the engine's nearest-anchor matcher for 2 terms
+        "ft_phrase_slop_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok = 'batch' AND b.tok = 'window' "
+            "AND (b.pos - 1 - a.pos) BETWEEN -3 AND 3 ORDER BY doc_id"
         ),
         "ft_prefix_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'cust%' ORDER BY doc_id",

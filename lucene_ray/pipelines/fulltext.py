@@ -125,10 +125,10 @@ def bool_hits(sf_dir: str, must=(), should=(), must_not=()) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, q))
 
 
-def phrase_hits(sf_dir: str, terms: list[str]) -> pa.Table:
+def phrase_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
     from lucene_ray.search.query import PhraseQuery
 
-    return _orig_ids(sf_dir, _all_matches(sf_dir, PhraseQuery(terms)))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, PhraseQuery(terms, slop=slop)))
 
 
 def prefix_hits(sf_dir: str, prefix: str) -> pa.Table:

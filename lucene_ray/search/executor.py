@@ -221,7 +221,7 @@ class SegmentScorer:
         return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
 
     def _eval_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
-        freqs_by_doc = self._phrase_freqs(q.terms)
+        freqs_by_doc = self._phrase_freqs(q.terms, q.slop)
         if freqs_by_doc is None:
             return _EMPTY
         docs, pfreqs = freqs_by_doc
@@ -233,9 +233,10 @@ class SegmentScorer:
         scores = scorer.score(pfreqs, self.ctx.norms[docs])
         return docs, scores
 
-    def _phrase_freqs(self, terms: tuple) -> tuple[np.ndarray, np.ndarray] | None:
-        """Exact-phrase frequencies: docs containing terms at consecutive
-        positions, vectorized via set intersection of (doc, pos - i) keys."""
+    def _phrase_freqs(self, terms: tuple, slop: int = 0) -> tuple[np.ndarray, np.ndarray] | None:
+        """Phrase frequencies per doc. ``slop=0``: exact — docs containing
+        terms at consecutive positions, vectorized via set intersection of
+        (doc, pos - i) keys. ``slop>0``: sloppy — see ``_sloppy_freqs``."""
         tps = []
         for t in terms:
             tp = self.ctx.postings(t)
@@ -247,7 +248,8 @@ class SegmentScorer:
             cand = cand[np.isin(cand, tp.docs, assume_unique=True)]
             if len(cand) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        key_sets = []
+        # (doc_rep, shifted position) arrays per term, restricted to cand
+        shifted_sets = []
         for i, tp in enumerate(tps):
             pos_flat = _decode_all_positions(tp)
             ends = np.cumsum(tp.freqs)
@@ -256,8 +258,13 @@ class SegmentScorer:
             doc_rep = np.repeat(tp.docs[sel_idx], tp.freqs[sel_idx])
             tok_idx = _ranges_concat(starts[sel_idx], ends[sel_idx])
             shifted = pos_flat[tok_idx].astype(np.int64) - i
-            keys = doc_rep * np.int64(1 << 32) + shifted + 1  # +1: shift can be -1
-            key_sets.append(keys)
+            shifted_sets.append((doc_rep, shifted))
+        if slop > 0:
+            return self._sloppy_freqs(shifted_sets, len(terms), slop)
+        key_sets = [
+            doc_rep * np.int64(1 << 32) + shifted + 1  # +1: shift can be -1
+            for doc_rep, shifted in shifted_sets
+        ]
         common = key_sets[0]
         for ks in key_sets[1:]:
             common = common[np.isin(common, ks)]
@@ -266,6 +273,59 @@ class SegmentScorer:
         match_docs = (common // np.int64(1 << 32)).astype(np.int64)
         docs, pfreqs = np.unique(match_docs, return_counts=True)
         return docs, pfreqs.astype(np.int64)
+
+    def _sloppy_freqs(self, shifted_sets, n_terms: int,
+                      slop: int) -> tuple[np.ndarray, np.ndarray]:
+        """Sloppy-phrase match: anchored nearest-neighbor alignment.
+
+        For every occurrence of term 0 (anchor, shifted position s0), each
+        other term contributes its occurrence with shifted position nearest
+        to s0 in the same doc (tie -> smaller). The match width is
+        max(shifted) - min(shifted); widths <= slop contribute Lucene's
+        sloppyFreq 1/(1+width), accumulated per doc in float32 in anchor
+        order (SloppyPhraseMatcher.java:54; PhraseScorer sloppyFreq).
+        Deterministic simplification of Lucene's matcher; identical for
+        phrases without repeated terms."""
+        OFF = np.int64(n_terms + 1)
+        M = np.int64(1 << 32)
+        a_docs, a_shift = shifted_sets[0]
+        if len(a_docs) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        lo = a_shift.copy()
+        hi = a_shift.copy()
+        a_keys = a_docs * M + a_shift + OFF
+        for doc_rep, shifted in shifted_sets[1:]:
+            keys = doc_rep * M + shifted + OFF  # sorted: doc-major, shifted asc
+            idx = np.searchsorted(keys, a_keys)
+            right_ok = idx < len(keys)
+            right_doc_ok = np.zeros(len(idx), dtype=bool)
+            right_doc_ok[right_ok] = doc_rep[np.minimum(idx[right_ok], len(keys) - 1)] == a_docs[right_ok]
+            left_ok = idx > 0
+            left_doc_ok = np.zeros(len(idx), dtype=bool)
+            left_doc_ok[left_ok] = doc_rep[idx[left_ok] - 1] == a_docs[left_ok]
+            INF = np.int64(1) << 40
+            d_right = np.where(right_doc_ok, shifted[np.minimum(idx, len(keys) - 1)] - a_shift, INF)
+            d_left = np.where(left_doc_ok, a_shift - shifted[np.maximum(idx - 1, 0)], INF)
+            choose_left = d_left <= d_right  # tie -> smaller shifted
+            s_chosen = np.where(
+                choose_left,
+                shifted[np.maximum(idx - 1, 0)],
+                shifted[np.minimum(idx, len(keys) - 1)],
+            )
+            lo = np.minimum(lo, s_chosen)
+            hi = np.maximum(hi, s_chosen)
+        width = hi - lo
+        ok = width <= slop
+        if not ok.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        docs_m = a_docs[ok]
+        contrib = (1.0 / (1.0 + width[ok])).astype(np.float32)
+        chg = np.empty(len(docs_m), dtype=bool)
+        chg[0] = True
+        chg[1:] = docs_m[1:] != docs_m[:-1]
+        starts = np.flatnonzero(chg)
+        freqs = np.add.reduceat(contrib, starts)  # sequential f32 per doc
+        return docs_m[starts], freqs
 
     def _eval_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
         n = self.ctx.num_docs

@@ -74,7 +74,11 @@ class ExhaustiveOracle:
             s = scorer.score(np.array([len(p[q.term])]), np.array([self.norm_bytes[i]]))[0]
             return True, s
         if isinstance(q, PhraseQuery):
-            freq = self._phrase_freq(q.terms, i)
+            freq = (
+                self._phrase_freq(q.terms, i)
+                if q.slop == 0
+                else self._sloppy_phrase_freq(q.terms, i, q.slop)
+            )
             if freq == 0:
                 return False, np.float32(0)
             scorer = self._scorer(tuple(q.terms), q.boost)
@@ -150,6 +154,37 @@ class ExhaustiveOracle:
             if all((start + j) in pos_lists[j] for j in range(1, len(terms))):
                 count += 1
         return count
+
+    def _sloppy_phrase_freq(self, terms: tuple, i: int, slop: int) -> float:
+        """Scalar mirror of SegmentScorer._sloppy_freqs: per anchor (term-0
+        occurrence), each other term contributes its occurrence with shifted
+        position nearest the anchor (tie -> smaller); width <= slop adds
+        1/(1+width), accumulated in float32 in anchor order."""
+        import bisect
+
+        p = self.postings[i]
+        shifted = []
+        for j, t in enumerate(terms):
+            if t not in p:
+                return 0.0
+            shifted.append(sorted(pos - j for pos in p[t]))
+        freq = np.float32(0)
+        for s0 in shifted[0]:
+            lo = hi = s0
+            for arr in shifted[1:]:
+                k = bisect.bisect_left(arr, s0)
+                cands = []
+                if k > 0:
+                    cands.append(arr[k - 1])
+                if k < len(arr):
+                    cands.append(arr[k])
+                best = min(cands, key=lambda v: (abs(v - s0), v))
+                lo = min(lo, best)
+                hi = max(hi, best)
+            width = hi - lo
+            if width <= slop:
+                freq = np.float32(freq + np.float32(1.0 / (1.0 + width)))
+        return float(freq)
 
     def search(self, q: Query, k: int = 10):
         """(doc_ids, scores, total) with the engine's exact tie-break."""

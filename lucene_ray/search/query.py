@@ -31,12 +31,24 @@ class TermQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
+    """Positional phrase. ``slop=0`` = exact consecutive positions
+    (ExactPhraseMatcher.java:39). ``slop>0`` = sloppy phrase
+    (SloppyPhraseMatcher.java:54): a doc matches when one occurrence per
+    term can be chosen whose order-shifted positions span <= slop; each
+    match contributes 1/(1+width) to the scored phrase freq (Lucene's
+    sloppyFreq). Our matcher anchors on the first term and picks, per other
+    term, the occurrence nearest the anchor's shifted position (ties ->
+    smaller) — a deterministic simplification of Lucene's repeat-handling
+    matcher, identical on phrases without repeated terms."""
+
     terms: tuple
     boost: float = 1.0
+    slop: int = 0
 
-    def __init__(self, terms, boost: float = 1.0):
+    def __init__(self, terms, boost: float = 1.0, slop: int = 0):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "slop", int(slop))
 
 
 @dataclass(frozen=True)
@@ -184,9 +196,13 @@ def parse_query(s: str, analyzer=None) -> Query:
                 terms.extend(tk(advance()))
             if peek() == '"':
                 advance()
+            slop = 0
+            nxt = peek()
+            if nxt and nxt.startswith("~") and nxt[1:].isdigit():
+                slop = int(advance()[1:])  # "a b"~2 classic-parser syntax
             if len(terms) == 1:
                 return TermQuery(terms[0])
-            return PhraseQuery(terms)
+            return PhraseQuery(terms, slop=slop)
         word = advance()
         if word.endswith("*") and len(word) > 1:
             norm = tk(word[:-1])

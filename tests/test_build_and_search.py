@@ -128,12 +128,18 @@ def test_query_parser(searcher, oracle):
     from lucene_ray.search.query import parse_query
 
     for qs in ["import", "import AND return", "def OR class",
-               'return NOT import', '"new string"', "uniq_1*"]:
+               'return NOT import', '"new string"', "uniq_1*",
+               '"import return"~2', '"def self"~1 AND class']:
         q = parse_query(qs)
         got = searcher.search(q, 10)
         exp_ids, exp_scores, exp_total = oracle.search(q, 10)
         assert got.total_hits == exp_total, qs
         np.testing.assert_array_equal(got.doc_ids, exp_ids, err_msg=qs)
+
+    q = parse_query('"import return"~2')
+    from lucene_ray.search.query import PhraseQuery as PQ
+
+    assert isinstance(q, PQ) and q.slop == 2
 
 
 def test_resume_skips_completed_partitions(built_index, tmp_path):

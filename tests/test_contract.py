@@ -21,6 +21,7 @@ SUBSET = [
     "ft_bool_and_hits",
     "ft_bool_or_not_hits",
     "ft_phrase_hits",
+    "ft_phrase_slop_hits",
     "ft_prefix_hits",
     "ft_doc_freq_top20",
     "ft_collection_stats",

@@ -7,6 +7,7 @@ from lucene_ray.index.reader import IndexReader
 from lucene_ray.search.query import (
     BooleanQuery,
     FuzzyQuery,
+    PhraseQuery,
     RegexpQuery,
     TermQuery,
     TermRangeQuery,
@@ -57,6 +58,12 @@ QUERIES = [
     # boost folded into the weight (weight = boost*idf), engine vs oracle
     TermQuery("import", boost=2.5),
     BooleanQuery(should=[TermQuery("import", boost=0.3), TermQuery("return")]),
+    # sloppy phrases: scored sloppyFreq path vs the scalar oracle
+    PhraseQuery(("import", "return"), slop=2),
+    PhraseQuery(("def", "self"), slop=1),
+    PhraseQuery(("import", "def", "return"), slop=4),
+    PhraseQuery(("import", "return"), slop=2, boost=1.7),
+    BooleanQuery(must=[PhraseQuery(("import", "return"), slop=3), TermQuery("def")]),
 ]
 
 
