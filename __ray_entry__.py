@@ -88,11 +88,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
 
-    def _sorted_ds(t, cols):
-        import pyarrow as pa
-
-        return t if isinstance(t, pa.Table) else t
-
     return {
         # --- full-text engine (index build + query ops, SURVEY §2.5/2.7/2.9) ---
         "ft_term_hits_join": _q(lambda sf: ft.term_hits(sf, "join")),

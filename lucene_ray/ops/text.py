@@ -3,6 +3,9 @@
 All stages are vectorized ``map_batches`` transforms using the SAME tokenizer
 grammar as the index side (lowercase ``[a-z0-9_]+`` runs), so DuckDB oracles
 can express them with ``string_split_regex(lower(text), '[^a-z0-9_]+')``.
+No per-row/per-char Python in any hot path: character classes are counted on
+the raw Arrow byte buffer, unique-token counts come from one stable sort +
+boundary scan, and the only per-doc Python left is the md5 call itself.
 """
 
 from __future__ import annotations
@@ -26,28 +29,88 @@ _LANG_MARKERS = {
 }
 
 
+def _string_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offsets[int64, n+1], data[uint8]) of an Arrow string column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + arr.offset + 1)[
+        arr.offset :
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    return offs, data
+
+
+def _count_byte_class(offs: np.ndarray, data: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Per-doc count of bytes whose class-mask is set (cumsum-diff — safe
+    for empty docs, unlike reduceat)."""
+    cs = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(mask, out=cs[1:])
+    base = offs[0]
+    return cs[offs[1:] - base] - cs[offs[:-1] - base]
+
+
 def doc_token_stats(ds: ray.data.Dataset, text_col: str = "text",
                     id_col: str = "doc_id") -> ray.data.Dataset:
     """(id, n_tokens, n_unique_tokens, fingerprint) per document.
 
     ``fingerprint`` = md5 hex of the space-joined token stream — a
-    deterministic document fingerprint with an exact SQL equivalent.
+    deterministic document fingerprint with an exact SQL equivalent. The
+    joined byte stream is assembled with one vectorized scatter; only the
+    md5 calls themselves loop (one per doc).
     """
 
     def stats(batch: pa.Table) -> pa.Table:
         flat, doc_idx, _ = tokenize_column(batch.column(text_col))
         n = len(batch)
-        counts = np.bincount(doc_idx, minlength=n)
-        toks = flat.to_pylist()
-        per_doc: list[list[str]] = [[] for _ in range(n)]
-        for t, d in zip(toks, doc_idx):
-            per_doc[d].append(t)
-        uniq = np.array([len(set(x)) for x in per_doc], dtype=np.int64)
-        fp = [hashlib.md5(" ".join(x).encode()).hexdigest() for x in per_doc]
+        counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+        # unique tokens per doc: tokens are in doc order; one stable sort by
+        # interned id within doc -> count (doc, id) boundaries
+        total = len(doc_idx)
+        if total:
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            tok_ids = np.asarray(d.indices, dtype=np.int64)
+            order = np.lexsort((tok_ids, doc_idx))
+            ds_, ts_ = doc_idx[order], tok_ids[order]
+            bound = np.empty(total, dtype=bool)
+            bound[0] = True
+            bound[1:] = (ds_[1:] != ds_[:-1]) | (ts_[1:] != ts_[:-1])
+            uniq = np.bincount(ds_[bound], minlength=n).astype(np.int64)
+        else:
+            uniq = np.zeros(n, dtype=np.int64)
+
+        # space-joined token bytes per doc, one scatter into a flat buffer
+        fp = []
+        if total:
+            toffs, tdata = _string_buffers(flat)
+            tlens = np.diff(toffs)
+            doc_first = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=doc_first[1:])
+            within_idx = np.arange(total, dtype=np.int64) - doc_first[doc_idx]
+            byte_cum = np.cumsum(tlens) - tlens  # global start per token
+            out_len = np.bincount(doc_idx, weights=tlens, minlength=n).astype(np.int64)
+            out_len += np.maximum(counts - 1, 0)  # separators
+            out_doc_base = np.cumsum(out_len) - out_len
+            # doc_first of an empty doc points at the next doc's first token
+            # (clipped: the value is never used for tokenless docs)
+            doc_byte_base = byte_cum[np.minimum(doc_first, total - 1)]
+            start_out = out_doc_base[doc_idx] + (byte_cum - doc_byte_base[doc_idx]) + within_idx
+            out = np.full(int(out_len.sum()), ord(" "), dtype=np.uint8)
+            from lucene_ray.search.executor import _ranges_concat
+
+            out[_ranges_concat(start_out, start_out + tlens)] = tdata[toffs[0]:toffs[-1]]
+            mv = memoryview(out)
+            ends = np.cumsum(out_len)
+            starts = ends - out_len
+            fp = [hashlib.md5(mv[starts[i]:ends[i]]).hexdigest() for i in range(n)]
+        else:
+            fp = [hashlib.md5(b"").hexdigest()] * n
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
                 "n_unique_tokens": pa.array(uniq, pa.int64()),
                 "fingerprint": pa.array(fp, pa.string()),
             }
@@ -59,7 +122,9 @@ def doc_token_stats(ds: ray.data.Dataset, text_col: str = "text",
 def quality_score(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id") -> ray.data.Dataset:
     """Heuristic quality signals (integer-valued so oracles stay exact):
-    n_chars, n_tokens, n_alpha_chars, n_digit_chars, max_token_len."""
+    n_chars, n_tokens, n_alpha_chars, n_digit_chars, max_token_len.
+    ASCII [A-Za-z]/[0-9] are counted directly on the byte buffer (multi-byte
+    UTF-8 units are never in those ranges, matching the SQL regex classes)."""
 
     def q(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -73,14 +138,11 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text",
         np.maximum.at(max_len, doc_idx, tok_lens)
         texts = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
         n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
-        # ASCII-only counts (exactly [A-Za-z] / [0-9]) so the SQL oracle's
-        # regexp_replace classes agree byte-for-byte
-        alpha = np.zeros(n, dtype=np.int64)
-        digit = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            s = texts[i].as_py()
-            alpha[i] = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
-            digit[i] = sum("0" <= c <= "9" for c in s)
+        offs, data = _string_buffers(texts)
+        alpha_mask = ((data >= 0x41) & (data <= 0x5A)) | ((data >= 0x61) & (data <= 0x7A))
+        digit_mask = (data >= 0x30) & (data <= 0x39)
+        alpha = _count_byte_class(offs, data, alpha_mask)
+        digit = _count_byte_class(offs, data, digit_mask)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -97,40 +159,60 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text",
 
 class LangId:
     """Stateful langid stage (actor pool): marker stopword ratios + CJK
-    codepoint ratio. Deterministic; setup once per actor (__init__)."""
+    codepoint ratio. Deterministic; marker Arrow arrays built once per actor
+    (__init__). Marker matching is one pc.is_in + bincount per language;
+    the exact CJK codepoint check runs only on docs whose byte stream shows
+    a possible CJK lead byte (0xE4..0xE9)."""
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = [k for k, v in _LANG_MARKERS.items() if v]
+        self.marker_arrs = {
+            k: pa.array(sorted(v), pa.string()) for k, v in _LANG_MARKERS.items() if v
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, doc_idx, _ = tokenize_column(batch.column("text"))
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        texts = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        flat, doc_idx, _ = tokenize_column(texts)
         n = len(batch)
-        toks = flat.to_pylist()
-        per_doc: list[list[str]] = [[] for _ in range(n)]
-        for t, d in zip(toks, doc_idx):
-            per_doc[d].append(t)
-        preds = []
-        for i in range(n):
-            text = batch.column("text")[i].as_py()
-            cjk = sum(1 for c in text if "一" <= c <= "鿿")
-            if cjk > 0.05 * max(1, len(text)):
-                preds.append("zh")
-                continue
-            ws = per_doc[i]
-            best, best_score = "en", -1.0
-            for lang, mk in self.markers.items():
-                if not mk:
-                    continue
-                score = sum(w in mk for w in ws) / max(1, len(ws))
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best if best_score > 0 else "en")
+        totals = np.maximum(np.bincount(doc_idx, minlength=n), 1).astype(np.float64)
+        ratios = np.zeros((len(self.langs), n), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            mask = np.asarray(pc.is_in(flat, value_set=self.marker_arrs[lang]))
+            ratios[li] = np.bincount(doc_idx, weights=mask, minlength=n) / totals
+        best_idx = np.argmax(ratios, axis=0)  # first max wins = dict order
+        best_score = ratios[best_idx, np.arange(n)]
+        preds = np.where(best_score > 0,
+                         np.array(self.langs, dtype=object)[best_idx], "en")
+
+        # CJK: exact per-char check only where a CJK-range lead byte exists
+        offs, data = _string_buffers(texts)
+        lead = (data >= 0xE4) & (data <= 0xE9)
+        lead_counts = (
+            np.zeros(n, dtype=np.int64) if len(data) == 0
+            else np.zeros(n, dtype=np.int64) + _count_from(offs, lead)
+        )
+        n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+        for i in np.flatnonzero(lead_counts > 0):
+            s = texts[i].as_py()
+            cjk = sum(1 for c in s if "一" <= c <= "鿿")
+            if cjk > 0.05 * max(1, len(s)):
+                preds[i] = "zh"
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
             }
         )
+
+
+def _count_from(offs: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    cs = np.zeros(len(mask) + 1, dtype=np.int64)
+    np.cumsum(mask, out=cs[1:])
+    base = offs[0]
+    return cs[offs[1:] - base] - cs[offs[:-1] - base]
 
 
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -47,21 +47,21 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
             ndigits=4,
         )
         batch = batch.append_column("disc_price", disc_price)
-        import pandas as pd
-
-        df = batch.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
-        ).to_pandas()
+        # Arrow-native partial aggregation (no pandas round-trip mid-stage)
         g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
+            batch.select(
+                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                 ("disc_price", "sum"), ("l_quantity", "count")]
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -85,19 +85,20 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def orders_per_nation(sf_dir: str) -> pa.Table:
-    """orders |x| customer |x| nation: broadcast the small sides (ray.put once),
-    map_batches does the dict lookup — no shuffle join."""
+    """orders |x| customer |x| nation: broadcast the small sides (ray.put once,
+    pre-joined customer->nation-name on the driver), map_batches does a
+    vectorized pc.index_in lookup — no shuffle join, no per-row Python."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((cust_to_nation, nation_name))
+    merged = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    key_arr = pa.array(merged["c_custkey"], pa.int64())
+    name_arr = pa.array(merged["n_name"], pa.string())
+    ref = ray.put((key_arr, name_arr))
 
     def tag(batch: pa.Table) -> pa.Table:
-        c2n, names = ray.get(ref)
-        keys = batch.column("o_custkey").to_pylist()
-        nn = [names[c2n[k]] for k in keys]
-        return pa.table({"n_name": pa.array(nn, pa.string())})
+        keys, names = ray.get(ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
+        return pa.table({"n_name": names.take(idx)})
 
     agg = (
         _read(sf_dir, "orders", ["o_custkey"])
@@ -179,17 +180,29 @@ def supplier_part_stats(sf_dir: str) -> pa.Table:
 
 def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
     """Grouped top-k (the grouping-module GroupingSearch analog, SURVEY §2.5):
-    per o_orderpriority, the k highest-value orders."""
+    per o_orderpriority, the k highest-value orders.
+
+    No shuffle on the low-cardinality key (a 5-value groupby would put ~20%
+    of the dataset on one worker): each batch emits its own per-group top-k
+    (k x |groups| rows), and the driver merges the tiny partials — the same
+    partial-then-merge shape the engine uses for BM25 top-k."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
 
-    def topk(group):
-        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return g.head(k)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderpriority", as_index=False, sort=False)
+            .head(k),
+            preserve_index=False,
+        )
 
     out = (
-        ds.groupby("o_orderpriority")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()  # tiny: k rows per (group, batch)
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .groupby("o_orderpriority", as_index=False, sort=False)
+        .head(k)
         .sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
                      ascending=[True, False, True])
         .reset_index(drop=True)
