@@ -282,8 +282,8 @@ class SegmentScorer:
         other term contributes its occurrence with shifted position nearest
         to s0 in the same doc (tie -> smaller). The match width is
         max(shifted) - min(shifted); widths <= slop contribute Lucene's
-        sloppyFreq 1/(1+width), accumulated per doc in float32 in anchor
-        order (SloppyPhraseMatcher.java:54; PhraseScorer sloppyFreq).
+        sloppyFreq 1/(1+width), accumulated per doc in float32 bucketed by
+        width ascending (SloppyPhraseMatcher.java:54; PhraseScorer sloppyFreq).
         Deterministic simplification of Lucene's matcher; identical for
         phrases without repeated terms."""
         OFF = np.int64(n_terms + 1)
@@ -319,13 +319,17 @@ class SegmentScorer:
         if not ok.any():
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         docs_m = a_docs[ok]
-        contrib = (1.0 / (1.0 + width[ok])).astype(np.float32)
-        chg = np.empty(len(docs_m), dtype=bool)
-        chg[0] = True
-        chg[1:] = docs_m[1:] != docs_m[:-1]
-        starts = np.flatnonzero(chg)
-        freqs = np.add.reduceat(contrib, starts)  # sequential f32 per doc
-        return docs_m[starts], freqs
+        w_ok = width[ok]
+        # sloppy freq per doc = sum over widths w (ascending) of
+        # count_w * 1/(1+w), accumulated in float32 — width-bucketed so the
+        # accumulation order is well-defined regardless of anchor layout
+        uniq_docs, inv = np.unique(docs_m, return_inverse=True)
+        counts = np.zeros((len(uniq_docs), slop + 1), dtype=np.int64)
+        np.add.at(counts, (inv, w_ok), 1)
+        freqs = np.zeros(len(uniq_docs), dtype=np.float32)
+        for w in range(slop + 1):
+            freqs = freqs + counts[:, w].astype(np.float32) * np.float32(1.0 / (1.0 + w))
+        return uniq_docs, freqs
 
     def _eval_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
         n = self.ctx.num_docs

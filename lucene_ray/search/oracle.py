@@ -168,7 +168,7 @@ class ExhaustiveOracle:
             if t not in p:
                 return 0.0
             shifted.append(sorted(pos - j for pos in p[t]))
-        freq = np.float32(0)
+        width_counts = [0] * (slop + 1)
         for s0 in shifted[0]:
             lo = hi = s0
             for arr in shifted[1:]:
@@ -183,7 +183,11 @@ class ExhaustiveOracle:
                 hi = max(hi, best)
             width = hi - lo
             if width <= slop:
-                freq = np.float32(freq + np.float32(1.0 / (1.0 + width)))
+                width_counts[width] += 1
+        # width-bucketed float32 accumulation, ascending w (engine-identical)
+        freq = np.float32(0)
+        for w in range(slop + 1):
+            freq = np.float32(freq + np.float32(width_counts[w]) * np.float32(1.0 / (1.0 + w)))
         return float(freq)
 
     def search(self, q: Query, k: int = 10):

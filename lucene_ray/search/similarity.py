@@ -72,6 +72,67 @@ class BM25Scorer:
         return self.score(np.array([freq]), np.array([norm_byte]))[0]
 
 
+class ClassicScorer:
+    """Vectorized TF-IDF scorer (TFIDFSimilarity.TFIDFScorer shape):
+    score = weight * sqrt(freq) * normTable[norm & 0xFF], float32."""
+
+    __slots__ = ("weight", "norm_table", "idf")
+
+    def __init__(self, weight: np.float32, norm_table: np.ndarray, idf: float):
+        self.weight = weight
+        self.norm_table = norm_table  # float32[256] 1/sqrt(length) table
+        self.idf = idf
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.sqrt(np.asarray(freqs).astype(np.float32, copy=False))
+        norm = self.norm_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        return (self.weight * tf) * norm
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "ClassicScorer":
+        return ClassicScorer(
+            np.float32(boost) * np.float32(self.idf), self.norm_table, self.idf
+        )
+
+
+class ClassicSimilarity:
+    """Classic TF-IDF — the second implementation through the Similarity
+    seam, proving it is actually pluggable
+    (lucene/core/src/java/org/apache/lucene/search/similarities/ClassicSimilarity.java):
+
+    - tf(freq)     = sqrt(freq)                                  [:53-56]
+    - idf(n, N)    = log((N + 1) / (n + 1)) + 1                  [:66-70]
+    - lengthNorm   = 1 / sqrt(numTerms)                          [:44-47]
+    - score        = boost * idf * tf * lengthNorm (float32 ops)
+
+    Same SimScorer(freq, norm) contract as BM25: monotone in freq,
+    decreasing in length, norm decoded from the shared SmallFloat byte."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(math.log((doc_count + 1) / (doc_freq + 1.0)) + 1.0)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStats,
+        *term_stats: TermStats,
+    ) -> ClassicScorer:
+        if len(term_stats) == 1:
+            idf = self.idf(term_stats[0].doc_freq, collection_stats.doc_count)
+        else:
+            acc = 0.0
+            for ts in term_stats:
+                acc += float(self.idf(ts.doc_freq, collection_stats.doc_count))
+            idf = np.float32(acc)
+        with np.errstate(divide="ignore"):
+            table = np.float32(1.0) / np.sqrt(LENGTH_TABLE)
+        table[LENGTH_TABLE == 0] = np.float32(0)  # zero-length docs score 0
+        weight = np.float32(boost) * idf
+        return ClassicScorer(weight, table.astype(np.float32, copy=False), float(idf))
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):

@@ -12,7 +12,12 @@ import numpy as np
 import pytest
 
 from lucene_ray.codec.smallfloat import LENGTH_TABLE
-from lucene_ray.search.similarity import BM25Similarity, CollectionStats, TermStats
+from lucene_ray.search.similarity import (
+    BM25Similarity,
+    ClassicSimilarity,
+    CollectionStats,
+    TermStats,
+)
 
 
 CORPUS_SHAPES = [
@@ -78,6 +83,75 @@ def test_length_table_values():
 
     for i in range(NUM_FREE_VALUES):
         assert LENGTH_TABLE[i] == i
+
+
+# ---- the Similarity seam: both implementations must satisfy the same
+# SimScorer contract (BaseSimilarityTestCase.testRandomScoring pattern,
+# lucene/test-framework/.../search/similarities/BaseSimilarityTestCase.java:258)
+
+@pytest.mark.parametrize("sim", [BM25Similarity(), ClassicSimilarity()],
+                         ids=["bm25", "classic"])
+@pytest.mark.parametrize("stats", CORPUS_SHAPES)
+def test_similarity_contract_all_norms(sim, stats):
+    rng = np.random.default_rng(99)
+    for _ in range(10):
+        df = int(rng.integers(1, stats.doc_count + 1))
+        ttf = df * int(rng.integers(1, 5))
+        scorer = sim.scorer(1.0, stats, TermStats(df, ttf))
+        norms = np.arange(256, dtype=np.uint8)
+        for freq in [1, 2, 10, 255]:
+            s = scorer.score(np.full(256, freq), norms)
+            assert s.dtype == np.float32
+            assert np.isfinite(s).all()
+            assert (s >= 0).all()
+        # monotone in freq at fixed norm
+        freqs = np.array([1, 2, 3, 10, 100, 255])
+        for nb in [1, 40, 128, 255]:
+            s = scorer.score(freqs, np.full(len(freqs), nb))
+            assert (np.diff(s) >= 0).all()
+        # anti-monotone in decoded length at fixed freq
+        s = scorer.score(np.full(255, 10), np.arange(1, 256, dtype=np.uint8))
+        assert (np.diff(s) <= 1e-6).all()
+        # boost folds into the weight
+        b = scorer.with_boost(2.0)
+        assert b.score(np.array([3]), np.array([10]))[0] == pytest.approx(
+            2.0 * scorer.score(np.array([3]), np.array([10]))[0], rel=1e-6
+        )
+
+
+def test_classic_similarity_end_to_end_seam(ray_session, built_index):
+    """A search with ClassicSimilarity through the unchanged engine must be
+    rank+score identical to the exhaustive oracle using the same
+    similarity — the seam carries a second implementation unmodified."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.search.oracle import ExhaustiveOracle
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    index_dir, manifest, corpus_file = built_index
+    s = Searcher(IndexReader(index_dir), similarity=ClassicSimilarity())
+    texts = pq.read_table(corpus_file, columns=["content"]).column("content").to_pylist()
+    docs, row = [], 0
+    for p in manifest.partitions:
+        for off in range(p["num_rows"]):
+            docs.append(((p["pid"] << 32) | off, texts[row]))
+            row += 1
+    oracle = ExhaustiveOracle(docs, similarity=ClassicSimilarity())
+    for q in [TermQuery("import"), TermQuery("import", boost=2.0),
+              BooleanQuery(must=[TermQuery("def"), TermQuery("class")]),
+              BooleanQuery(should=[TermQuery("import"), TermQuery("return")]),
+              PhraseQuery(("import", "return"), slop=2)]:
+        got = s.search(q, 10)
+        exp_ids, exp_scores, exp_total = oracle.search(q, 10)
+        assert got.total_hits == exp_total, q
+        np.testing.assert_array_equal(got.doc_ids, exp_ids, err_msg=str(q))
+        np.testing.assert_array_equal(got.scores, exp_scores, err_msg=str(q))
+    # and the two similarities actually differ (the seam isn't a no-op)
+    bm = Searcher(IndexReader(index_dir)).search(TermQuery("import"), 10)
+    cl = s.search(TermQuery("import"), 10)
+    assert not np.array_equal(bm.scores, cl.scores)
 
 
 def test_boost_and_param_validation():
