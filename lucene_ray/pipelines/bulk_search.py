@@ -63,6 +63,100 @@ class QueryShard:
         )
 
 
+@ray.remote
+class QueryShardActor:
+    """Long-lived serving actor owning a fixed subset of segments — the
+    persistent form of the QueryShard map_batches stage (one IndexReader
+    loaded in __init__, reused across every call; SURVEY §2.3)."""
+
+    def __init__(self, index_dir: str, segs: list[int]):
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader)
+        self.segs = segs
+
+    def search_batch(self, plans):
+        """plans: [(qid, q, all_terms, scorers, ph, pf, k, thr)] ->
+        [(seg, qid, gids, scores, total, exact)] over this actor's segs."""
+        out = []
+        for seg in self.segs:
+            for qid, q, all_terms, scorers, ph, pf, k, thr in plans:
+                need_pos = bool(_collect_phrases(q))
+                ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
+                gids, scores, total, exact = ss.top_k(q, k, thr)
+                out.append((seg, qid, gids, scores, total, exact))
+        return out
+
+    def match_batch(self, plans):
+        """plans: [(qid, q, all_terms, scorers, ph, pf)] ->
+        {qid: global ids of ALL matches in this actor's segs}."""
+        out: dict[int, list] = {}
+        for seg in self.segs:
+            for qid, q, all_terms, scorers, ph, pf in plans:
+                need_pos = bool(_collect_phrases(q))
+                ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
+                docs, _ = ss.evaluate(q)
+                out.setdefault(qid, []).append(ss.ctx.global_ids[docs])
+        return {
+            qid: (np.concatenate(parts) if parts else np.zeros(0, np.uint64))
+            for qid, parts in out.items()
+        }
+
+
+class ShardPool:
+    """Driver handle to a pool of QueryShardActors covering all segments —
+    the distributed serving path used by the contract pipelines. Plans
+    (global stats -> Weight) are built once on the driver and broadcast;
+    actors do per-segment scoring; the driver merges."""
+
+    def __init__(self, index_dir: str, concurrency: int = 4):
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader)
+        segs = self.reader.segs
+        n = min(concurrency, max(1, len(segs)))
+        self.actors = [
+            QueryShardActor.remote(index_dir, segs[i::n]) for i in range(n)
+        ]
+
+    def _plans(self, queries, extra=()):
+        plans = []
+        for qid, q in queries:
+            all_terms, scorers, ph, pf = self.searcher.plan(q)
+            plans.append((qid, q, all_terms, scorers, ph, pf, *extra))
+        return ray.put(plans)
+
+    def match(self, queries: list[tuple[int, Query]]) -> dict[int, np.ndarray]:
+        """qid -> sorted global ids of ALL matching docs (exhaustive,
+        live-docs filtered), gathered across the actor pool."""
+        ref = self._plans(queries)
+        parts = ray.get([a.match_batch.remote(ref) for a in self.actors])
+        out: dict[int, np.ndarray] = {}
+        for qid, _ in queries:
+            arrs = [p[qid] for p in parts if qid in p]
+            ids = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
+            out[qid] = np.sort(ids)
+        return out
+
+    def search(self, queries: list[tuple[int, Query]], k: int = 10,
+               total_hits_threshold: int | None = 1000) -> dict[int, TopDocs]:
+        """qid -> merged TopDocs, rank-identical to the single-process
+        Searcher (same per-segment kernels, same TopDocs.merge tie-break)."""
+        ref = self._plans(queries, (k, total_hits_threshold))
+        parts = ray.get([a.search_batch.remote(ref) for a in self.actors])
+        results: dict[int, TopDocs] = {}
+        for qid, _ in queries:
+            doc_parts, score_parts, total, exact = [], [], 0, True
+            for rows in parts:
+                for seg, rqid, gids, scores, t, ex in rows:
+                    if rqid != qid:
+                        continue
+                    doc_parts.append(gids)
+                    score_parts.append(scores)
+                    total += t
+                    exact = exact and ex
+            results[qid] = merge_topk(doc_parts, score_parts, total, k, exact)
+        return results
+
+
 def bulk_search(index_dir: str, queries: list[tuple[int, Query]], k: int = 10,
                 total_hits_threshold: int | None = 1000,
                 concurrency: int = 4) -> dict[int, TopDocs]:

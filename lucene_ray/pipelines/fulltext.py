@@ -74,19 +74,24 @@ def _searcher(sf_dir: str) -> Searcher:
     return Searcher(documents_index(sf_dir))
 
 
-def _all_matches(sf_dir: str, q: Query, reader: IndexReader | None = None) -> np.ndarray:
-    """Global doc ids of ALL matching docs (exhaustive evaluation)."""
-    s = Searcher(reader) if reader is not None else _searcher(sf_dir)
-    all_terms, scorers, phrase_scorers, expansions = s.plan(q)
-    from lucene_ray.search.searcher import _collect_phrases
+_pools: dict[str, "object"] = {}
 
-    need_pos = bool(_collect_phrases(q))
-    parts = []
-    for seg in s.reader.segs:
-        ss = s.segment_scorer(seg, all_terms, scorers, phrase_scorers, expansions, need_pos)
-        docs, _ = ss.evaluate(q)
-        parts.append(ss.ctx.global_ids[docs])
-    return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+
+def _pool(reader: IndexReader):
+    """One long-lived QueryShardActor pool per index dir — the distributed
+    serving path every contract query runs through."""
+    from lucene_ray.pipelines.bulk_search import ShardPool
+
+    if reader.index_dir not in _pools:
+        _pools[reader.index_dir] = ShardPool(reader.index_dir, concurrency=4)
+    return _pools[reader.index_dir]
+
+
+def _all_matches(sf_dir: str, q: Query, reader: IndexReader | None = None) -> np.ndarray:
+    """Global doc ids of ALL matching docs (exhaustive evaluation), computed
+    on the actor-pool serving path (not the driver)."""
+    reader = reader if reader is not None else documents_index(sf_dir)
+    return _pool(reader).match([(0, q)])[0]
 
 
 def _orig_ids(sf_dir: str, gids: np.ndarray, reader: IndexReader | None = None) -> pa.Table:
@@ -234,9 +239,13 @@ def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
 def bm25_topk(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """BM25 top-k (doc_id, rank, score float32) — scored path, no SQL oracle
     (float32 Lucene-order arithmetic is not expressible in DuckDB; validated
-    instead by the exhaustive-oracle pytest suite)."""
-    s = _searcher(sf_dir)
-    td = s.search(query, k)
+    instead by the exhaustive-oracle pytest suite). Served by the
+    distributed actor pool (rank-identical to the driver Searcher by the
+    bulk-search parity tests)."""
+    from lucene_ray.search.query import parse_query
+
+    reader = documents_index(sf_dir)
+    td = _pool(reader).search([(0, parse_query(query))], k)[0]
     reader = documents_index(sf_dir)
     if len(td.doc_ids) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
