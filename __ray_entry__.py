@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
         "ft_facet_lang": _q(lambda sf: ft.facet_counts(sf, "join", "lang")),
+        "ft_snippet_join": _q(lambda sf: ft.snippet_first_occurrence(sf, "join")),
         # multimodal plumbing (deterministic stub decoder; schema/actor real)
         "mm_decode_images": _q(
             lambda sf: mm.decode_images(
@@ -208,6 +209,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE tok = 'join') "
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents "
             "WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY lang ORDER BY lang"
+        ),
+        # offsets consumer: first occurrence of the token at a word boundary;
+        # start = chars before the match in lower(text) (engine offsets are
+        # char offsets into the lowercased text)
+        "ft_snippet_join": (
+            "WITH hits AS (SELECT doc_id FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok "
+            "FROM documents) WHERE tok = 'join' GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "length(regexp_extract(lower(d.text), "
+            "'^(.*?(^|[^a-z0-9_]))join([^a-z0-9_]|$)', 1, 's'))::BIGINT AS start_offset, "
+            "length(regexp_extract(lower(d.text), "
+            "'^(.*?(^|[^a-z0-9_]))join([^a-z0-9_]|$)', 1, 's'))::BIGINT + 4 AS end_offset "
+            "FROM documents d JOIN hits USING (doc_id) ORDER BY d.doc_id"
         ),
         "ft_doc_freq_top20": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "

@@ -142,6 +142,27 @@ def decode_positions(pos_enc: bytes, freqs: np.ndarray) -> np.ndarray:
     return csum - base
 
 
+def decode_offsets(off_enc: bytes, freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened (start_chars, end_chars) per occurrence; per-doc counts =
+    freqs. The stream interleaves (start_delta, length) vbyte pairs with the
+    first start absolute per doc (IndexOptions offsets level)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    vals = vbyte_decode(off_enc, 2 * total)
+    if total == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    sd = vals[0::2]
+    lens = vals[1::2]
+    ends = np.cumsum(freqs)
+    starts = ends - freqs
+    csum = np.cumsum(sd, dtype=np.uint64)
+    base = np.zeros(total, dtype=np.uint64)
+    base[starts[1:]] = csum[starts[1:] - 1]
+    base = np.maximum.accumulate(base)
+    s = csum - base
+    return s, s + lens
+
+
 def split_positions(flat_positions: np.ndarray, freqs: np.ndarray, i: int) -> np.ndarray:
     """Positions of the i-th doc in a decoded chunk."""
     freqs = np.asarray(freqs, dtype=np.int64)

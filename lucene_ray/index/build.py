@@ -61,6 +61,9 @@ class IndexConfig:
     hot_df_threshold: int = 1_000_000
     n_salts: int = 8
     with_positions: bool = True
+    # store per-occurrence (start_char, length) offsets alongside positions
+    # (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS level)
+    with_offsets: bool = False
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
@@ -204,6 +207,7 @@ class _StageA:
                     max_token_length=cfg.max_token_length,
                     stopwords=frozenset(cfg.stopwords) or None,
                     with_positions=cfg.with_positions,
+                    with_offsets=cfg.with_offsets,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -292,22 +296,26 @@ class _MergeEncode:
             self._deleted = ray.get(self.deleted_ref)
         return self._deleted
 
-    def _row_arrays(self, r, pids, doc_off_col, freqs_col, norms_col, pos_col):
+    def _row_arrays(self, r, pids, doc_off_col, freqs_col, norms_col, pos_col,
+                    off_col):
         """One partial-postings row's arrays, with tombstoned docs filtered
-        out (positions byte-sliced per doc — each doc's vbyte delta stream
-        is self-contained, so removal is a gather of byte spans)."""
+        out (positions/offsets byte-sliced per doc — each doc's vbyte delta
+        stream is self-contained, so removal is a gather of byte spans)."""
         doc_off = np.asarray(doc_off_col[r].values, dtype=np.int64)
         f = np.asarray(freqs_col[r].values, dtype=np.int64)
         nb = np.asarray(norms_col[r].values, dtype=np.int64)
         posb = pos_col[r].as_py() if pos_col is not None else b""
+        offb = off_col[r].as_py() if off_col is not None else b""
         dele = self.deleted.get(int(pids[r]))
         if dele is not None and len(dele):
             keep = ~np.isin(doc_off, dele)
             if not keep.all():
                 if pos_col is not None and len(posb):
                     posb = _filter_pos_stream(posb, f, keep)
+                if off_col is not None and len(offb):
+                    offb = _filter_pos_stream(offb, f * 2, keep)
                 doc_off, f, nb = doc_off[keep], f[keep], nb[keep]
-        return doc_off, f, nb, posb
+        return doc_off, f, nb, posb, offb
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from lucene_ray.codec.packing import delta_encode, encode_blocks
@@ -328,13 +336,14 @@ class _MergeEncode:
         freqs_col = g.column("freqs").combine_chunks()
         norms_col = g.column("norms").combine_chunks()
         pos_col = g.column("pos_enc").combine_chunks() if cfg.with_positions else None
+        off_col = g.column("off_enc").combine_chunks() if cfg.with_offsets else None
         base = self.doc_base
         cs = cfg.chunk_size
 
         rows: dict = {
             "seg": [], "term": [], "chunk": [], "count": [],
             "min_doc": [], "max_doc": [], "docs_enc": [], "freqs_enc": [],
-            "pos_enc": [], "impact_freqs": [], "impact_norms": [],
+            "pos_enc": [], "off_enc": [], "impact_freqs": [], "impact_norms": [],
         }
         n = len(g)
         i = 0
@@ -342,15 +351,16 @@ class _MergeEncode:
             j = i
             while j < n and terms[j] == terms[i] and salts[j] == salts[i]:
                 j += 1
-            docs_l, freqs_l, norms_l, pos_l = [], [], [], []
+            docs_l, freqs_l, norms_l, pos_l, off_l = [], [], [], [], []
             for r in range(i, j):
-                d0, f0, n0, p0 = self._row_arrays(
-                    r, pids, doc_off_col, freqs_col, norms_col, pos_col
+                d0, f0, n0, p0, o0 = self._row_arrays(
+                    r, pids, doc_off_col, freqs_col, norms_col, pos_col, off_col
                 )
                 docs_l.append(d0 + base[pids[r]])
                 freqs_l.append(f0)
                 norms_l.append(n0)
                 pos_l.append(p0)
+                off_l.append(o0)
             docs = np.concatenate(docs_l)
             freqs = np.concatenate(freqs_l)
             norms = np.concatenate(norms_l)
@@ -359,6 +369,12 @@ class _MergeEncode:
                 sb = np.frombuffer(pos_stream, dtype=np.uint8)
                 value_ends = np.flatnonzero((sb & 0x80) == 0) + 1
                 pos_counts = np.cumsum(freqs)
+            if cfg.with_offsets:
+                off_stream = b"".join(off_l)
+                osb = np.frombuffer(off_stream, dtype=np.uint8)
+                off_value_ends = np.flatnonzero((osb & 0x80) == 0) + 1
+                if not cfg.with_positions:
+                    pos_counts = np.cumsum(freqs)
             total = len(docs)
             if total == 0:
                 i = j
@@ -376,6 +392,13 @@ class _MergeEncode:
                     chunk_pos = pos_stream[b0:b1]
                 else:
                     chunk_pos = b""
+                if cfg.with_offsets:
+                    # 2 vbyte values (start delta, length) per occurrence
+                    ob0 = 0 if start == 0 else int(off_value_ends[2 * pos_counts[start - 1] - 1])
+                    ob1 = int(off_value_ends[2 * pos_counts[end - 1] - 1])
+                    chunk_off = off_stream[ob0:ob1]
+                else:
+                    chunk_off = b""
                 imp_f, imp_n = competitive_impacts(f, nb)
                 rows["seg"].append(seg)
                 rows["term"].append(terms[i])
@@ -386,6 +409,7 @@ class _MergeEncode:
                 rows["docs_enc"].append(encode_blocks(delta_encode(d.astype(np.uint64))))
                 rows["freqs_enc"].append(encode_blocks(f.astype(np.uint64)))
                 rows["pos_enc"].append(chunk_pos)
+                rows["off_enc"].append(chunk_off)
                 rows["impact_freqs"].append(imp_f.tolist())
                 rows["impact_norms"].append(imp_n.tolist())
             i = j
@@ -400,6 +424,7 @@ class _MergeEncode:
                 "docs_enc": pa.array(rows["docs_enc"], pa.binary()),
                 "freqs_enc": pa.array(rows["freqs_enc"], pa.binary()),
                 "pos_enc": pa.array(rows["pos_enc"], pa.binary()),
+                "off_enc": pa.array(rows["off_enc"], pa.binary()),
                 "impact_freqs": pa.array(rows["impact_freqs"], pa.list_(pa.int32())),
                 "impact_norms": pa.array(rows["impact_norms"], pa.list_(pa.int32())),
             }

@@ -42,8 +42,13 @@ def tokenize_column(
     contents: pa.ChunkedArray | pa.Array,
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
     stopwords: frozenset[str] | None = None,
-) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """Tokenize a string column. Returns (flat_tokens, doc_idx, positions).
+    with_offsets: bool = False,
+) -> tuple:
+    """Tokenize a string column. Returns (flat_tokens, doc_idx, positions),
+    plus (start_chars, end_chars) when ``with_offsets`` — per-token CHARACTER
+    offsets within the lowercased document (the OffsetAttribute analog,
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    lucene/core/src/java/org/apache/lucene/index/IndexOptions.java:44).
 
     Implementation: ``pc.utf8_lower`` (C++), then a numpy byte-class scan
     directly over the Arrow string data buffer — token runs are found by
@@ -73,7 +78,8 @@ def tokenize_column(
     nbytes = hi - lo
     if nbytes == 0:
         empty = pa.array([], pa.string())
-        return empty, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
 
     prev = np.empty_like(is_tok)
     prev[0] = False
@@ -148,6 +154,16 @@ def tokenize_column(
     else:
         positions = np.zeros(0, dtype=np.int64)
 
+    if with_offsets:
+        # char index = count of non-continuation UTF-8 bytes before the
+        # byte; token bytes are ASCII so starts/ends land on char bounds
+        nb_mask = (data[lo:hi] & 0xC0) != 0x80
+        pref = np.zeros(nbytes + 1, dtype=np.int64)
+        np.cumsum(nb_mask, out=pref[1:])
+        doc_char_base = pref[doc_offsets - base]  # per doc
+        start_chars = pref[starts] - doc_char_base[doc_idx]
+        end_chars = pref[ends] - doc_char_base[doc_idx]
+
     if stopwords:
         stop_arr = pa.array(sorted(stopwords), type=pa.string())
         is_stop = np.asarray(pc.is_in(flat, value_set=stop_arr))
@@ -155,7 +171,12 @@ def tokenize_column(
         flat = flat.filter(pa.array(keep3))
         doc_idx = doc_idx[keep3]
         positions = positions[keep3]
+        if with_offsets:
+            start_chars = start_chars[keep3]
+            end_chars = end_chars[keep3]
 
+    if with_offsets:
+        return flat, doc_idx, positions, start_chars, end_chars
     return flat, doc_idx, positions
 
 
@@ -164,38 +185,38 @@ def invert_partition(
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
     stopwords: frozenset[str] | None = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
     Returns ``(partials, lengths, norms)``:
 
     - partials: pa.Table[term, df, ttf, doc_offsets list<uint32>,
-      freqs list<uint32>, norms list<uint8>, pos_enc binary]
+      freqs list<uint32>, norms list<uint8>, pos_enc binary, off_enc binary]
     - lengths: int64[n_docs] field lengths (surviving token counts)
     - norms: uint8[n_docs] norm bytes (SmallFloat intToByte4 of length)
+
+    ``off_enc`` (when ``with_offsets``) is a vbyte stream of interleaved
+    (start_char_delta, token_char_length) pairs per occurrence, deltas
+    per doc with the first start absolute — the offsets level of
+    IndexOptions (IndexOptions.java:44), enabling highlighting/snippets.
     """
     if isinstance(contents, pa.ChunkedArray):
         contents = contents.combine_chunks()
     n_docs = len(contents)
-    flat, doc_idx, positions = tokenize_column(contents, max_token_length, stopwords)
+    if with_offsets:
+        flat, doc_idx, positions, start_chars, end_chars = tokenize_column(
+            contents, max_token_length, stopwords, with_offsets=True
+        )
+    else:
+        flat, doc_idx, positions = tokenize_column(contents, max_token_length, stopwords)
 
     lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     norm_bytes = int_to_byte4_array(lengths)
 
     total = len(doc_idx)
     if total == 0:
-        empty = pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
-                "ttf": pa.array([], pa.int64()),
-                "doc_offsets": pa.array([], pa.list_(pa.uint32())),
-                "freqs": pa.array([], pa.list_(pa.uint32())),
-                "norms": pa.array([], pa.list_(pa.uint8())),
-                "pos_enc": pa.array([], pa.binary()),
-            }
-        )
-        return empty, lengths, norm_bytes
+        return _empty_partials(), lengths, norm_bytes
 
     dict_arr = flat.dictionary_encode()
     if isinstance(dict_arr, pa.ChunkedArray):
@@ -241,29 +262,46 @@ def invert_partition(
         pa.array(norm_bytes[post_doc], pa.uint8()),
     )
 
+    # end token index per term (term t covers postings
+    # [t_starts[t], t_starts[t+1]) -> token span via p_starts)
+    tok_span_ends = np.append(p_starts, total)[1:]  # end token idx per posting
+    term_tok_ends = tok_span_ends[np.append(t_starts[1:], n_post) - 1]
+
+    def _stream_column(values: np.ndarray, values_per_token: int) -> pa.Array:
+        """vbyte stream sliced into one binary cell per term."""
+        from lucene_ray.codec.packing import _vbyte_lengths
+
+        stream = vbyte_encode(values)
+        byte_ends = np.cumsum(_vbyte_lengths(values))
+        term_byte_ends = byte_ends[term_tok_ends * values_per_token - 1]
+        term_byte_offsets = np.concatenate([[0], term_byte_ends]).astype(np.int32)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(term_ids),
+            [None, pa.py_buffer(term_byte_offsets.tobytes()), pa.py_buffer(stream)],
+        )
+
     if with_positions:
         # position deltas: absolute at each posting start, gaps within
         deltas = p_s.astype(np.uint64)
         deltas[1:] = p_s[1:] - p_s[:-1]
         deltas[p_starts] = p_s[p_starts]
-        stream = vbyte_encode(deltas)
-        # byte length per value (re-derived; must match vbyte_encode)
-        from lucene_ray.codec.packing import _vbyte_lengths
-
-        byte_ends = np.cumsum(_vbyte_lengths(deltas))
-        # byte offset at each term boundary (term t covers postings
-        # [t_starts[t], t_starts[t+1]) -> token span via p_starts)
-        tok_span_ends = np.append(p_starts, total)[1:]  # end token idx per posting
-        term_tok_ends = tok_span_ends[np.append(t_starts[1:], n_post) - 1]
-        term_byte_ends = byte_ends[term_tok_ends - 1]
-        term_byte_offsets = np.concatenate([[0], term_byte_ends]).astype(np.int32)
-        pos_arr = pa.BinaryArray.from_buffers(
-            pa.binary(),
-            len(term_ids),
-            [None, pa.py_buffer(term_byte_offsets.tobytes()), pa.py_buffer(stream)],
-        )
+        pos_arr = _stream_column(deltas, 1)
     else:
         pos_arr = pa.array([b""] * len(term_ids), pa.binary())
+
+    if with_offsets:
+        s_s = start_chars[order]
+        e_s = end_chars[order]
+        sd = s_s.astype(np.uint64)
+        sd[1:] = s_s[1:] - s_s[:-1]
+        sd[p_starts] = s_s[p_starts]  # absolute at each posting start
+        inter = np.empty(2 * total, dtype=np.uint64)
+        inter[0::2] = sd
+        inter[1::2] = (e_s - s_s).astype(np.uint64)
+        off_arr = _stream_column(inter, 2)
+    else:
+        off_arr = pa.array([b""] * len(term_ids), pa.binary())
 
     partials = pa.table(
         {
@@ -274,6 +312,7 @@ def invert_partition(
             "freqs": freqs_arr,
             "norms": norms_arr,
             "pos_enc": pos_arr,
+            "off_enc": off_arr,
         }
     )
     return partials, lengths, norm_bytes
@@ -342,24 +381,30 @@ def merge_partials(tables: list[pa.Table]) -> pa.Table:
     freqs = merge_list_col("freqs", pa.uint32())
     norms = merge_list_col("norms", pa.uint8())
 
-    ba = cat.column("pos_enc").combine_chunks()
-    boffs = np.frombuffer(
-        ba.buffers()[1], dtype=np.int32, count=len(ba) + ba.offset + 1
-    )[ba.offset :].astype(np.int64)
-    byte_counts = np.diff(boffs)
-    grp_bytes = np.add.reduceat(byte_counts, g_starts)
-    new_boffsets = np.zeros(n_groups + 1, dtype=np.int64)
-    np.cumsum(grp_bytes, out=new_boffsets[1:])
-    # slice the contiguous data buffer to this array's [first, last) window
-    b0 = int(boffs[0])
-    data = ba.buffers()[2]
-    pos_enc = pa.Array.from_buffers(
-        pa.binary(),
-        n_groups,
-        [None,
-         pa.py_buffer((new_boffsets + 0).astype(np.int32).tobytes()),
-         pa.py_buffer(bytes(memoryview(data)[b0 : b0 + int(new_boffsets[-1])]))],
-    )
+    def merge_binary_col(name: str) -> pa.Array:
+        ba = cat.column(name).combine_chunks()
+        boffs = np.frombuffer(
+            ba.buffers()[1], dtype=np.int32, count=len(ba) + ba.offset + 1
+        )[ba.offset :].astype(np.int64)
+        byte_counts = np.diff(boffs)
+        grp_bytes = np.add.reduceat(byte_counts, g_starts)
+        new_boffsets = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(grp_bytes, out=new_boffsets[1:])
+        # slice the contiguous data buffer to this array's [first, last)
+        b0 = int(boffs[0])
+        data = ba.buffers()[2]
+        payload = (
+            bytes(memoryview(data)[b0 : b0 + int(new_boffsets[-1])])
+            if data is not None
+            else b""
+        )
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n_groups,
+            [None,
+             pa.py_buffer(new_boffsets.astype(np.int32).tobytes()),
+             pa.py_buffer(payload)],
+        )
 
     terms = term_dict.dictionary.take(pa.array(t_sorted[g_starts]))
     return pa.table(
@@ -370,7 +415,8 @@ def merge_partials(tables: list[pa.Table]) -> pa.Table:
             "doc_offsets": doc_offsets,
             "freqs": freqs,
             "norms": norms,
-            "pos_enc": pos_enc,
+            "pos_enc": merge_binary_col("pos_enc"),
+            "off_enc": merge_binary_col("off_enc"),
         }
     )
 
@@ -385,5 +431,6 @@ def _empty_partials() -> pa.Table:
             "freqs": pa.array([], pa.list_(pa.uint32())),
             "norms": pa.array([], pa.list_(pa.uint8())),
             "pos_enc": pa.array([], pa.binary()),
+            "off_enc": pa.array([], pa.binary()),
         }
     )

@@ -27,7 +27,7 @@ _readers: dict[str, IndexReader] = {}
 def documents_index(sf_dir: str) -> IndexReader:
     """Build-or-open the cached documents index for an sf dir."""
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v1".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v2".encode()).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"documents-{key}")
     if index_dir not in _readers:
         cfg = IndexConfig(
@@ -36,6 +36,7 @@ def documents_index(sf_dir: str) -> IndexReader:
             target_rows_per_partition=20_000,
             partitions_per_segment=4,
             hot_df_threshold=500_000,
+            with_offsets=True,
         )
         manifest = build_index(src, index_dir, cfg, resume=True)
         assert manifest.postings_done
@@ -184,6 +185,52 @@ def term_freqs(sf_dir: str, term: str) -> pa.Table:
         {
             "doc_id": pa.array(np.asarray(rows_doc, dtype=np.int64)[order], pa.int64()),
             "tf": pa.array(np.asarray(rows_tf, dtype=np.int64)[order], pa.int64()),
+        }
+    )
+
+
+def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
+    """(doc_id, start_offset, end_offset) of the FIRST occurrence of a term
+    per matching doc — the offsets-consuming highlight primitive (offsets
+    read straight from the off_enc postings stream; char offsets into the
+    lowercased text)."""
+    from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_offsets
+
+    reader = documents_index(sf_dir)
+    out_gids, out_s, out_e = [], [], []
+    for seg in reader.segs:
+        tbl = reader.postings(seg, [term])
+        if tbl is None or len(tbl) == 0:
+            continue
+        gids = reader.global_doc_ids(seg)
+        live = reader.live_mask(seg)
+        for row in tbl.to_pylist():
+            d = decode_docs(row["docs_enc"], row["count"]).astype(np.int64)
+            f = decode_freqs(row["freqs_enc"], row["count"]).astype(np.int64)
+            s, e = decode_offsets(row["off_enc"], f)
+            first = np.cumsum(f) - f  # first-occurrence index per doc
+            if live is not None:
+                keep = live[d]
+                d, first = d[keep], first[keep]
+            out_gids.append(gids[d])
+            out_s.append(s[first].astype(np.int64))
+            out_e.append(e[first].astype(np.int64))
+    if not out_gids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "start_offset": pa.array([], pa.int64()),
+                         "end_offset": pa.array([], pa.int64())})
+    gids = np.concatenate(out_gids)
+    starts = np.concatenate(out_s)
+    ends = np.concatenate(out_e)
+    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
+    orig = np.array([m[int(g)] for g in gids], dtype=np.int64)
+    order = np.argsort(orig, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(orig[order], pa.int64()),
+            "start_offset": pa.array(starts[order], pa.int64()),
+            "end_offset": pa.array(ends[order], pa.int64()),
         }
     )
 

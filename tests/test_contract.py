@@ -22,6 +22,7 @@ SUBSET = [
     "ft_bool_or_not_hits",
     "ft_phrase_hits",
     "ft_phrase_slop_hits",
+    "ft_snippet_join",
     "ft_prefix_hits",
     "ft_doc_freq_top20",
     "ft_collection_stats",
