@@ -64,6 +64,11 @@ class IndexConfig:
     # store per-occurrence (start_char, length) offsets alongside positions
     # (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS level)
     with_offsets: bool = False
+    # index-time sort: rows of each partition are sorted by these columns
+    # (ascending, stable) BEFORE doc-id assignment — the
+    # IndexWriterConfig.setIndexSort analog (IndexWriterConfig.java:475);
+    # enables early-terminated top-k by the sort field (sorted_field_topk)
+    index_sort: tuple = ()
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
@@ -77,6 +82,7 @@ class IndexConfig:
         d = asdict(self)
         d["id_cols"] = list(self.id_cols)
         d["stopwords"] = list(self.stopwords)
+        d["index_sort"] = list(self.index_sort)
         return d
 
 
@@ -190,12 +196,21 @@ class _StageA:
         out = {"pid": [], "rows": [], "tokens": [], "terms": []}
         for spec in batch.to_pylist():
             pid = spec["pid"]
-            cols = [*cfg.id_cols, cfg.content_col]
+            cols = list(dict.fromkeys([*cfg.id_cols, *cfg.index_sort, cfg.content_col]))
             pf = pq.ParquetFile(spec["file"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
             rr = spec.get("row_range")
             if rr:
                 tbl = tbl.slice(rr[0], rr[1] - rr[0])
+            if cfg.index_sort:
+                # stable within-partition sort before doc-id assignment
+                # (IndexWriterConfig.setIndexSort; Sorter.DocMap remap is
+                # implicit — ids are assigned after the sort)
+                tbl = tbl.append_column(
+                    "__row", pa.array(np.arange(len(tbl)), pa.int64())
+                ).sort_by(
+                    [(c, "ascending") for c in cfg.index_sort] + [("__row", "ascending")]
+                ).drop_columns(["__row"])
             content = tbl.column(cfg.content_col)
             sl = max(64, cfg.invert_slice_docs)
             slice_tables, len_parts, norm_parts = [], [], []
@@ -227,7 +242,7 @@ class _StageA:
                 "offset": pa.array(offsets, pa.uint32()),
             }
             reserved = {"doc_id", "offset", "sha256", "length", "norm"}
-            for c in cfg.id_cols:
+            for c in dict.fromkeys([*cfg.id_cols, *cfg.index_sort]):
                 # source columns clashing with engine docmap columns are
                 # stored under <name>_orig (e.g. a table's own doc_id)
                 docmap_cols[c + "_orig" if c in reserved else c] = tbl.column(c)
@@ -685,6 +700,31 @@ def upsert_documents(index_dir: str, source: str | list[str],
             keys.update(pq.read_table(f, columns=[key_col]).column(key_col).to_pylist())
     delete_by_term(index_dir, key_col, sorted(keys))
     return add_documents(index_dir, source)
+
+
+def sorted_field_topk(index_dir: str, col: str, k: int = 10) -> pa.Table:
+    """Top-k rows by the leading index-sort column WITHOUT a global sort:
+    each partition's docmap is already stored in sort order, so only its
+    first k rows are read (one leading batch per partition) and the tiny
+    partials are merged — the early-termination payoff of index-time
+    sorting (BWS-style, TopFieldCollector over a sorted index)."""
+    manifest = Manifest.load(index_dir)
+    sort_cols = manifest.config.get("index_sort") or []
+    if not sort_cols or sort_cols[0] != col:
+        raise ValueError(f"index is not sorted by leading column {col!r} "
+                         f"(index_sort={sort_cols})")
+    parts = []
+    for p in manifest.partitions:
+        pf = pq.ParquetFile(docmap_path(index_dir, p["pid"]))
+        # read ONLY the leading rows of the sorted partition
+        for batch in pf.iter_batches(batch_size=k, columns=[col, "doc_id"]):
+            parts.append(pa.Table.from_batches([batch]))
+            break
+    merged = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        merged, sort_keys=[(col, "ascending"), ("doc_id", "ascending")]
+    )
+    return merged.take(order[:k])
 
 
 def load_tombstones(index_dir: str, manifest: Manifest | None = None) -> np.ndarray:
