@@ -51,10 +51,13 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import ann, dedup, text
+    from lucene_ray.ops import ann, dedup, hnsw, shingles, text
     from lucene_ray.ops import multimodal as mm
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import relational as rel
+    from lucene_ray.pipelines.joins import join_to_parent
+    from lucene_ray.pipelines.percolate import percolate
+    from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
 
     import ray.data
 
@@ -87,6 +90,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         else:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
+
+    def _ann_hnsw(sf_dir):
+        import hashlib
+        import os
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v1".encode()).hexdigest()[:16]
+        hdir = f"/tmp/lucene_ray_cache/hnsw-{key}"
+        if os.path.exists(os.path.join(hdir, "hnsw_meta.json")):
+            idx = hnsw.HnswIndex.open(hdir)
+        else:
+            idx = hnsw.HnswIndex.build(_emb(sf_dir), hdir, m=12, ef_construction=80,
+                                       blocks=2)
+        return idx.search(_query_vec(sf_dir), k=10, ef=80).select(["rank", "vec_id"])
+
+    def _percolate(sf_dir):
+        import pyarrow.compute as _pc
+
+        regs = [
+            ("has_join", "join"),
+            ("join_and_hash", "join AND hash"),
+            ("phrase_batch_window", '"batch window"'),
+            ("gamma_or_scan_not_join", "scan NOT join"),
+        ]
+        t = percolate(_docs(sf_dir), regs).to_pandas()
+        t = t.sort_values(["doc_id", "query"]).reset_index(drop=True)
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(t, preserve_index=False)
 
     return {
         # --- full-text engine (index build + query ops, SURVEY §2.5/2.7/2.9) ---
@@ -133,6 +165,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
         "ft_facet_lang": _q(lambda sf: ft.facet_counts(sf, "join", "lang")),
         "ft_snippet_join": _q(lambda sf: ft.snippet_first_occurrence(sf, "join")),
+        # JoinUtil score modes (None exact; Max scored rows-only)
+        "ft_join_parent_counts": _q(
+            lambda sf: join_to_parent(sf, "join", "lang", score_mode="none")
+        ),
+        "ft_join_parent_scored": _q(
+            lambda sf: join_to_parent(sf, "join", "lang", score_mode="max")
+        ),
+        # expressions module: sort-by-formula (exact) + score-by-formula
+        "ft_expr_topk": _q(
+            lambda sf: expression_topk(sf, "ln(length + 1) + (doc_id % 7) * 0.01", 10)
+        ),
+        "ft_expr_rescore_join": _q(
+            lambda sf: expression_rescore(sf, "join", "_score * 0.5 + ln(length + 1)", 10)
+        ),
+        # percolator: standing queries vs the document stream
+        "percolate_matches": _q(_percolate),
+        # shingle/ngram analysis family
+        "text_shingle_top20": _q(lambda sf: shingles.shingle_counts(_docs(sf), 2, 20)),
+        "text_shingle_profile": _q(lambda sf: shingles.doc_shingle_sets(_docs(sf), 2)),
         # multimodal plumbing (deterministic stub decoder; schema/actor real)
         "mm_decode_images": _q(
             lambda sf: mm.decode_images(
@@ -148,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_top10": _q(_ann),
         "ann_ivf_top10": _q(_ann_ivf),
+        "ann_hnsw_top10": _q(_ann_hnsw),
         # --- relational operators over the TPC-H-ish tables ---
         "agg_lineitem_pricing": _q(rel.lineitem_pricing_summary),
         "join_orders_per_nation": _q(rel.orders_per_nation),
@@ -223,6 +275,49 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_extract(lower(d.text), "
             "'^(.*?(^|[^a-z0-9_]))join([^a-z0-9_]|$)', 1, 's'))::BIGINT + 4 AS end_offset "
             "FROM documents d JOIN hits USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "ft_join_parent_counts": _TOKS
+        + "SELECT d.lang AS parent, count(*)::BIGINT AS n_children "
+        "FROM documents d JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') h "
+        "USING (doc_id) GROUP BY 1 ORDER BY parent",
+        "ft_expr_topk": (
+            f"SELECT doc_id, round(ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01, 6) "
+            f"AS expr_value FROM documents "
+            f"ORDER BY ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01 DESC, doc_id "
+            "LIMIT 10"
+        ),
+        "percolate_matches": _TOKS
+        + ", j AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join'), "
+        "h AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'hash'), "
+        "s AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'scan') "
+        "SELECT * FROM ("
+        "SELECT doc_id, 'has_join' AS query FROM j "
+        "UNION ALL SELECT doc_id, 'join_and_hash' FROM j "
+        "WHERE doc_id IN (SELECT doc_id FROM h) "
+        "UNION ALL SELECT doc_id, 'phrase_batch_window' FROM documents "
+        "WHERE regexp_matches(lower(text), "
+        "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') "
+        "UNION ALL SELECT doc_id, 'gamma_or_scan_not_join' FROM s "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM j)"
+        ") ORDER BY doc_id, query",
+        "text_shingle_top20": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT a.tok || ' ' || b.tok AS shingle, count(*)::BIGINT AS n "
+            "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1 ORDER BY n DESC, shingle LIMIT 20"
+        ),
+        "text_shingle_profile": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl), "
+            "sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS s "
+            "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1) "
+            "SELECT t.doc_id, coalesce(x.n_sh, 0)::BIGINT AS n_shingles, "
+            "coalesce(x.n_u, 0)::BIGINT AS n_unique_shingles FROM tl t "
+            "LEFT JOIN (SELECT doc_id, count(*) AS n_sh, count(DISTINCT s) AS n_u "
+            "FROM sh GROUP BY doc_id) x USING (doc_id) ORDER BY t.doc_id"
         ),
         "ft_doc_freq_top20": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "

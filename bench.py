@@ -23,7 +23,9 @@ import subprocess
 import sys
 import time
 
-BENCH_CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "100000"))
+# 300k rows = the committed BENCH/BASELINE.md protocol scale, so per-round
+# driver benches are apples-to-apples with the recorded baseline numbers
+BENCH_CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "300000"))
 CORPUS_CACHE = f"/tmp/lucene_ray_bench/corpus_{BENCH_CORPUS_ROWS}.parquet"
 
 

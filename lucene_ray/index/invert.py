@@ -120,8 +120,10 @@ def tokenize_column(
         lengths = ends - starts
 
     total = len(starts)
-    # doc of each token
-    doc_idx = np.searchsorted(doc_offsets, starts + base, side="right") - 1
+    # doc of each token — int32 intermediates: the per-token arrays dominate
+    # the inverter's memory traffic, and this host's memory path saturates
+    # early, so narrower rows buy real parallel headroom
+    doc_idx = (np.searchsorted(doc_offsets, starts + base, side="right") - 1).astype(np.int32)
     # concatenated token bytes == the data buffer with separator bytes
     # dropped — one boolean mask, no gather-index arrays (token order and
     # intra-token byte order are both preserved)
@@ -150,9 +152,9 @@ def tokenize_column(
         counts = np.bincount(doc_idx, minlength=n_docs)
         doc_first = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=doc_first[1:])
-        positions = np.arange(total, dtype=np.int64) - doc_first[doc_idx]
+        positions = (np.arange(total, dtype=np.int64) - doc_first[doc_idx]).astype(np.int32)
     else:
-        positions = np.zeros(0, dtype=np.int64)
+        positions = np.zeros(0, dtype=np.int32)
 
     if with_offsets:
         # char index = count of non-continuation UTF-8 bytes before the
@@ -221,7 +223,7 @@ def invert_partition(
     dict_arr = flat.dictionary_encode()
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
-    tok_ids = np.asarray(dict_arr.indices, dtype=np.int64)
+    tok_ids = np.asarray(dict_arr.indices, dtype=np.int32)
     vocab = dict_arr.dictionary
 
     # tokens already arrive in (doc, position) order, so ONE stable sort by

@@ -1,0 +1,68 @@
+"""Query-time join to a parent key with score modes — completing the
+JoinUtil surface (lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java:56,91:
+``createJoinQuery(fromField, fromQuery, toField, scoreMode)`` with score
+modes None/Avg/Max/Total) over the engine's stored-field columns: child
+docs matching ``child_query`` are grouped by a docmap column and each
+parent receives the mode-aggregated child score.
+
+True index-time parent/child BLOCKS (ToParentBlockJoinQuery over
+``addDocuments`` blocks) are not represented in the flat input-hint schema;
+the value-keyed join is the Ray-native equivalent (documented divergence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCORE_MODES = ("none", "avg", "max", "total")
+
+
+def join_to_parent(sf_dir: str, child_query, parent_col: str = "source",
+                   score_mode: str = "max") -> pa.Table:
+    """(parent, n_children[, score]) per parent with >=1 matching child,
+    sorted by parent. ``score`` (float64, rounded) appears for modes other
+    than 'none'; child scores are the engine's float32 BM25 scores."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.pipelines.fulltext import documents_index
+    from lucene_ray.search.query import parse_query
+    from lucene_ray.search.searcher import Searcher
+
+    reader: IndexReader = documents_index(sf_dir)
+    q = parse_query(child_query) if isinstance(child_query, str) else child_query
+    td = Searcher(reader).search(q, 10**9, total_hits_threshold=None)
+    if len(td.doc_ids) == 0:
+        cols = {"parent": pa.array([], pa.string()),
+                "n_children": pa.array([], pa.int64())}
+        if score_mode != "none":
+            cols["score"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    rows = reader.lookup_docs(td.doc_ids, columns=["doc_id", parent_col])
+    m = dict(zip(rows.column("doc_id").to_pylist(), rows.column(parent_col).to_pylist()))
+    parents = np.array([m[int(g)] for g in td.doc_ids], dtype=object)
+    order = np.argsort(parents, kind="stable")
+    p_s = parents[order]
+    s_s = td.scores[order].astype(np.float64)
+    chg = np.empty(len(p_s), dtype=bool)
+    chg[0] = True
+    chg[1:] = p_s[1:] != p_s[:-1]
+    starts = np.flatnonzero(chg)
+    counts = np.diff(np.append(starts, len(p_s)))
+    keys = p_s[starts]
+    cols = {
+        "parent": pa.array(keys.tolist(), pa.string()),
+        "n_children": pa.array(counts, pa.int64()),
+    }
+    if score_mode != "none":
+        sums = np.add.reduceat(s_s, starts)
+        if score_mode == "total":
+            score = sums
+        elif score_mode == "avg":
+            score = sums / counts
+        else:  # max
+            score = np.maximum.reduceat(s_s, starts)
+        cols["score"] = pa.array(np.round(score, 6), pa.float64())
+    t = pa.table(cols)
+    return t.take(pa.compute.sort_indices(t, sort_keys=[("parent", "ascending")]))

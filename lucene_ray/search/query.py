@@ -227,20 +227,19 @@ def parse_query(s: str, analyzer=None) -> Query:
         sign, first = parse_clause()
         must, should, must_not = [], [], []
         (must_not if sign else should).append(first)
-        mode = None
         while peek() in ("AND", "OR"):
             mode = advance()
             sign, q = parse_clause()
             if sign:
                 must_not.append(q)
             elif mode == "AND":
+                # AND binds its left neighbor too: "a AND b" => +a +b
+                # (classic-parser simplification)
+                if should:
+                    must.append(should.pop())
                 must.append(q)
             else:
                 should.append(q)
-        if mode == "AND" and should and not must:
-            # "a AND b": the first clause is a MUST too
-            must = should + must
-            should = []
         while peek() not in (None, ")"):
             sign, q = parse_clause()
             (must_not if sign else should).append(q)

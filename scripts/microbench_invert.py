@@ -1,0 +1,104 @@
+"""Multiprocessing microbench of the pure inversion kernel OUTSIDE Ray.
+
+Purpose: make the host-memory-ceiling claim in BENCH/BASELINE.md
+independently checkable. Each worker process inverts the SAME deterministic
+corpus slice-by-slice (identical work per process, no Ray, no shuffle, no
+object store); the aggregate docs/sec at 2 / 8 / 32 processes shows where
+the VM's memory subsystem saturates. If the knee is the same as the Ray
+pipeline's (flat 8->32), the 8->32 scaling number measures the host, not
+the engine.
+
+Usage:  python scripts/microbench_invert.py [--rows 4000] [--reps 3]
+Writes one JSON line to stdout and appends it to BENCH/microbench.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _worker(rows: int, reps: int, slice_docs: int, barrier, out_q) -> None:
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    import pyarrow as pa
+
+    from lucene_ray.fixtures import make_corpus
+    from lucene_ray.index.invert import invert_partition
+
+    try:
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+    content = make_corpus(rows, seed=42).column("content").combine_chunks()
+
+    def one_pass():
+        for s0 in range(0, rows, slice_docs):
+            invert_partition(content.slice(s0, min(slice_docs, rows - s0)))
+
+    one_pass()  # untimed warm-up: fault pages, compile numpy paths
+    barrier.wait()  # all workers start the timed window together
+    t0 = time.time()
+    for _ in range(reps):
+        one_pass()
+    out_q.put(time.time() - t0)
+
+
+def run_level(n_procs: int, rows: int, reps: int, slice_docs: int) -> float:
+    barrier = mp.Barrier(n_procs)
+    out_q = mp.Queue()
+    procs = [
+        mp.Process(target=_worker, args=(rows, reps, slice_docs, barrier, out_q))
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    times = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    wall = max(times)
+    return n_procs * rows * reps / wall  # aggregate docs/sec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--slice", type=int, default=1024)
+    ap.add_argument("--levels", type=str, default="2,8,32")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    results: dict[str, float] = {}
+    # best-of-2 interleaved, mirroring bench.py --scaling protocol
+    for attempt in range(2):
+        order = levels if attempt % 2 == 0 else list(reversed(levels))
+        for n in order:
+            d = run_level(n, args.rows, args.reps, args.slice)
+            results[str(n)] = max(results.get(str(n), 0.0), round(d, 1))
+    out = {
+        "metric": "invert_kernel_docs_per_sec_multiprocessing",
+        "note": "pure inversion kernel, no Ray; identical work per process",
+        "rows_per_proc": args.rows,
+        "reps": args.reps,
+        "docs_per_sec": results,
+    }
+    if "8" in results and "32" in results:
+        out["eff_8_32"] = round(results["32"] / results["8"] / 4, 3)
+    if "2" in results and "8" in results:
+        out["eff_2_8"] = round(results["8"] / results["2"] / 4, 3)
+    print(json.dumps(out))
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "microbench.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%d %H:%M:%S"), **out}) + "\n")
+
+
+if __name__ == "__main__":
+    main()

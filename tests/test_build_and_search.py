@@ -137,9 +137,19 @@ def test_query_parser(searcher, oracle):
         np.testing.assert_array_equal(got.doc_ids, exp_ids, err_msg=qs)
 
     q = parse_query('"import return"~2')
+    from lucene_ray.search.query import BooleanQuery as BQ
     from lucene_ray.search.query import PhraseQuery as PQ
+    from lucene_ray.search.query import TermQuery as TQ
 
     assert isinstance(q, PQ) and q.slop == 2
+
+    # "a AND b" requires BOTH terms (the left neighbor becomes MUST too)
+    q = parse_query("import AND return")
+    assert isinstance(q, BQ)
+    assert set(q.must) == {TQ("import"), TQ("return")} and not q.should
+    q = parse_query("import AND return OR def")
+    assert set(q.must) == {TQ("import"), TQ("return")}
+    assert set(q.should) == {TQ("def")}
 
 
 def test_resume_skips_completed_partitions(built_index, tmp_path):

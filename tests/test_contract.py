@@ -28,6 +28,11 @@ SUBSET = [
     "ft_collection_stats",
     "dedup_exact",
     "dedup_embedding_pairs",
+    "ft_join_parent_counts",
+    "ft_expr_topk",
+    "percolate_matches",
+    "text_shingle_top20",
+    "text_shingle_profile",
     "text_token_stats",
     "text_quality",
     "ann_cosine_top10",
@@ -93,6 +98,7 @@ def test_all_queries_run_and_oracles_are_subset(ray_session):
     # rows-only queries at least execute and return a well-formed result
     for name in ["dedup_minhash_pairs", "dedup_simhash_sigs", "dedup_simhash_pairs",
                  "dedup_embedding_pairs_lsh", "text_langid",
-                 "ann_ivf_top10", "ft_bm25_top10_customer"]:
+                 "ann_ivf_top10", "ann_hnsw_top10", "ft_bm25_top10_customer",
+                 "ft_join_parent_scored", "ft_expr_rescore_join"]:
         out = _to_pandas(qs[name](SF))
         assert out is not None and len(out.columns) > 0
