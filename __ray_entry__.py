@@ -51,13 +51,16 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import ann, dedup, hnsw, shingles, text
+    from lucene_ray.ops import ann, dedup, hnsw, shingles, sketch, text
     from lucene_ray.ops import multimodal as mm
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import relational as rel
+    from lucene_ray.pipelines.highlight import highlight_first
     from lucene_ray.pipelines.joins import join_to_parent
     from lucene_ray.pipelines.percolate import percolate
     from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
+    from lucene_ray.pipelines.shuffle_join import order_revenue
+    from lucene_ray.pipelines.windows import session_windows, sliding_window_counts
 
     import ray.data
 
@@ -206,6 +209,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_top_orders": _q(rel.top_orders),
         "events_tumbling_daily": _q(rel.events_tumbling_daily),
         "events_top_users": _q(rel.top_users_by_events),
+        "events_session_windows": _q(session_windows),
+        "events_sliding_counts": _q(sliding_window_counts),
+        # large-large shuffle join (neither side broadcast)
+        "join_order_revenue": _q(order_revenue),
+        # offsets-consuming highlighter (fragment around first occurrence)
+        "ft_highlight_join": _q(lambda sf: highlight_first(sf, "join", width=20)),
+        # mergeable-sketch approximate distinct (HyperLogLog, deterministic)
+        "text_approx_distinct_tokens": _q(
+            lambda sf: sketch.approx_distinct_tokens(_docs(sf))
+        ),
         "part_price_stats": _q(rel.supplier_part_stats),
         "distinct_order_priorities": _q(rel.distinct_order_priorities),
         "grouped_topk_orders": _q(rel.grouped_topk_orders),
@@ -391,6 +404,45 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        "events_session_windows": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE OR "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END "
+            "AS new_s FROM events), "
+            "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, max(sid)::BIGINT AS n_sessions, "
+            "max(cnt)::BIGINT AS max_session_events, sum(cnt)::BIGINT AS n_events FROM "
+            "(SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY user_id, sid) "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "events_sliding_counts": (
+            "WITH w AS (SELECT event_type, "
+            "to_timestamp((epoch_us(ts) // 86400000000 - s.i) * 86400)::TIMESTAMP "
+            "AS window_start FROM events, (SELECT unnest(range(7)) AS i) s "
+            "WHERE epoch_us(ts) // 86400000000 - s.i >= 0) "
+            "SELECT event_type, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "count(*)::BIGINT AS n_events FROM w "
+            "GROUP BY 1, 2 ORDER BY event_type, window_start"
+        ),
+        "join_order_revenue": (
+            "SELECT o_orderkey, round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) "
+            "AS revenue, count(*)::BIGINT AS n_items "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "ft_highlight_join": (
+            "WITH hits AS (SELECT doc_id FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS tok "
+            "FROM documents) WHERE tok = 'join' GROUP BY doc_id), "
+            "st AS (SELECT d.doc_id, lower(d.text) AS lt, "
+            "length(regexp_extract(lower(d.text), "
+            "'^(.*?(^|[^a-z0-9_]))join([^a-z0-9_]|$)', 1, 's')) AS s "
+            "FROM documents d JOIN hits USING (doc_id)) "
+            "SELECT doc_id, s::BIGINT AS start_offset, (s + 4)::BIGINT AS end_offset, "
+            "substring(lt, greatest(1, s - 20 + 1), (s + 4 + 20) - greatest(0, s - 20)) "
+            "AS fragment FROM st ORDER BY doc_id"
         ),
         "part_price_stats": (
             "SELECT p_type, count(*)::BIGINT AS n_parts, "

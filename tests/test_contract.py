@@ -41,6 +41,10 @@ SUBSET = [
     "sort_top_orders",
     "events_tumbling_daily",
     "events_top_users",
+    "events_session_windows",
+    "events_sliding_counts",
+    "join_order_revenue",
+    "ft_highlight_join",
     "part_price_stats",
     "distinct_order_priorities",
     "filter_high_value_orders",
@@ -99,6 +103,7 @@ def test_all_queries_run_and_oracles_are_subset(ray_session):
     for name in ["dedup_minhash_pairs", "dedup_simhash_sigs", "dedup_simhash_pairs",
                  "dedup_embedding_pairs_lsh", "text_langid",
                  "ann_ivf_top10", "ann_hnsw_top10", "ft_bm25_top10_customer",
-                 "ft_join_parent_scored", "ft_expr_rescore_join"]:
+                 "ft_join_parent_scored", "ft_expr_rescore_join",
+                 "text_approx_distinct_tokens"]:
         out = _to_pandas(qs[name](SF))
         assert out is not None and len(out.columns) > 0
