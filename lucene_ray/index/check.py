@@ -95,6 +95,22 @@ def check_index(index_dir: str, verbose: bool = False) -> dict:
                 pos = decode_positions(pos_enc, freqs)
                 if len(pos) != int(freqs.sum()):
                     fail(f"seg {seg} term {term}: position count mismatch")
+            if "off_enc" in tbl.column_names:
+                off_enc = tbl.column("off_enc")[i].as_py()
+                if off_enc:
+                    from lucene_ray.codec.postings import decode_offsets
+
+                    s, e = decode_offsets(off_enc, freqs)
+                    if len(s) != int(freqs.sum()):
+                        fail(f"seg {seg} term {term}: offsets count mismatch")
+                    if (e < s).any():
+                        fail(f"seg {seg} term {term}: negative-length offset span")
+                    # within each doc, occurrence starts must be ascending
+                    d_idx = np.repeat(np.arange(len(freqs)), freqs)
+                    if len(s) > 1:
+                        same_doc = d_idx[1:] == d_idx[:-1]
+                        if (s[1:][same_doc] < s[:-1][same_doc]).any():
+                            fail(f"seg {seg} term {term}: offsets not ascending within doc")
             imp_f = np.asarray(tbl.column("impact_freqs")[i].as_py(), dtype=np.int64)
             imp_n = np.asarray(tbl.column("impact_norms")[i].as_py(), dtype=np.int64)
             if len(imp_f):

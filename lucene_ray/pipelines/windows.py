@@ -12,36 +12,65 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+def session_windows(sf_dir: str, gap_minutes: int = 30,
+                    n_buckets: int = 64) -> pa.Table:
     """Per user: number of sessions (split where the gap between
     consecutive events exceeds ``gap_minutes``), events in the largest
-    session, and total events. groupby(user).map_groups — sessions are
-    per-user state, so the user key is the only shuffle."""
+    session, and total events.
+
+    Sessions are per-user state, so user is the logical shuffle key — but
+    the PHYSICAL key is ``hash(user) % n_buckets``: each ``map_groups``
+    call sessionizes a whole bucket of users vectorized (lexsort by
+    (user, ts) + boundary scan), amortizing per-group overhead the same
+    way the merge shuffle buckets terms."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        h = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+        )
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "max_session_events": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+
     def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(np.asarray(group.column("ts"), dtype="datetime64[us]").astype(np.int64))
-        if len(ts) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "n_sessions": pa.array([], pa.int64()),
-                             "max_session_events": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64())})
-        new_session = np.empty(len(ts), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        counts = np.bincount(sid)[1:]
-        uid = group.column("user_id")[0].as_py()
+        n = len(group)
+        if n == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts"), dtype="datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, u))
+        u_s, t_s = u[order], ts[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        # per-session event counts
+        s_starts = np.flatnonzero(new_session)
+        s_counts = np.diff(np.append(s_starts, n))
+        # sessions grouped by user: user of each session + reduceat spans
+        u_starts = np.flatnonzero(new_user)
+        sess_user_bounds = np.searchsorted(s_starts, u_starts)
+        users = u_s[u_starts]
+        n_sessions = np.diff(np.append(sess_user_bounds, len(s_starts)))
+        max_ev = np.maximum.reduceat(s_counts, sess_user_bounds)
+        n_events = np.diff(np.append(u_starts, n))
         return pa.table({
-            "user_id": pa.array([uid], pa.int64()),
-            "n_sessions": pa.array([int(sid[-1])], pa.int64()),
-            "max_session_events": pa.array([int(counts.max())], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
+            "max_session_events": pa.array(max_ev.astype(np.int64), pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
         })
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
         .sort_values("user_id")
