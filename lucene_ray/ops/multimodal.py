@@ -125,7 +125,7 @@ class FrameSample:
         )
 
 
-def decode_images(ds: ray.data.Dataset, concurrency: int = 2,
+def decode_images(ds: ray.data.Dataset, concurrency=(1, 4),
                   batch_size: int = 64) -> ray.data.Dataset:
     """Image decode pipeline: small batches (binary rows are heavy), actor
     pool sized explicitly, zero-copy Arrow in/out."""
@@ -139,7 +139,7 @@ def decode_images(ds: ray.data.Dataset, concurrency: int = 2,
 
 
 def sample_frames(ds: ray.data.Dataset, frames_per_clip: int = 4,
-                  concurrency: int = 2, batch_size: int = 32) -> ray.data.Dataset:
+                  concurrency=(1, 4), batch_size: int = 32) -> ray.data.Dataset:
     return ds.map_batches(
         FrameSample,
         fn_constructor_kwargs={"frames_per_clip": frames_per_clip},

@@ -216,7 +216,9 @@ def _count_from(offs: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    # autoscaling pool (min 1): a fixed pool equal to the CPU count would
+    # starve the upstream read task
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
 class BpeishCounter:
@@ -244,4 +246,4 @@ class BpeishCounter:
 
 
 def bpe_token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(BpeishCounter, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(BpeishCounter, batch_format="pyarrow", concurrency=(1, 4))

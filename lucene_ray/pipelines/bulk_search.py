@@ -63,11 +63,15 @@ class QueryShard:
         )
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class QueryShardActor:
     """Long-lived serving actor owning a fixed subset of segments — the
     persistent form of the QueryShard map_batches stage (one IndexReader
-    loaded in __init__, reused across every call; SURVEY §2.3)."""
+    loaded in __init__, reused across every call; SURVEY §2.3).
+
+    num_cpus=0.25: serving actors are idle between queries; a full CPU
+    reservation per actor would starve co-running pipelines on small
+    clusters (on a real serving tier you'd pin dedicated nodes instead)."""
 
     def __init__(self, index_dir: str, segs: list[int]):
         self.reader = IndexReader(index_dir)

@@ -151,8 +151,12 @@ class Percolator:
 
 def percolate(ds: ray.data.Dataset, queries: list[tuple[str, "Query | str"]],
               text_col: str = "text", id_col: str = "doc_id",
-              concurrency: int = 2) -> ray.data.Dataset:
-    """(id, query_name) for every (doc, registered query) match."""
+              concurrency: tuple[int, int] | int = (1, 4)) -> ray.data.Dataset:
+    """(id, query_name) for every (doc, registered query) match.
+
+    The actor pool autoscales from 1 (an exact ``concurrency=N`` pool of
+    1-CPU actors deadlocks the pipeline when N equals the cluster's CPU
+    count — the upstream read task can never schedule)."""
     return ds.map_batches(
         Percolator,
         fn_constructor_args=(queries, text_col, id_col),
