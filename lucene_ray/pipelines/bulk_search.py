@@ -63,15 +63,17 @@ class QueryShard:
         )
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class QueryShardActor:
     """Long-lived serving actor owning a fixed subset of segments — the
     persistent form of the QueryShard map_batches stage (one IndexReader
     loaded in __init__, reused across every call; SURVEY §2.3).
 
-    num_cpus=0.25: serving actors are idle between queries; a full CPU
-    reservation per actor would starve co-running pipelines on small
-    clusters (on a real serving tier you'd pin dedicated nodes instead)."""
+    num_cpus=0: serving actors are idle between query bursts, and ANY
+    standing reservation from a long-lived pool deadlocks co-running
+    Dataset pipelines on small clusters (a 0.25 reservation pushed a
+    2-CPU cluster's demand to 2.25 and wedged a read task forever). On a
+    real serving tier these actors get dedicated nodes instead."""
 
     def __init__(self, index_dir: str, segs: list[int]):
         self.reader = IndexReader(index_dir)
