@@ -134,6 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_or_not_hits": _q(
             lambda sf: ft.bool_hits(sf, should=("join", "hash"), must_not=("scan",))
         ),
+        "ft_bool_msm_hits": _q(
+            lambda sf: ft.bool_hits(sf, should=("join", "hash", "scan"),
+                                    minimum_should_match=2)
+        ),
+        "ft_regexp_hits": _q(lambda sf: ft.regexp_hits(sf, "jo.*n")),
+        "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
         "ft_phrase_slop_hits": _q(
             lambda sf: ft.phrase_hits(sf, ["batch", "window"], slop=3)
@@ -244,6 +250,16 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join','hash') "
         "AND doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'scan') "
         "ORDER BY doc_id",
+        "ft_bool_msm_hits": _TOKS
+        + "SELECT doc_id FROM toks WHERE tok IN ('join','hash','scan') "
+        "GROUP BY doc_id HAVING count(DISTINCT tok) >= 2 ORDER BY doc_id",
+        "ft_regexp_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(tok, 'jo.*n') "
+        "ORDER BY doc_id",
+        "ft_suggest_s": _TOKS
+        + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
+        "ORDER BY doc_freq DESC, term LIMIT 10",
         "ft_phrase_hits": (
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"

@@ -120,15 +120,42 @@ def term_hits_after_delete(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
 
 
-def bool_hits(sf_dir: str, must=(), should=(), must_not=()) -> pa.Table:
+def bool_hits(sf_dir: str, must=(), should=(), must_not=(),
+              minimum_should_match: int = 0) -> pa.Table:
     from lucene_ray.search.query import BooleanQuery, TermQuery
 
     q = BooleanQuery(
         must=[TermQuery(t) for t in must],
         should=[TermQuery(t) for t in should],
         must_not=[TermQuery(t) for t in must_not],
+        minimum_should_match=minimum_should_match,
     )
     return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def regexp_hits(sf_dir: str, pattern: str) -> pa.Table:
+    from lucene_ray.search.query import RegexpQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, RegexpQuery(pattern)))
+
+
+def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
+    """Top-k completion suggestions for a prefix, ranked by doc_freq desc
+    then term asc — the suggest-module shape (a weighted prefix lookup over
+    the term dictionary, lucene/suggest/.../analyzing/AnalyzingSuggester.java)
+    served from the sorted term_stats table with range pruning."""
+    import pyarrow.dataset as pads
+
+    reader = documents_index(sf_dir)
+    tbl = reader._term_stats_ds.to_table(
+        columns=["term", "doc_freq"],
+        filter=(pads.field("term") >= prefix) & (pads.field("term") < prefix + "￿"),
+    )
+    df = tbl.to_pandas()
+    df = df[df["term"].str.startswith(prefix)]
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    df = df.sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
 def phrase_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:

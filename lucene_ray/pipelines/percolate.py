@@ -111,10 +111,24 @@ class Percolator:
             global_ids=np.arange(n, dtype=np.uint64),
         )
         ctx.with_positions = self.need_pos
-        # load the mini index straight from the partial-postings rows: the
-        # per-term vbyte pos stream is exactly what decode_positions expects
+        # load the mini index straight from the partial-postings rows — but
+        # ONLY the terms the registered queries can touch (direct terms +
+        # multi-term expansions against the batch vocabulary); the per-term
+        # vbyte pos stream is exactly what decode_positions expects
         vocab = partials.column("term").to_pylist()
-        for i, t in enumerate(vocab):
+        row_of = {t: i for i, t in enumerate(vocab)}
+        all_expansions: dict = {}
+        needed: set[str] = set()
+        for _, q in self.queries:
+            needed |= collect_terms(q)
+            for m in collect_multi_term(q):
+                if m not in all_expansions:
+                    all_expansions[m] = _expand_against_vocab(m, vocab)
+                needed.update(all_expansions[m])
+        for t in needed:
+            i = row_of.get(t)
+            if i is None:
+                continue
             docs = np.asarray(partials.column("doc_offsets")[i].values, dtype=np.int64)
             freqs = np.asarray(partials.column("freqs")[i].values, dtype=np.int64)
             pos = (
@@ -129,9 +143,7 @@ class Percolator:
         for name, q in self.queries:
             terms = collect_terms(q)
             scorers = {t: _ConstScorer() for t in terms if t in ctx._decoded}
-            expansions = {
-                m: _expand_against_vocab(m, vocab) for m in collect_multi_term(q)
-            }
+            expansions = {m: all_expansions[m] for m in collect_multi_term(q)}
             phrase_scorers = {}
             from lucene_ray.search.searcher import _collect_phrases
 

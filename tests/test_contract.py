@@ -20,6 +20,9 @@ SUBSET = [
     "ft_term_freqs_hash",
     "ft_bool_and_hits",
     "ft_bool_or_not_hits",
+    "ft_bool_msm_hits",
+    "ft_regexp_hits",
+    "ft_suggest_s",
     "ft_phrase_hits",
     "ft_phrase_slop_hits",
     "ft_snippet_join",
