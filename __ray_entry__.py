@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ft_regexp_hits": _q(lambda sf: ft.regexp_hits(sf, "jo.*n")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
+        "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
         "ft_phrase_slop_hits": _q(
             lambda sf: ft.phrase_hits(sf, ["batch", "window"], slop=3)
@@ -260,6 +261,11 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
         "ORDER BY doc_freq DESC, term LIMIT 10",
+        "ft_spell_joib": _TOKS
+        + "SELECT tok AS term, levenshtein(tok, 'joib')::BIGINT AS distance, "
+        "count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks WHERE tok <> '' "
+        "GROUP BY tok HAVING levenshtein(tok, 'joib') <= 2 "
+        "ORDER BY distance, doc_freq DESC, term LIMIT 5",
         "ft_phrase_hits": (
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"

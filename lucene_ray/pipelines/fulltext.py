@@ -216,6 +216,45 @@ def term_freqs(sf_dir: str, term: str) -> pa.Table:
     )
 
 
+def _levenshtein(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def spell_correct(sf_dir: str, term: str, max_edits: int = 2, k: int = 5) -> pa.Table:
+    """Did-you-mean candidates: dictionary terms within ``max_edits``
+    Levenshtein distance, ranked (distance asc, doc_freq desc, term asc) —
+    the spellchecker-module shape (lucene/suggest/src/java/org/apache/lucene/
+    search/spell/DirectSpellChecker.java) over the term-stats dictionary."""
+    reader = documents_index(sf_dir)
+    tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
+    terms = tbl.column("term").to_pylist()
+    dfs = tbl.column("doc_freq").to_pylist()
+    rows = []
+    for t, df in zip(terms, dfs):
+        if abs(len(t) - len(term)) > max_edits:
+            continue
+        d = _levenshtein(t, term)
+        if d <= max_edits:
+            rows.append((d, -int(df), t))
+    rows.sort()
+    rows = rows[:k]
+    return pa.table(
+        {
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "distance": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_freq": pa.array([-r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
     """(doc_id, start_offset, end_offset) of the FIRST occurrence of a term
     per matching doc — the offsets-consuming highlight primitive (offsets

@@ -121,6 +121,61 @@ class Searcher:
             exact = exact and ex
         return merge_topk(doc_parts, score_parts, total, k, exact)
 
+    def explain(self, query: Query | str, global_doc_id: int) -> dict:
+        """Score breakdown for one (query, doc) — the Explanation contract
+        (lucene/core/src/java/org/apache/lucene/search/Weight.java explain;
+        BaseSimilarityTestCase asserts score == explain value). Returns
+        {value, description, children}; value is the float32 score the doc
+        receives from search (0 if it does not match)."""
+        q = parse_query(query) if isinstance(query, str) else query
+        gid = np.uint64(global_doc_id)
+        all_terms, scorers, phrase_scorers, expansions = self.plan(q)
+        need_pos = bool(_collect_phrases(q))
+        for seg in self.reader.segs:
+            gids = self.reader.global_doc_ids(seg)
+            pos = np.searchsorted(gids, gid)
+            if pos >= len(gids) or gids[pos] != gid:
+                continue
+            ss = self.segment_scorer(
+                seg, all_terms, scorers, phrase_scorers, expansions, need_pos
+            )
+            return self._explain_node(q, ss, int(pos))
+        return {"value": 0.0, "description": "doc not found in any segment",
+                "children": []}
+
+    def _explain_node(self, q: Query, ss, local_doc: int) -> dict:
+        from lucene_ray.search.query import BooleanQuery, TermQuery
+
+        docs, scores = ss.evaluate(q)
+        idx = np.searchsorted(docs, local_doc)
+        matched = idx < len(docs) and docs[idx] == local_doc
+        value = float(scores[idx]) if matched else 0.0
+        node = {
+            "value": value,
+            "description": f"{type(q).__name__}({getattr(q, 'term', getattr(q, 'terms', ''))})"
+                           + (": match" if matched else ": no match"),
+            "children": [],
+        }
+        if matched and isinstance(q, TermQuery) and q.term in ss.scorers:
+            sc = ss.scorers[q.term]
+            tp = ss.ctx.postings(q.term)
+            f = int(tp.freqs[np.searchsorted(tp.docs, local_doc)])
+            nb = int(ss.ctx.norms[local_doc])
+            from lucene_ray.codec.smallfloat import LENGTH_TABLE
+
+            node["children"] = [
+                {"value": float(sc.idf), "description": "idf", "children": []},
+                {"value": float(f), "description": "freq", "children": []},
+                {"value": float(LENGTH_TABLE[nb]), "description": "dl (decoded norm)",
+                 "children": []},
+                {"value": float(getattr(sc, "avgdl", 0.0)), "description": "avgdl",
+                 "children": []},
+            ]
+        elif isinstance(q, BooleanQuery):
+            for c in (*q.must, *q.should):
+                node["children"].append(self._explain_node(c, ss, local_doc))
+        return node
+
     def count(self, query: Query | str) -> int:
         """Exact hit count — the TotalHitCountCollector analog."""
         td = self.search(query, k=1, total_hits_threshold=None)

@@ -152,6 +152,28 @@ def test_query_parser(searcher, oracle):
     assert set(q.should) == {TQ("def")}
 
 
+def test_explain_value_equals_search_score(searcher):
+    """Explanation contract: explain(q, doc).value == the score search gives
+    that doc (BaseSimilarityTestCase consistency-with-explain pattern)."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery, parse_query
+
+    for qs in ["import", "import AND return", "def OR class"]:
+        q = parse_query(qs)
+        td = searcher.search(q, 5)
+        for gid, score in zip(td.doc_ids, td.scores):
+            ex = searcher.explain(q, int(gid))
+            assert ex["value"] == float(score), (qs, gid)
+            assert "match" in ex["description"]
+    # a doc that does not match explains to 0 (uniq_* terms are singletons)
+    td_all = searcher.search(TermQuery("uniq_1"), 10**9, total_hits_threshold=None)
+    matching = set(int(g) for g in td_all.doc_ids)
+    some_doc = next(
+        int(g) for g in searcher.reader.global_doc_ids(searcher.reader.segs[0])
+        if int(g) not in matching
+    )
+    assert searcher.explain(TermQuery("uniq_1"), some_doc)["value"] == 0.0
+
+
 def test_resume_skips_completed_partitions(built_index, tmp_path):
     """F6: a build interrupted mid-way resumes, skipping finished partitions,
     and produces identical artifacts."""

@@ -23,6 +23,7 @@ SUBSET = [
     "ft_bool_msm_hits",
     "ft_regexp_hits",
     "ft_suggest_s",
+    "ft_spell_joib",
     "ft_phrase_hits",
     "ft_phrase_slop_hits",
     "ft_snippet_join",
