@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ft.bool_hits(sf, should=("join", "hash", "scan"),
                                     minimum_should_match=2)
         ),
+        # keyword field (StringField analog): atomic lang:en term AND a
+        # content-field term, both served from the same postings
+        "ft_keyword_filter": _q(
+            lambda sf: ft.bool_hits(sf, must=("lang:en", "join"))
+        ),
         "ft_regexp_hits": _q(lambda sf: ft.regexp_hits(sf, "jo.*n")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
@@ -254,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_msm_hits": _TOKS
         + "SELECT doc_id FROM toks WHERE tok IN ('join','hash','scan') "
         "GROUP BY doc_id HAVING count(DISTINCT tok) >= 2 ORDER BY doc_id",
+        "ft_keyword_filter": _TOKS
+        + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
+        "WHERE t.tok = 'join' AND d.lang = 'en' ORDER BY doc_id",
         "ft_regexp_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(tok, 'jo.*n') "
         "ORDER BY doc_id",

@@ -69,6 +69,11 @@ class IndexConfig:
     # IndexWriterConfig.setIndexSort analog (IndexWriterConfig.java:475);
     # enables early-terminated top-k by the sort field (sorted_field_topk)
     index_sort: tuple = ()
+    # columns indexed as atomic keyword terms "col:value" in the same
+    # postings (StringField/KeywordField analog, document/StringField.java):
+    # not analyzed, freq 1, excluded from field length/norms and from the
+    # content field's term dictionary scans (per-field term namespaces)
+    keyword_cols: tuple = ()
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
@@ -83,6 +88,7 @@ class IndexConfig:
         d["id_cols"] = list(self.id_cols)
         d["stopwords"] = list(self.stopwords)
         d["index_sort"] = list(self.index_sort)
+        d["keyword_cols"] = list(self.keyword_cols)
         return d
 
 
@@ -196,7 +202,9 @@ class _StageA:
         out = {"pid": [], "rows": [], "tokens": [], "terms": []}
         for spec in batch.to_pylist():
             pid = spec["pid"]
-            cols = list(dict.fromkeys([*cfg.id_cols, *cfg.index_sort, cfg.content_col]))
+            cols = list(dict.fromkeys(
+                [*cfg.id_cols, *cfg.index_sort, *cfg.keyword_cols, cfg.content_col]
+            ))
             pf = pq.ParquetFile(spec["file"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
             rr = spec.get("row_range")
@@ -227,13 +235,18 @@ class _StageA:
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
                 norm_parts.append(nrms)
-            partials = merge_partials(slice_tables)
             lengths = (
                 np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64)
             )
             norms = (
                 np.concatenate(norm_parts) if norm_parts else np.zeros(0, np.uint8)
             )
+            if cfg.keyword_cols:
+                slice_tables.append(
+                    _keyword_partials(tbl, cfg.keyword_cols, norms,
+                                      cfg.with_positions, cfg.with_offsets)
+                )
+            partials = merge_partials(slice_tables)
             n = len(tbl)
             offsets = np.arange(n, dtype=np.uint32)
             doc_ids = (np.uint64(pid) << np.uint64(32)) | offsets.astype(np.uint64)
@@ -268,6 +281,59 @@ class _StageA:
             out["tokens"].append(int(lengths.sum()))
             out["terms"].append(len(partials))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
+                      with_positions: bool, with_offsets: bool) -> pa.Table:
+    """Partial-postings rows for keyword fields: one term ``col:value`` per
+    distinct value, freq 1 per doc, doc's norm byte carried (keyword terms
+    never contribute to field length — StringField semantics). Positions
+    are a constant 0 (one vbyte 0x00 per occurrence) so the shared chunk
+    machinery needs no special case; offsets likewise (0, 0)."""
+    parts = {"term": [], "df": [], "ttf": [], "doc_offsets": [], "freqs": [],
+             "norms": [], "pos_enc": [], "off_enc": []}
+    n = len(tbl)
+    for col in keyword_cols:
+        vals = tbl.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        d = vals.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        vocab = d.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")  # docs ascending per value
+        c_s = codes[order]
+        docs_s = order.astype(np.uint32)
+        chg = np.empty(n, dtype=bool)
+        if n == 0:
+            continue
+        chg[0] = True
+        chg[1:] = c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(chg)
+        counts = np.diff(np.append(starts, n))
+        for si, cnt in zip(starts, counts):
+            docs = docs_s[si : si + cnt]
+            parts["term"].append(f"{col}:{vocab[c_s[si]]}")
+            parts["df"].append(int(cnt))
+            parts["ttf"].append(int(cnt))
+            parts["doc_offsets"].append(docs.tolist())
+            parts["freqs"].append([1] * int(cnt))
+            parts["norms"].append(norms[docs].tolist())
+            parts["pos_enc"].append(b"\x00" * int(cnt) if with_positions else b"")
+            parts["off_enc"].append(b"\x00\x00" * int(cnt) if with_offsets else b"")
+    return pa.table(
+        {
+            "term": pa.array(parts["term"], pa.string()),
+            "df": pa.array(parts["df"], pa.int64()),
+            "ttf": pa.array(parts["ttf"], pa.int64()),
+            "doc_offsets": pa.array(parts["doc_offsets"], pa.list_(pa.uint32())),
+            "freqs": pa.array(parts["freqs"], pa.list_(pa.uint32())),
+            "norms": pa.array(parts["norms"], pa.list_(pa.uint8())),
+            "pos_enc": pa.array(parts["pos_enc"], pa.binary()),
+            "off_enc": pa.array(parts["off_enc"], pa.binary()),
+        }
+    )
 
 
 class _MergeEncode:

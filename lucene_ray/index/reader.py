@@ -105,6 +105,14 @@ class IndexReader:
             if self._term_stats_cache.get(t) is not None
         }
 
+    @staticmethod
+    def _content_terms(terms: list[str]) -> list[str]:
+        """Scope a dictionary scan to the content field: keyword-field terms
+        are namespaced ``col:value`` (':' never occurs in analyzed tokens),
+        and multi-term expansion against the DEFAULT field must not match
+        them — per-field term dictionaries, as in Lucene's FieldInfos."""
+        return [t for t in terms if ":" not in t]
+
     def expand_prefix(self, prefix: str, max_terms: int = 65536) -> list[str]:
         """Terms with the given prefix — the AutomatonTermsEnum analog
         (a range scan over the sorted term dictionary)."""
@@ -113,15 +121,17 @@ class IndexReader:
             filter=(pads.field("term") >= prefix)
             & (pads.field("term") < prefix + "￿"),
         )
-        terms = [t for t in tbl.column("term").to_pylist() if t.startswith(prefix)]
+        terms = self._content_terms(
+            [t for t in tbl.column("term").to_pylist() if t.startswith(prefix)]
+        )
         terms.sort()
         if len(terms) > max_terms:
             raise ValueError(f"prefix '{prefix}' expands to >{max_terms} terms")
         return terms
 
     def _scan_terms(self, literal_prefix: str = "") -> list[str]:
-        """Term-dictionary scan, narrowed to a literal prefix range when the
-        pattern provides one (the block-tree prefix-seek analog)."""
+        """Content-field term-dictionary scan, narrowed to a literal prefix
+        range when the pattern provides one (block-tree prefix-seek)."""
         if literal_prefix:
             flt = (pads.field("term") >= literal_prefix) & (
                 pads.field("term") < literal_prefix + "￿"
@@ -129,7 +139,7 @@ class IndexReader:
             tbl = self._term_stats_ds.to_table(columns=["term"], filter=flt)
         else:
             tbl = self._term_stats_ds.to_table(columns=["term"])
-        return tbl.column("term").to_pylist()
+        return self._content_terms(tbl.column("term").to_pylist())
 
     def expand_multi_term(self, q, max_terms: int = 65536) -> list[str]:
         """Expand a multi-term query node against the term dictionary."""
@@ -185,7 +195,7 @@ class IndexReader:
                 if flt is not None
                 else self._term_stats_ds.to_table(columns=["term"])
             )
-            terms = tbl.column("term").to_pylist()
+            terms = self._content_terms(tbl.column("term").to_pylist())
         else:
             raise TypeError(f"not a multi-term query: {q!r}")
         terms.sort()

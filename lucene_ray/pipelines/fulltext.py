@@ -27,7 +27,7 @@ _readers: dict[str, IndexReader] = {}
 def documents_index(sf_dir: str) -> IndexReader:
     """Build-or-open the cached documents index for an sf dir."""
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v2".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v3".encode()).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"documents-{key}")
     if index_dir not in _readers:
         cfg = IndexConfig(
@@ -37,6 +37,7 @@ def documents_index(sf_dir: str) -> IndexReader:
             partitions_per_segment=4,
             hot_df_threshold=500_000,
             with_offsets=True,
+            keyword_cols=("lang", "source"),
         )
         manifest = build_index(src, index_dir, cfg, resume=True)
         assert manifest.postings_done
@@ -152,7 +153,7 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
         filter=(pads.field("term") >= prefix) & (pads.field("term") < prefix + "￿"),
     )
     df = tbl.to_pandas()
-    df = df[df["term"].str.startswith(prefix)]
+    df = df[df["term"].str.startswith(prefix) & ~df["term"].str.contains(":")]
     df["doc_freq"] = df["doc_freq"].astype("int64")
     df = df.sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
@@ -239,7 +240,7 @@ def spell_correct(sf_dir: str, term: str, max_edits: int = 2, k: int = 5) -> pa.
     dfs = tbl.column("doc_freq").to_pylist()
     rows = []
     for t, df in zip(terms, dfs):
-        if abs(len(t) - len(term)) > max_edits:
+        if abs(len(t) - len(term)) > max_edits or ":" in t:
             continue
         d = _levenshtein(t, term)
         if d <= max_edits:
@@ -302,12 +303,15 @@ def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
 
 
 def doc_freq_topk(sf_dir: str, k: int = 20) -> pa.Table:
-    """Top-k terms by doc_freq (df desc, term asc) from the term stats table."""
+    """Top-k CONTENT-field terms by doc_freq (df desc, term asc) from the
+    term stats table (keyword-field terms live in their own namespace)."""
     reader = documents_index(sf_dir)
     import pyarrow.dataset as pads
 
     tbl = pads.dataset(os.path.join(reader.index_dir, "term_stats"), format="parquet").to_table()
-    df = tbl.to_pandas().sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
+    df = tbl.to_pandas()
+    df = df[~df["term"].str.contains(":")]
+    df = df.sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
     df["doc_freq"] = df["doc_freq"].astype("int64")
     return pa.Table.from_pandas(
         df[["term", "doc_freq"]].reset_index(drop=True), preserve_index=False

@@ -204,6 +204,12 @@ def parse_query(s: str, analyzer=None) -> Query:
                 return TermQuery(terms[0])
             return PhraseQuery(terms, slop=slop)
         word = advance()
+        if ":" in word:
+            # classic field:term syntax; keyword fields are atomic terms
+            # namespaced "field:value" in the shared postings
+            field, _, rest = word.partition(":")
+            if field and rest:
+                return TermQuery(f"{field}:{rest}")
         if word.endswith("*") and len(word) > 1:
             norm = tk(word[:-1])
             return PrefixQuery(norm[0] if norm else word[:-1].lower())

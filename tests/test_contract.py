@@ -21,6 +21,7 @@ SUBSET = [
     "ft_bool_and_hits",
     "ft_bool_or_not_hits",
     "ft_bool_msm_hits",
+    "ft_keyword_filter",
     "ft_regexp_hits",
     "ft_suggest_s",
     "ft_spell_joib",
