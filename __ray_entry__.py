@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import relational as rel
     from lucene_ray.pipelines.highlight import highlight_first
-    from lucene_ray.pipelines.joins import join_to_parent
+    from lucene_ray.pipelines.joins import block_join, join_to_parent
     from lucene_ray.pipelines.percolate import percolate
     from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
     from lucene_ray.pipelines.shuffle_join import order_revenue
@@ -186,6 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ft_join_parent_scored": _q(
             lambda sf: join_to_parent(sf, "join", "lang", score_mode="max")
+        ),
+        # index-time doc blocks (addDocuments) + ToParentBlockJoinQuery
+        "ft_blockjoin_counts": _q(
+            lambda sf: block_join(sf, "merge", "count")
+        ),
+        "ft_blockjoin_scored": _q(
+            lambda sf: block_join(sf, "merge", "avg")
         ),
         # expressions module: sort-by-formula (exact) + score-by-formula
         "ft_expr_topk": _q(
@@ -322,6 +329,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_join_parent_counts": _TOKS
         + "SELECT d.lang AS parent, count(*)::BIGINT AS n_children "
         "FROM documents d JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') h "
+        "USING (doc_id) GROUP BY 1 ORDER BY parent",
+        # index-time blocks keyed by source; each source = one block at test
+        # partition sizes, so block-join counts == group-by-source counts
+        "ft_blockjoin_counts": _TOKS
+        + "SELECT d.source AS parent, count(*)::BIGINT AS n_children "
+        "FROM documents d JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge') h "
         "USING (doc_id) GROUP BY 1 ORDER BY parent",
         "ft_expr_topk": (
             f"SELECT doc_id, round(ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01, 6) "

@@ -1,0 +1,147 @@
+"""Token filters — the analysis-chain "zoo" seam made concrete.
+
+Lucene's analysis-common module chains ``TokenFilter``s after the tokenizer
+(SURVEY §2.2: ~40 language packs, ngram, shingle, synonym, minhash…). The
+engine's vectorized inverter works on a per-partition *vocabulary* (unique
+tokens), so filters here operate at vocab level — O(|vocab|) Python, never
+O(|tokens|) — and are applied identically on the build side
+(``invert_partition``) and the query side (``AnalyzerChain``):
+
+- ``PorterStemFilter``   — classic Porter stemming (PorterStemFilter.java)
+- ``AsciiFoldingFilter`` — strip diacritics (ASCIIFoldingFilter.java)
+- ``SynonymFilter``      — index-time same-position synonym injection
+  (SynonymGraphFilter semantics for single-token synonyms: injected tokens
+  carry position-increment 0, so they occupy the SAME position as the
+  source token and do NOT count toward field length — discountOverlaps,
+  Similarity.computeNorm / FieldInvertState.numOverlap)
+
+Filters are configured as JSON-able specs so they round-trip through the
+index manifest: ``("porter_stem",)``, ``("ascii_fold",)``,
+``("synonyms", {"fast": ["quick"]})``. Use :func:`build_filters` to
+instantiate and :class:`AnalyzerChain` for the query side.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from lucene_ray.analysis.porter import porter_stem
+from lucene_ray.analysis.tokenizer import DEFAULT_MAX_TOKEN_LENGTH, CodeTokenizer
+
+
+class TokenFilter:
+    """Vocab-level filter. Subclasses implement ``map_term`` (1:1 rewrite,
+    applied to every unique token) and/or ``synonyms`` (extra same-position
+    terms injected per occurrence of the token)."""
+
+    def map_term(self, term: str) -> str:
+        return term
+
+    def synonyms(self, term: str) -> tuple:
+        return ()
+
+
+class PorterStemFilter(TokenFilter):
+    spec = ("porter_stem",)
+
+    def map_term(self, term: str) -> str:
+        return porter_stem(term)
+
+
+class AsciiFoldingFilter(TokenFilter):
+    """NFKD-decompose and drop combining marks — covers the accented-Latin
+    core of Lucene's ASCIIFoldingFilter table."""
+
+    spec = ("ascii_fold",)
+
+    def map_term(self, term: str) -> str:
+        if term.isascii():
+            return term
+        out = unicodedata.normalize("NFKD", term)
+        return "".join(c for c in out if not unicodedata.combining(c))
+
+
+class SynonymFilter(TokenFilter):
+    """Single-token synonym injection: occurrences of a key term also emit
+    its synonyms at the same position (one-directional; list both directions
+    for symmetric synonymy)."""
+
+    def __init__(self, mapping: dict):
+        self.mapping = {k: tuple(v) for k, v in mapping.items()}
+        self.spec = ("synonyms", {k: list(v) for k, v in self.mapping.items()})
+
+    def synonyms(self, term: str) -> tuple:
+        return self.mapping.get(term, ())
+
+
+def build_filters(specs) -> tuple:
+    """Instantiate filters from JSON-able specs (manifest round-trip)."""
+    out = []
+    for spec in specs or ():
+        kind = spec[0]
+        if kind == "porter_stem":
+            out.append(PorterStemFilter())
+        elif kind == "ascii_fold":
+            out.append(AsciiFoldingFilter())
+        elif kind == "synonyms":
+            out.append(SynonymFilter(spec[1]))
+        else:
+            raise ValueError(f"unknown token filter spec: {spec!r}")
+    return tuple(out)
+
+
+def apply_to_vocab(filters, vocab: list) -> tuple[list, list]:
+    """Run the chain over a vocabulary.
+
+    Returns ``(mapped, extra)`` where ``mapped[i]`` is the rewritten term
+    for vocab entry i and ``extra[i]`` is a tuple of additional same-position
+    terms injected for it. Synonym terms produced mid-chain are run through
+    the REMAINING filters' map stages (an injected "quick" still gets
+    stemmed by a later PorterStemFilter), matching chained-TokenFilter
+    semantics."""
+    mapped = list(vocab)
+    extra: list[tuple] = [() for _ in vocab]
+    for fi, f in enumerate(filters):
+        mapped = [f.map_term(t) for t in mapped]
+        # map previously injected synonyms through this filter too
+        extra = [tuple(f.map_term(t) for t in ex) for ex in extra]
+        for i, t in enumerate(mapped):
+            syns = f.synonyms(t)
+            if syns:
+                tail = filters[fi + 1 :]
+                for s in syns:
+                    for g in tail:
+                        s = g.map_term(s)
+                    extra[i] = extra[i] + (s,)
+    return mapped, extra
+
+
+class AnalyzerChain:
+    """Query-side analyzer: tokenizer + the chain's 1:1 map stages.
+
+    Synonym *injection* is an index-time effect; the query side analyzes a
+    term to the same normalized form the index stores (QueryBuilder uses the
+    same analyzer for both in Lucene). Picklable; usable directly as the
+    ``analyzer=`` argument of ``parse_query`` and as the ``tokenizer``
+    callable seam."""
+
+    def __init__(self, filter_specs=(), stopwords=None,
+                 max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.filter_specs = tuple(filter_specs)
+        self.stopwords = frozenset(stopwords) if stopwords else frozenset()
+        self.tokenizer = CodeTokenizer(max_token_length)
+        self._filters = build_filters(self.filter_specs)
+
+    def __getstate__(self):
+        return (self.filter_specs, self.stopwords, self.tokenizer.max_token_length)
+
+    def __setstate__(self, st):
+        self.__init__(st[0], st[1], st[2])
+
+    def __call__(self, text: str) -> list[str]:
+        toks = self.tokenizer(text)
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        for f in self._filters:
+            toks = [f.map_term(t) for t in toks]
+        return toks

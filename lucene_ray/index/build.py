@@ -69,6 +69,14 @@ class IndexConfig:
     # IndexWriterConfig.setIndexSort analog (IndexWriterConfig.java:475);
     # enables early-terminated top-k by the sort field (sorted_field_topk)
     index_sort: tuple = ()
+    # index-time doc BLOCKS (IndexWriter.addDocuments, IndexWriter.java:1520):
+    # rows of each partition are grouped contiguously by this column's value
+    # (a stable sort prepended to index_sort) and the LAST doc of each run is
+    # flagged block_last in the docmap — the parents BitSet that
+    # ToParentBlockJoinQuery consumes. A key spanning two partitions forms
+    # one block per partition (as Lucene bounds blocks by one addDocuments
+    # call); keep parents within a partition for exact parent aggregation.
+    block_col: str | None = None
     # columns indexed as atomic keyword terms "col:value" in the same
     # postings (StringField/KeywordField analog, document/StringField.java):
     # not analyzed, freq 1, excluded from field length/norms and from the
@@ -202,22 +210,26 @@ class _StageA:
         out = {"pid": [], "rows": [], "tokens": [], "terms": []}
         for spec in batch.to_pylist():
             pid = spec["pid"]
+            block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
-                [*cfg.id_cols, *cfg.index_sort, *cfg.keyword_cols, cfg.content_col]
+                [*cfg.id_cols, *block, *cfg.index_sort, *cfg.keyword_cols,
+                 cfg.content_col]
             ))
             pf = pq.ParquetFile(spec["file"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
             rr = spec.get("row_range")
             if rr:
                 tbl = tbl.slice(rr[0], rr[1] - rr[0])
-            if cfg.index_sort:
+            sort_cols = [*block, *cfg.index_sort]
+            if sort_cols:
                 # stable within-partition sort before doc-id assignment
                 # (IndexWriterConfig.setIndexSort; Sorter.DocMap remap is
-                # implicit — ids are assigned after the sort)
+                # implicit — ids are assigned after the sort). block_col
+                # leads so each block key's docs are contiguous.
                 tbl = tbl.append_column(
                     "__row", pa.array(np.arange(len(tbl)), pa.int64())
                 ).sort_by(
-                    [(c, "ascending") for c in cfg.index_sort] + [("__row", "ascending")]
+                    [(c, "ascending") for c in sort_cols] + [("__row", "ascending")]
                 ).drop_columns(["__row"])
             content = tbl.column(cfg.content_col)
             sl = max(64, cfg.invert_slice_docs)
@@ -255,10 +267,25 @@ class _StageA:
                 "offset": pa.array(offsets, pa.uint32()),
             }
             reserved = {"doc_id", "offset", "sha256", "length", "norm"}
-            for c in dict.fromkeys([*cfg.id_cols, *cfg.index_sort]):
+            for c in dict.fromkeys([*cfg.id_cols, *block, *cfg.index_sort]):
                 # source columns clashing with engine docmap columns are
                 # stored under <name>_orig (e.g. a table's own doc_id)
                 docmap_cols[c + "_orig" if c in reserved else c] = tbl.column(c)
+            if cfg.block_col:
+                # parents bitset analog: last doc of each contiguous block
+                # (rows are sorted by block_col above, so each key is one run)
+                bv = tbl.column(cfg.block_col)
+                if isinstance(bv, pa.ChunkedArray):
+                    bv = bv.combine_chunks()
+                last = np.ones(n, dtype=bool)
+                if n > 1:
+                    neq = np.asarray(
+                        pc.not_equal(bv.slice(0, n - 1), bv.slice(1, n))
+                    )
+                    last[: n - 1] = neq
+                docmap_cols["block_last"] = pa.array(
+                    last.astype(np.uint8), pa.uint8()
+                )
             if cfg.compute_sha256:
                 # per-row content sha256 — the integrity invariant carried
                 # through ingest (north rule)

@@ -72,6 +72,8 @@ class IndexReader:
         # loaded once per reader open, per-segment masks cached
         self._tombstones: np.ndarray | None = None
         self._live_cache: dict[int, np.ndarray | None] = {}
+        # per-segment parent positions for index-time doc blocks
+        self._parents_cache: dict[int, np.ndarray] = {}
 
     # ---- statistics ----
 
@@ -268,6 +270,24 @@ class IndexReader:
                 pa.concat_tables(parts).column("doc_id"), dtype=np.uint64
             )
         return self._docids_cache[seg]
+
+    def parents(self, seg: int) -> np.ndarray | None:
+        """Ascending segment-local doc ids of block-LAST docs (the parents
+        BitSet analog consumed by ToParentBlockJoinQuery), or None when the
+        index was built without ``block_col``. Every doc belongs to exactly
+        one block, so the last entry always equals num_docs-1."""
+        if not self.manifest.config.get("block_col"):
+            return None
+        if seg not in self._parents_cache:
+            parts = [
+                pq.read_table(docmap_path(self.index_dir, pid), columns=["block_last"])
+                for pid in self._seg_info[seg]["pids"]
+            ]
+            flags = np.asarray(
+                pa.concat_tables(parts).column("block_last"), dtype=np.uint8
+            )
+            self._parents_cache[seg] = np.flatnonzero(flags).astype(np.int64)
+        return self._parents_cache[seg]
 
     def tombstones(self) -> np.ndarray:
         if self._tombstones is None:

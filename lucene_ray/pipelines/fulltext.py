@@ -45,6 +45,31 @@ def documents_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def documents_block_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with index-time doc BLOCKS keyed by
+    ``source`` (IndexConfig.block_col): each source's docs are contiguous
+    and the last one carries the parents-bitset flag — the
+    IndexWriter.addDocuments block surface that ToParentBlockJoinQuery
+    consumes. Partition size covers every sf's documents table, so each
+    source is one block (exact parent aggregation for the oracle)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:blk-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-blk-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=200_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            block_col="source",
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
 def documents_index_deleted(sf_dir: str) -> IndexReader:
     """Build-or-open a copy of the documents index with every doc whose
     doc_id is divisible by 7 tombstoned (delete_by_term) — the live-docs

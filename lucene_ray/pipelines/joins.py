@@ -66,3 +66,48 @@ def join_to_parent(sf_dir: str, child_query, parent_col: str = "source",
         cols["score"] = pa.array(np.round(score, 6), pa.float64())
     t = pa.table(cols)
     return t.take(pa.compute.sort_indices(t, sort_keys=[("parent", "ascending")]))
+
+
+def block_join(sf_dir: str, child_query, score_mode: str = "count") -> pa.Table:
+    """Index-time block join: run ``ToParentBlockJoinQuery`` over the
+    block-built documents index (``documents_block_index``, blocks keyed by
+    ``source``) and materialize each parent hit's block key.
+
+    Returns (parent, n_children[, score]) sorted by parent — the same shape
+    as the value-keyed :func:`join_to_parent`, but computed entirely from
+    the index's parents bitset (searchsorted on block-last positions +
+    per-block score reduction), no stored-field grouping."""
+    from lucene_ray.pipelines.fulltext import documents_block_index
+    from lucene_ray.search.query import ToParentBlockJoinQuery, parse_query
+    from lucene_ray.search.searcher import Searcher
+
+    reader = documents_block_index(sf_dir)
+    child = parse_query(child_query) if isinstance(child_query, str) else child_query
+    searcher = Searcher(reader)
+    counts_td = searcher.search(
+        ToParentBlockJoinQuery(child, "count"), 10**9, total_hits_threshold=None
+    )
+    if len(counts_td.doc_ids) == 0:
+        cols = {"parent": pa.array([], pa.string()),
+                "n_children": pa.array([], pa.int64())}
+        if score_mode not in ("none", "count"):
+            cols["score"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    rows = reader.lookup_docs(counts_td.doc_ids, columns=["doc_id", "source"])
+    m = dict(zip(rows.column("doc_id").to_pylist(),
+                 rows.column("source").to_pylist()))
+    cols = {
+        "parent": pa.array([m[int(g)] for g in counts_td.doc_ids], pa.string()),
+        "n_children": pa.array(counts_td.scores.astype(np.int64), pa.int64()),
+    }
+    if score_mode not in ("none", "count"):
+        td = searcher.search(
+            ToParentBlockJoinQuery(child, score_mode), 10**9,
+            total_hits_threshold=None,
+        )
+        sm = dict(zip(td.doc_ids.tolist(), td.scores.astype(np.float64).tolist()))
+        cols["score"] = pa.array(
+            np.round([sm[int(g)] for g in counts_td.doc_ids], 6), pa.float64()
+        )
+    t = pa.table(cols)
+    return t.take(pa.compute.sort_indices(t, sort_keys=[("parent", "ascending")]))

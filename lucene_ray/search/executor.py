@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     PhraseQuery,
     Query,
     TermQuery,
+    ToParentBlockJoinQuery,
 )
 from lucene_ray.search.similarity import BM25Scorer
 
@@ -67,10 +68,14 @@ class SegmentContext:
     """Chunk records for one (segment, query) evaluation; decode on demand."""
 
     def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray,
-                 live: np.ndarray | None = None):
+                 live: np.ndarray | None = None,
+                 parents: np.ndarray | None = None):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
+        # ascending local ids of block-last docs (index-time doc blocks);
+        # None when the index was built without block_col
+        self.parents = parents
         # bool[num_docs] live-docs mask (None = no deletes). Lucene passes
         # liveDocs into every scorer (Weight.scorer -> LeafReader.getLiveDocs);
         # here deleted docs are filtered from every evaluation's result set.
@@ -81,9 +86,9 @@ class SegmentContext:
 
     @classmethod
     def from_chunk_table(cls, table, num_docs, norms, global_ids,
-                        with_positions=False, live=None):
+                        with_positions=False, live=None, parents=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
-        ctx = cls(num_docs, norms, global_ids, live)
+        ctx = cls(num_docs, norms, global_ids, live, parents)
         ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
@@ -194,7 +199,47 @@ class SegmentScorer:
         if isinstance(q, MatchAllQuery):
             docs = np.arange(self.ctx.num_docs, dtype=np.int64)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, ToParentBlockJoinQuery):
+            return self._eval_blockjoin(q)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _eval_blockjoin(self, q: ToParentBlockJoinQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Map child matches to their block's parent doc and aggregate
+        scores per score_mode (ToParentBlockJoinQuery / BlockJoinScorer).
+        Child hits are live-docs-filtered (self.evaluate); a deleted
+        block-LAST doc removes that block's parent hit in the outer
+        evaluate() pass, mirroring a deleted parent in Lucene."""
+        parents = self.ctx.parents
+        if parents is None:
+            raise ValueError(
+                "ToParentBlockJoinQuery requires an index built with "
+                "IndexConfig.block_col (index-time doc blocks)"
+            )
+        child_docs, child_scores = self.evaluate(q.child)
+        if len(child_docs) == 0:
+            return _EMPTY
+        # parent of a child = first block-last doc at or after it
+        pidx = np.searchsorted(parents, child_docs, side="left")
+        # child_docs ascending -> pidx non-decreasing: runs = blocks
+        chg = np.empty(len(pidx), dtype=bool)
+        chg[0] = True
+        chg[1:] = pidx[1:] != pidx[:-1]
+        starts = np.flatnonzero(chg)
+        counts = np.diff(np.append(starts, len(pidx))).astype(np.int64)
+        docs = parents[pidx[starts]]
+        boost = np.float32(q.boost)
+        if q.score_mode == "none":
+            scores = np.full(len(docs), boost, dtype=np.float32)
+        elif q.score_mode == "count":
+            scores = counts.astype(np.float32) * boost
+        elif q.score_mode == "max":
+            scores = np.maximum.reduceat(child_scores, starts) * boost
+        else:  # total / avg: accumulate child scores in doc order (float32)
+            acc = np.add.reduceat(child_scores.astype(np.float64), starts)
+            if q.score_mode == "avg":
+                acc = acc / counts
+            scores = (acc.astype(np.float32)) * boost
+        return docs, scores
 
     def _eval_term(self, q: TermQuery) -> tuple[np.ndarray, np.ndarray]:
         tp = self.ctx.postings(q.term)

@@ -103,6 +103,28 @@ class MatchAllQuery(Query):
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery(Query):
+    """Join child matches up to their enclosing index-time doc block
+    (ToParentBlockJoinQuery.java over ``addDocuments`` blocks;
+    lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java).
+
+    The index must be built with ``IndexConfig.block_col``; the parent of a
+    child doc is its block's LAST doc (the parents-BitSet convention —
+    Lucene indexes the parent after its children). Score modes follow
+    ScoreMode.java: ``none`` (constant boost), ``total``, ``max``, ``avg``
+    over the block's matching-child scores, plus engine extension ``count``
+    (score = number of matching children, SQL-checkable)."""
+
+    child: "Query"
+    score_mode: str = "max"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.score_mode not in ("none", "total", "max", "avg", "count"):
+            raise ValueError(f"bad score_mode: {self.score_mode!r}")
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     must: tuple = field(default_factory=tuple)
     should: tuple = field(default_factory=tuple)
@@ -139,6 +161,8 @@ def _collect(q: Query, out: set[str]) -> None:
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
             _collect(c, out)
+    elif isinstance(q, ToParentBlockJoinQuery):
+        _collect(q.child, out)
 
 
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)
@@ -153,6 +177,8 @@ def collect_multi_term(q: Query) -> set[Query]:
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
             out |= collect_multi_term(c)
+    elif isinstance(q, ToParentBlockJoinQuery):
+        out |= collect_multi_term(q.child)
     return out
 
 

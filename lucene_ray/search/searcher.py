@@ -38,7 +38,7 @@ class TopDocs:
 
 
 def _collect_phrases(q: Query) -> list[tuple]:
-    from lucene_ray.search.query import BooleanQuery
+    from lucene_ray.search.query import BooleanQuery, ToParentBlockJoinQuery
 
     out: list[tuple] = []
     if isinstance(q, PhraseQuery):
@@ -46,6 +46,8 @@ def _collect_phrases(q: Query) -> list[tuple]:
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not):
             out.extend(_collect_phrases(c))
+    elif isinstance(q, ToParentBlockJoinQuery):
+        out.extend(_collect_phrases(q.child))
     return out
 
 
@@ -93,6 +95,7 @@ class Searcher:
             global_ids=self.reader.global_doc_ids(seg),
             with_positions=need_positions,
             live=self.reader.live_mask(seg),
+            parents=self.reader.parents(seg),
         )
         return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 
