@@ -194,6 +194,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_blockjoin_scored": _q(
             lambda sf: block_join(sf, "merge", "avg")
         ),
+        # analysis chain (token_filters): index-time synonym injection means
+        # querying 'fast' also hits docs containing only 'slow'
+        "ft_synonym_hits": _q(lambda sf: ft.analyzed_hits(sf, "fast")),
+        # Porter stemming both sides: 'customer' analyzes to 'custom' on the
+        # query AND build side (equivalence class on this vocab = itself)
+        "ft_stemmed_hits": _q(lambda sf: ft.analyzed_hits(sf, "customer")),
         # expressions module: sort-by-formula (exact) + score-by-formula
         "ft_expr_topk": _q(
             lambda sf: expression_topk(sf, "ln(length + 1) + (doc_id % 7) * 0.01", 10)
@@ -336,6 +342,12 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT d.source AS parent, count(*)::BIGINT AS n_children "
         "FROM documents d JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge') h "
         "USING (doc_id) GROUP BY 1 ORDER BY parent",
+        "ft_synonym_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('fast', 'slow') "
+        "ORDER BY doc_id",
+        "ft_stemmed_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'customer' "
+        "ORDER BY doc_id",
         "ft_expr_topk": (
             f"SELECT doc_id, round(ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01, 6) "
             f"AS expr_value FROM documents "

@@ -85,6 +85,13 @@ class IndexConfig:
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
+    # analysis chain after the tokenizer (the TokenFilter zoo seam): a tuple
+    # of JSON-able specs — ("porter_stem",), ("ascii_fold",),
+    # ("synonyms", {term: [syn, ...]}) — instantiated per Stage-A task via
+    # lucene_ray.analysis.filters.build_filters and applied at VOCAB level
+    # inside invert_partition. The query side must analyze with the same
+    # chain (analysis.filters.AnalyzerChain(token_filters)).
+    token_filters: tuple = ()
     compression: str = "zstd"
     # docs per inverter slice inside a Stage-A task (bounds the working set)
     invert_slice_docs: int = 1024
@@ -97,6 +104,7 @@ class IndexConfig:
         d["stopwords"] = list(self.stopwords)
         d["index_sort"] = list(self.index_sort)
         d["keyword_cols"] = list(self.keyword_cols)
+        d["token_filters"] = [list(s) for s in self.token_filters]
         return d
 
 
@@ -201,6 +209,13 @@ class _StageA:
         self.cfg = cfg
         self.index_dir = index_dir
         self._tuned = False
+        # analysis chain instantiated once per task/actor (specs -> objects)
+        if cfg.token_filters:
+            from lucene_ray.analysis.filters import build_filters
+
+            self._filters = build_filters(cfg.token_filters)
+        else:
+            self._filters = ()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self._tuned:
@@ -243,6 +258,7 @@ class _StageA:
                     stopwords=frozenset(cfg.stopwords) or None,
                     with_positions=cfg.with_positions,
                     with_offsets=cfg.with_offsets,
+                    token_filters=self._filters,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)

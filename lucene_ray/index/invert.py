@@ -182,12 +182,79 @@ def tokenize_column(
     return flat, doc_idx, positions
 
 
+def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
+                         start_chars=None, end_chars=None):
+    """Run an analysis chain over the partition's interned token stream.
+
+    1:1 rewrites (stemming, folding) are applied to the VOCAB only —
+    O(|vocab|) Python — then occurrences are remapped by integer id.
+    Synonym injections duplicate the source token's occurrence arrays at
+    the SAME positions/offsets (position-increment-0 tokens,
+    SynonymGraphFilter semantics); callers compute field lengths BEFORE
+    this hook, so injected tokens never count toward norms
+    (FieldInvertState.numOverlap / discountOverlaps).
+
+    Returns (tok_ids, vocab, doc_idx, positions, start_chars, end_chars)
+    with the (doc, position) ordering invariant restored."""
+    from lucene_ray.analysis.filters import apply_to_vocab
+
+    vocab_py = vocab.to_pylist()
+    mapped, extra = apply_to_vocab(filters, vocab_py)
+    # never inject a duplicate of the token itself (would double-count tf)
+    extra = [
+        tuple(dict.fromkeys(s for s in ex if s != mapped[i]))
+        for i, ex in enumerate(extra)
+    ]
+    all_strings = list(mapped)
+    for ex in extra:
+        all_strings.extend(ex)
+    uniq = sorted(set(all_strings))
+    new_id = {t: i for i, t in enumerate(uniq)}
+    remap = np.array([new_id[t] for t in mapped], dtype=np.int32)
+    tok_ids = remap[tok_ids]
+
+    inj = [i for i, ex in enumerate(extra) if ex]
+    if inj:
+        id_parts, doc_parts, pos_parts = [tok_ids], [doc_idx], [positions]
+        sc_parts = [start_chars] if start_chars is not None else None
+        ec_parts = [end_chars] if end_chars is not None else None
+        # pre-filter ids so each source vocab entry scans the stream once
+        for i in inj:
+            sel = np.flatnonzero(tok_ids == remap[i]) if extra[i] else None
+            for s in extra[i]:
+                id_parts.append(np.full(len(sel), new_id[s], dtype=np.int32))
+                doc_parts.append(doc_idx[sel])
+                pos_parts.append(positions[sel])
+                if sc_parts is not None:
+                    sc_parts.append(start_chars[sel])
+                    ec_parts.append(end_chars[sel])
+        tok_ids = np.concatenate(id_parts)
+        doc_idx = np.concatenate(doc_parts)
+        positions = np.concatenate(pos_parts)
+        if sc_parts is not None:
+            start_chars = np.concatenate(sc_parts)
+            end_chars = np.concatenate(ec_parts)
+        # restore the (doc, position) ordering the single-stable-sort
+        # inversion relies on (lexsort is stable for equal keys)
+        order = np.lexsort((positions, doc_idx))
+        tok_ids = tok_ids[order]
+        doc_idx = doc_idx[order]
+        positions = positions[order]
+        if sc_parts is not None:
+            start_chars = start_chars[order]
+            end_chars = end_chars[order]
+
+    vocab = pa.array(uniq, pa.string())
+    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+
+
 def invert_partition(
     contents: pa.ChunkedArray | pa.Array,
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
     stopwords: frozenset[str] | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    token_filters: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -225,6 +292,15 @@ def invert_partition(
         dict_arr = dict_arr.combine_chunks()
     tok_ids = np.asarray(dict_arr.indices, dtype=np.int32)
     vocab = dict_arr.dictionary
+
+    if token_filters:
+        if not with_offsets:
+            start_chars = end_chars = None
+        tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
+            _apply_token_filters(token_filters, tok_ids, vocab, doc_idx,
+                                 positions, start_chars, end_chars)
+        )
+        total = len(tok_ids)
 
     # tokens already arrive in (doc, position) order, so ONE stable sort by
     # term id yields (term, doc, position) order — no 2-key lexsort needed

@@ -70,6 +70,44 @@ def documents_block_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+ANALYSIS_FILTERS = (("porter_stem",), ("synonyms", {"slow": ["fast"]}))
+
+
+def documents_analysis_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with an analysis CHAIN
+    (IndexConfig.token_filters): Porter stemming then index-time synonym
+    injection (occurrences of 'slow' also indexed as 'fast' at the same
+    position) — the analysis-common zoo seam exercised end-to-end
+    (PorterStemFilter.java, SynonymGraphFilter.java)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:ana-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-ana-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            token_filters=ANALYSIS_FILTERS,
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def analyzed_hits(sf_dir: str, query_text: str) -> pa.Table:
+    """Hit set over the analysis-chain index, with the QUERY analyzed by the
+    SAME chain (QueryBuilder semantics: one analyzer both sides)."""
+    from lucene_ray.analysis.filters import AnalyzerChain
+    from lucene_ray.search.query import parse_query
+
+    reader = documents_analysis_index(sf_dir)
+    q = parse_query(query_text, analyzer=AnalyzerChain(ANALYSIS_FILTERS))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 def documents_index_deleted(sf_dir: str) -> IndexReader:
     """Build-or-open a copy of the documents index with every doc whose
     doc_id is divisible by 7 tombstoned (delete_by_term) — the live-docs
