@@ -133,6 +133,121 @@ class ClassicSimilarity:
         return ClassicScorer(weight, table.astype(np.float32, copy=False), float(idf))
 
 
+class MultiScorer:
+    """Sums per-term sub-scorers — MultiSimilarity.MultiSimScorer
+    (lucene/core/src/java/org/apache/lucene/search/similarities/MultiSimilarity.java:58-66),
+    the shape SimilarityBase uses for multi-term (phrase) stats."""
+
+    __slots__ = ("subs",)
+
+    def __init__(self, subs):
+        self.subs = tuple(subs)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        acc = self.subs[0].score(freqs, norm_bytes)
+        for s in self.subs[1:]:
+            acc = acc + s.score(freqs, norm_bytes)
+        return acc
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "MultiScorer":
+        return MultiScorer(s.with_boost(boost) for s in self.subs)
+
+
+class LMDirichletScorer:
+    """Vectorized Dirichlet-smoothed language-model scorer:
+    score = boost * (log(1 + freq/(mu*p_collection)) + log(mu/(len+mu))),
+    clamped at 0 — double math then one float32 cast, matching
+    SimilarityBase.score's double pipeline."""
+
+    __slots__ = ("boost", "mu_p", "norm_term")
+
+    def __init__(self, boost: float, mu_p: float, norm_term: np.ndarray):
+        self.boost = float(boost)
+        self.mu_p = mu_p  # mu * collectionProbability (double)
+        self.norm_term = norm_term  # float64[256] log(mu / (len + mu))
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        nt = self.norm_term[np.asarray(norm_bytes, dtype=np.uint8)]
+        s = self.boost * (np.log1p(freqs / self.mu_p) + nt)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "LMDirichletScorer":
+        return LMDirichletScorer(self.boost * float(boost), self.mu_p, self.norm_term)
+
+
+class LMDirichletSimilarity:
+    """Bayesian smoothing with Dirichlet priors (Zhai & Lafferty 2001) —
+    lucene/core/src/java/org/apache/lucene/search/similarities/LMDirichletSimilarity.java:56-75:
+
+    - p(w|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1)   [LMSimilarity.java:58-63]
+    - score  = boost * (log(1 + freq/(mu*p)) + log(mu/(docLen+mu))), clamped >= 0
+
+    Third implementation through the Similarity seam; same SimScorer
+    contract (monotone in freq, anti-monotone in length)."""
+
+    def __init__(self, mu: float = 2000.0):
+        if not (mu > 0 and math.isfinite(mu)):
+            raise ValueError(f"illegal mu value: {mu}")
+        self.mu = float(mu)
+
+    def _one(self, boost, collection_stats, ts) -> LMDirichletScorer:
+        p = (ts.total_term_freq + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
+        norm_term = np.log(self.mu / (LENGTH_TABLE.astype(np.float64) + self.mu))
+        return LMDirichletScorer(boost, self.mu * p, norm_term)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStats,
+        *term_stats: TermStats,
+    ):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts) for ts in term_stats)
+
+
+class BooleanScorer:
+    """score = boost for every match, freq and length ignored
+    (BooleanSimilarity.java:42-49)."""
+
+    __slots__ = ("boost",)
+
+    def __init__(self, boost: float):
+        self.boost = np.float32(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return np.full(len(np.asarray(freqs)), self.boost, dtype=np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.boost
+
+    def with_boost(self, boost: float) -> "BooleanScorer":
+        return BooleanScorer(float(self.boost) * float(boost))
+
+
+class BooleanSimilarity:
+    """Matches score the query boost, nothing else —
+    lucene/core/src/java/org/apache/lucene/search/similarities/BooleanSimilarity.java:30.
+    Norms are still read (the seam is uniform) but ignored."""
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStats,
+        *term_stats: TermStats,
+    ):
+        if len(term_stats) == 1:
+            return BooleanScorer(boost)
+        return MultiScorer(BooleanScorer(boost) for _ in term_stats)
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):

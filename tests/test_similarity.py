@@ -14,8 +14,10 @@ import pytest
 from lucene_ray.codec.smallfloat import LENGTH_TABLE
 from lucene_ray.search.similarity import (
     BM25Similarity,
+    BooleanSimilarity,
     ClassicSimilarity,
     CollectionStats,
+    LMDirichletSimilarity,
     TermStats,
 )
 
@@ -89,8 +91,12 @@ def test_length_table_values():
 # SimScorer contract (BaseSimilarityTestCase.testRandomScoring pattern,
 # lucene/test-framework/.../search/similarities/BaseSimilarityTestCase.java:258)
 
-@pytest.mark.parametrize("sim", [BM25Similarity(), ClassicSimilarity()],
-                         ids=["bm25", "classic"])
+@pytest.mark.parametrize(
+    "sim",
+    [BM25Similarity(), ClassicSimilarity(), LMDirichletSimilarity(),
+     BooleanSimilarity()],
+    ids=["bm25", "classic", "lmdirichlet", "boolean"],
+)
 @pytest.mark.parametrize("stats", CORPUS_SHAPES)
 def test_similarity_contract_all_norms(sim, stats):
     rng = np.random.default_rng(99)
@@ -152,6 +158,70 @@ def test_classic_similarity_end_to_end_seam(ray_session, built_index):
     bm = Searcher(IndexReader(index_dir)).search(TermQuery("import"), 10)
     cl = s.search(TermQuery("import"), 10)
     assert not np.array_equal(bm.scores, cl.scores)
+
+
+def test_lmdirichlet_exact_formula():
+    # score = boost*(log(1 + f/(mu*p)) + log(mu/(len+mu))), p=(ttf+1)/(sum+1),
+    # clamped at 0 (LMDirichletSimilarity.java:56-75)
+    sim = LMDirichletSimilarity(mu=2000.0)
+    stats = CollectionStats(doc_count=100, sum_total_term_freq=9999)
+    scorer = sim.scorer(1.0, stats, TermStats(doc_freq=10, total_term_freq=500))
+    p = (500 + 1.0) / (9999 + 1.0)
+    for freq, nb in [(1, 3), (50, 3), (5, 200), (255, 255)]:
+        ln = float(LENGTH_TABLE[nb])
+        expected = math.log(1 + freq / (2000.0 * p)) + math.log(2000.0 / (ln + 2000.0))
+        expected = np.float32(max(expected, 0.0))
+        got = scorer.score(np.array([freq]), np.array([nb]))[0]
+        assert got == expected, (freq, nb)
+    # clamp: a rare-enough term in a long doc would go negative -> 0
+    rare = sim.scorer(1.0, stats, TermStats(1, 1))
+    assert rare.score(np.array([1]), np.array([255]))[0] == np.float32(0.0)
+    with pytest.raises(ValueError):
+        LMDirichletSimilarity(mu=0)
+
+
+def test_boolean_similarity_scores_boost_only():
+    sim = BooleanSimilarity()
+    stats = CollectionStats(1000, 50000)
+    scorer = sim.scorer(3.5, stats, TermStats(10, 20))
+    s = scorer.score(np.array([1, 7, 255]), np.array([0, 128, 255]))
+    np.testing.assert_array_equal(s, np.full(3, np.float32(3.5)))
+
+
+@pytest.mark.parametrize(
+    "sim", [LMDirichletSimilarity(), BooleanSimilarity()],
+    ids=["lmdirichlet", "boolean"],
+)
+def test_new_similarities_end_to_end_seam(ray_session, built_index, sim):
+    """Search through the unchanged engine with each additional similarity
+    must be rank+score identical to the exhaustive oracle — the seam is
+    pluggable beyond the two originals (incl. pruning paths, which only use
+    score/max_score)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.search.oracle import ExhaustiveOracle
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    index_dir, manifest, corpus_file = built_index
+    s = Searcher(IndexReader(index_dir), similarity=sim)
+    texts = pq.read_table(corpus_file, columns=["content"]).column("content").to_pylist()
+    docs, row = [], 0
+    for p in manifest.partitions:
+        for off in range(p["num_rows"]):
+            docs.append(((p["pid"] << 32) | off, texts[row]))
+            row += 1
+    oracle = ExhaustiveOracle(docs, similarity=sim)
+    for q in [TermQuery("import"), TermQuery("import", boost=2.0),
+              BooleanQuery(must=[TermQuery("def"), TermQuery("class")]),
+              BooleanQuery(should=[TermQuery("import"), TermQuery("return")]),
+              PhraseQuery(("import", "return"), slop=2)]:
+        got = s.search(q, 10)
+        exp_ids, exp_scores, exp_total = oracle.search(q, 10)
+        assert got.total_hits == exp_total, q
+        np.testing.assert_array_equal(got.doc_ids, exp_ids, err_msg=str(q))
+        np.testing.assert_array_equal(got.scores, exp_scores, err_msg=str(q))
 
 
 def test_boost_and_param_validation():
