@@ -163,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q(
             lambda sf: dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
         ),
+        # EXACT n-gram Jaccard via prefix filtering (SSJoin/PPJoin) — the
+        # oracle-checkable sibling of the MinHash estimate
+        "dedup_ngram_jaccard": _q(
+            lambda sf: dedup.ngram_jaccard_pairs(_docs(sf), threshold=0.5)
+        ),
         "dedup_simhash_sigs": _q(lambda sf: dedup.simhash_signatures(_docs(sf))),
         "dedup_simhash_pairs": _q(lambda sf: dedup.simhash_pairs(_docs(sf))),
         # exact block-pair path — verifiable against a DuckDB cross join
@@ -400,6 +405,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text "
             "ORDER BY doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, unnest("
+            "CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')] "
+            "ELSE list_transform(generate_series(1, len(l) - 2), "
+            "i -> array_to_string(l[i:i+2], ' ')) END) AS s "
+            "FROM tl WHERE len(l) > 0), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
+            "FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE c / (sa.n + sb.n - c) >= 0.5 ORDER BY id_a, id_b"
         ),
         "dedup_embedding_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

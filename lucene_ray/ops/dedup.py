@@ -107,11 +107,12 @@ def _shingle_keys(tok_h: np.ndarray, doc_idx: np.ndarray, n_docs: int,
         starts = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
         sh = np.empty(len(short), dtype=np.uint64)
-        for i, d in enumerate(short):  # bounded: only docs with < k tokens
-            h = np.uint64(0)
-            for t in tok_h[starts[d] : starts[d + 1]]:
-                h = h * _POLY_MULT + t
-            sh[i] = h
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+            for i, d in enumerate(short):  # bounded: only docs with < k tokens
+                h = np.uint64(0)
+                for t in tok_h[starts[d] : starts[d + 1]]:
+                    h = h * _POLY_MULT + t
+                sh[i] = h
         out_doc.append(short.astype(np.int64))
         out_hash.append(sh)
     if not out_doc:
@@ -266,6 +267,164 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, text_col: str = "text",
         .map_groups(emit_verified_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Max("jaccard_est", alias_name="jaccard_est"))
+    )
+    out = pairs.to_pandas()  # final pair table only — small by construction
+    if out.empty:
+        return empty_pairs
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _shingle_sets64(tok_h: np.ndarray, doc_idx: np.ndarray, n_docs: int,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique FULL-64-bit shingle hashes (no 32-bit fold, so
+    a hash collision inside a compared pair is ~2^-64 — exact Jaccard needs
+    exact set sizes). Same windowing rules as :func:`_shingle_keys`:
+    k-token polynomial windows; docs shorter than k contribute one
+    whole-doc shingle. Returns (doc, hash) sorted by (doc, hash)."""
+    n_tok = len(tok_h)
+    counts = np.bincount(doc_idx, minlength=n_docs) if n_tok else np.zeros(n_docs, np.int64)
+    out_doc, out_hash = [], []
+    if n_tok >= k:
+        valid = doc_idx[: n_tok - k + 1] == doc_idx[k - 1 :]
+        h = tok_h[: n_tok - k + 1].copy()
+        for j in range(1, k):
+            h = h * _POLY_MULT + tok_h[j : n_tok - k + 1 + j]
+        out_doc.append(doc_idx[: n_tok - k + 1][valid])
+        out_hash.append(h[valid])
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short):
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        sh = np.empty(len(short), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+            for i, d in enumerate(short):
+                h = np.uint64(0)
+                for t in tok_h[starts[d] : starts[d + 1]]:
+                    h = h * _POLY_MULT + t
+                sh[i] = h
+        out_doc.append(short.astype(np.int64))
+        out_hash.append(sh)
+    if not out_doc:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    docs = np.concatenate(out_doc)
+    hashes = np.concatenate(out_hash)
+    order = np.lexsort((hashes, docs))
+    docs, hashes = docs[order], hashes[order]
+    keep = np.ones(len(docs), dtype=bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (hashes[1:] != hashes[:-1])
+    return docs[keep], hashes[keep]
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket_docs: int = 4096) -> pa.Table:
+    """EXACT n-gram-Jaccard near-duplicate pairs via prefix filtering —
+    the deterministic, oracle-checkable sibling of :func:`minhash_lsh_pairs`
+    (which only estimates Jaccard from signatures).
+
+    Candidate generation is the SSJoin/PPJoin prefix filter (Chaudhuri,
+    Ganti & Kaushik, ICDE'06; Xiao et al., WWW'08): order each doc's
+    shingle-hash set ascending and emit only its first
+    ``|d| - ceil(t*|d|) + 1`` hashes as candidate keys — if two sets with
+    Jaccard >= t existed whose prefixes were disjoint, their intersection
+    would be < ceil(t*|smaller|), contradicting J >= t. Each candidate row
+    carries the doc's full sorted set, so ``groupby(prefix_hash)`` groups
+    verify EXACT Jaccard in-group (sorted-array intersections) with no
+    driver-side set table and no second shuffle; ``groupby(id_a, id_b)``
+    collapses cross-prefix duplicates.
+
+    Scale: shuffle volume is sum over docs of prefix_len x set_size hashes
+    ~= (1-t) * len^2 per doc — fine for web-scale docs (KBs) at t >= 0.5;
+    the ``max_bucket_docs`` guard chains degenerate identical-prefix
+    clusters instead of emitting O(B^2) pairs.
+
+    Returns (id_a, id_b, jaccard) float64, id_a < id_b, sorted.
+    """
+    from lucene_ray.index.invert import tokenize_column
+
+    def explode_prefixes(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        n = len(batch)
+        tok_h = _token_hash64(flat)
+        sh_doc, sh_hash = _shingle_sets64(tok_h, doc_idx, n, shingle_k)
+        sizes = np.bincount(sh_doc, minlength=n)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        # prefix length per doc: |d| - ceil(t*|d|) + 1 (0 for empty docs)
+        pref = np.where(
+            sizes > 0,
+            sizes - np.ceil(threshold * sizes).astype(np.int64) + 1,
+            0,
+        )
+        # row r of doc d carries prefix hash sh_hash[starts[d]+r]
+        doc_of_row = np.repeat(np.arange(n), pref)
+        within = np.concatenate([np.arange(p) for p in pref]) if len(pref) else np.zeros(0, np.int64)
+        pref_hash = sh_hash[starts[doc_of_row] + within] if len(doc_of_row) else np.zeros(0, np.uint64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        set_list = pa.ListArray.from_arrays(
+            pa.array(starts.astype(np.int32), pa.int32()),
+            pa.array(sh_hash, pa.uint64()),
+        )
+        if isinstance(set_list, pa.ChunkedArray):  # pragma: no cover
+            set_list = set_list.combine_chunks()
+        return pa.table(
+            {
+                "p": pa.array(pref_hash, pa.uint64()),
+                id_col: pa.array(ids[doc_of_row], pa.int64()),
+                "sset": set_list.take(pa.array(doc_of_row, pa.int64())),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
+    def verify_exact(group: pa.Table) -> pa.Table:
+        g = len(group)
+        if g < 2:
+            return empty_pairs
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        col = group.column("sset")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sets = [np.asarray(col[int(i)].values, dtype=np.uint64) for i in order]
+        if g > max_bucket_docs:
+            ii = np.arange(g - 1)
+            jj = ii + 1
+        else:
+            ii, jj = np.triu_indices(g, 1)
+        ia, ib, jac = [], [], []
+        for x, y in zip(ii, jj):
+            if ids[x] == ids[y]:
+                continue  # same doc met through two prefix hashes
+            a, b = sets[x], sets[y]
+            c = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - c
+            j = c / union if union else 0.0
+            if j >= threshold:
+                ia.append(ids[x]); ib.append(ids[y]); jac.append(j)
+        if not ia:
+            return empty_pairs
+        return pa.table(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "jaccard": pa.array(jac, pa.float64())}
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(explode_prefixes, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(verify_exact, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("jaccard", alias_name="jaccard"))
     )
     out = pairs.to_pandas()  # final pair table only — small by construction
     if out.empty:

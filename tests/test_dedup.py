@@ -187,3 +187,69 @@ def test_exact_dedup_keeps_min_id(ray_session):
     kept = sorted(dedup.exact_dedup(ds).to_pandas()["doc_id"])
     # id 4 is an exact dup of 0 -> dropped; everything else kept
     assert kept == [0, 1, 2, 3, 5, 6, 7]
+
+
+def _py_shingle_set(text, k=3):
+    toks = [t for t in __import__("re").split(r"[^a-z0-9_]+", text.lower()) if t]
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    # random near-dup corpus: mutated copies at varying edit rates
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(30):
+        base = [vocab[int(x)] for x in rng.integers(0, 40, size=20)]
+        texts.append(" ".join(base))
+        mutated = list(base)
+        for j in range(int(rng.integers(0, 6))):
+            mutated[int(rng.integers(0, 20))] = vocab[int(rng.integers(0, 40))]
+        texts.append(" ".join(mutated))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(4)
+    for t in (0.3, 0.6):
+        got = dedup.ngram_jaccard_pairs(ds, threshold=t).to_pandas()
+        got_pairs = {
+            (a, b): j
+            for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])
+        }
+        exp_pairs = {}
+        sets = [_py_shingle_set(x) for x in texts]
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                u = sets[a] | sets[b]
+                if not u:
+                    continue
+                j = len(sets[a] & sets[b]) / len(u)
+                if j >= t:
+                    exp_pairs[(a, b)] = j
+        assert set(got_pairs) == set(exp_pairs), t
+        for k in exp_pairs:
+            assert abs(got_pairs[k] - exp_pairs[k]) < 1e-12, (k, t)
+
+
+def test_ngram_jaccard_short_and_empty_docs(ray_session):
+    texts = ["a b", "a b", "", "", "x y z w", "x y z w v"]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3, 4, 5], "text": texts}))
+    got = dedup.ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (0, 1) in pairs  # short docs compare via whole-doc shingle
+    assert not any(2 in p or 3 in p for p in pairs)  # empty docs pair with nothing
+    assert (4, 5) in pairs  # 2 of 5 union shingles shared = 0.4 >= 0.3
+
+
+def test_ngram_jaccard_skew_guard_chains_identical_cluster(ray_session):
+    # 50 identical docs with max_bucket_docs=10: the guard must emit the
+    # consecutive-id chain (connected component preserved), not O(B^2) pairs
+    texts = ["same exact text repeated many times over and over"] * 50
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(50)), "text": texts}))
+    got = dedup.ngram_jaccard_pairs(ds, threshold=0.9, max_bucket_docs=10).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert {(i, i + 1) for i in range(49)} <= pairs
+    assert len(pairs) < 50 * 49 // 2
