@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Porter stemming both sides: 'customer' analyzes to 'custom' on the
         # query AND build side (equivalence class on this vocab = itself)
         "ft_stemmed_hits": _q(lambda sf: ft.analyzed_hits(sf, "customer")),
+        # edge-ngram autocomplete: typed prefix as one TermQuery against the
+        # gram-expanded index == PrefixQuery hit set (min<=len(prefix)<=max)
+        "ft_autocomplete_hits": _q(lambda sf: ft.autocomplete_hits(sf, "cust")),
         # expressions module: sort-by-formula (exact) + score-by-formula
         "ft_expr_topk": _q(
             lambda sf: expression_topk(sf, "ln(length + 1) + (doc_id % 7) * 0.01", 10)
@@ -352,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id",
         "ft_stemmed_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'customer' "
+        "ORDER BY doc_id",
+        "ft_autocomplete_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'cust%' "
         "ORDER BY doc_id",
         "ft_expr_topk": (
             f"SELECT doc_id, round(ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01, 6) "

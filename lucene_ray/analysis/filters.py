@@ -74,6 +74,27 @@ class SynonymFilter(TokenFilter):
         return self.mapping.get(term, ())
 
 
+class EdgeNGramFilter(TokenFilter):
+    """Index-time edge n-grams: every term also emits its strict prefixes of
+    length ``min``..``max`` at the same position — the search-as-you-type /
+    autocomplete shape (EdgeNGramTokenFilter.java:36, which likewise keeps
+    the gram at the original token's position). A typed prefix then matches
+    as a plain TermQuery with no dictionary expansion at query time, trading
+    index size (~(max-min+1) extra postings per long term) for O(1) prefix
+    lookups."""
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 5):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError(f"illegal gram range: [{min_gram}, {max_gram}]")
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.spec = ("edge_ngram", {"min": min_gram, "max": max_gram})
+
+    def synonyms(self, term: str) -> tuple:
+        top = min(self.max_gram, len(term) - 1)
+        return tuple(term[:n] for n in range(self.min_gram, top + 1))
+
+
 def build_filters(specs) -> tuple:
     """Instantiate filters from JSON-able specs (manifest round-trip)."""
     out = []
@@ -85,6 +106,8 @@ def build_filters(specs) -> tuple:
             out.append(AsciiFoldingFilter())
         elif kind == "synonyms":
             out.append(SynonymFilter(spec[1]))
+        elif kind == "edge_ngram":
+            out.append(EdgeNGramFilter(spec[1]["min"], spec[1]["max"]))
         else:
             raise ValueError(f"unknown token filter spec: {spec!r}")
     return tuple(out)

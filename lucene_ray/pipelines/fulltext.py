@@ -108,6 +108,44 @@ def analyzed_hits(sf_dir: str, query_text: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
 
 
+AUTOCOMPLETE_FILTERS = (("edge_ngram", {"min": 2, "max": 6}),)
+
+
+def documents_autocomplete_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with index-time edge n-grams
+    (EdgeNGramTokenFilter.java): every token also indexed under its 2..6-char
+    prefixes at the same position, so a typed prefix is a plain TermQuery —
+    the search-as-you-type trade (bigger index, O(1) prefix lookup, no
+    dictionary expansion per keystroke)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:ac-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-ac-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            token_filters=AUTOCOMPLETE_FILTERS,
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def autocomplete_hits(sf_dir: str, prefix: str) -> pa.Table:
+    """Docs matching a typed prefix via the edge-ngram index: one TermQuery,
+    no multi-term expansion. Equivalent to a PrefixQuery hit set whenever
+    min_gram <= len(prefix) <= max_gram."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_autocomplete_index(sf_dir)
+    q = TermQuery(prefix)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 def documents_index_deleted(sf_dir: str) -> IndexReader:
     """Build-or-open a copy of the documents index with every doc whose
     doc_id is divisible by 7 tombstoned (delete_by_term) — the live-docs

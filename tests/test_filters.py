@@ -1,0 +1,103 @@
+"""Unit tests for the analysis-chain token filters (filters.py).
+
+Covers the vocab-level chain semantics the contract oracles exercise
+end-to-end: 1:1 rewrites (Porter, folding), same-position injection
+(synonyms, edge n-grams), chaining order, manifest spec round-trips, and
+the norms contract (injected tokens never count toward field length —
+FieldInvertState.numOverlap / discountOverlaps).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.filters import (
+    AnalyzerChain,
+    AsciiFoldingFilter,
+    EdgeNGramFilter,
+    PorterStemFilter,
+    SynonymFilter,
+    apply_to_vocab,
+    build_filters,
+)
+from lucene_ray.index.invert import invert_partition
+
+
+def test_edge_ngram_strict_prefixes():
+    f = EdgeNGramFilter(2, 5)
+    assert f.synonyms("customer") == ("cu", "cus", "cust", "custo")
+    # strict prefixes only: term of length max_gram emits up to len-1
+    assert f.synonyms("custo") == ("cu", "cus", "cust")
+    assert f.synonyms("ab") == ()          # no strict prefix >= min_gram
+    assert f.synonyms("a") == ()
+    assert f.map_term("customer") == "customer"  # 1:1 stage is identity
+
+
+def test_edge_ngram_illegal_range():
+    with pytest.raises(ValueError):
+        EdgeNGramFilter(3, 2)
+    with pytest.raises(ValueError):
+        EdgeNGramFilter(0, 2)
+
+
+def test_build_filters_round_trip():
+    chain = (
+        PorterStemFilter(),
+        AsciiFoldingFilter(),
+        SynonymFilter({"fast": ["quick"]}),
+        EdgeNGramFilter(2, 6),
+    )
+    specs = tuple(f.spec for f in chain)
+    rebuilt = build_filters(specs)
+    assert tuple(f.spec for f in rebuilt) == specs
+    assert rebuilt[3].synonyms("cats") == ("ca", "cat")
+
+
+def test_chain_synonym_then_stem():
+    # injected synonym still runs through the REMAINING map stages
+    filters = (SynonymFilter({"fast": ["running"]}), PorterStemFilter())
+    mapped, extra = apply_to_vocab(filters, ["fast", "dogs"])
+    assert mapped == ["fast", "dog"]
+    assert extra[0] == ("run",)   # "running" stemmed by the later filter
+    assert extra[1] == ()
+
+
+def test_analyzer_chain_query_side_identity_for_injection():
+    # query side applies only 1:1 maps: edge-ngram/synonym injection is an
+    # index-time effect, so the analyzed query term is the normalized term
+    chain = AnalyzerChain((("edge_ngram", {"min": 2, "max": 6}),))
+    assert chain("Customer CUST") == ["customer", "cust"]
+    stem = AnalyzerChain((("porter_stem",),))
+    assert stem("Customers running") == ["custom", "run"]
+
+
+def test_invert_with_edge_ngrams_norms_unchanged():
+    docs = pa.array(["customer care", "cat"], pa.string())
+    plain, lengths0, norms0 = invert_partition(docs)
+    grams, lengths1, norms1 = invert_partition(
+        docs, token_filters=build_filters((("edge_ngram", {"min": 2, "max": 5}),))
+    )
+    # field lengths / norms computed before injection — identical
+    assert np.array_equal(lengths0, lengths1)
+    assert np.array_equal(norms0, norms1)
+    terms = set(grams.column("term").to_pylist())
+    # original terms survive alongside their grams
+    assert {"customer", "care", "cat"} <= terms
+    assert {"cu", "cus", "cust", "custo", "ca", "car"} <= terms
+    # "ca" injected for customer+care+cat: df counts both docs, same position
+    i = grams.column("term").to_pylist().index("ca")
+    assert grams.column("df")[i].as_py() == 2
+
+
+def test_invert_edge_ngram_positions_match_source():
+    docs = pa.array(["aaa bbb ccc"], pa.string())
+    grams, _, _ = invert_partition(
+        docs, token_filters=build_filters((("edge_ngram", {"min": 2, "max": 2}),))
+    )
+    by_term = {t: i for i, t in enumerate(grams.column("term").to_pylist())}
+    # gram "bb" sits at the same position as "bbb" (position 1): its pos_enc
+    # must equal the source term's
+    assert (
+        grams.column("pos_enc")[by_term["bb"]].as_py()
+        == grams.column("pos_enc")[by_term["bbb"]].as_py()
+    )
