@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import ann, dedup, hnsw, shingles, sketch, text
     from lucene_ray.ops import multimodal as mm
     from lucene_ray.pipelines import fulltext as ft
+    from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import relational as rel
     from lucene_ray.pipelines.highlight import highlight_first
     from lucene_ray.pipelines.joins import block_join, join_to_parent
@@ -208,6 +209,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edge-ngram autocomplete: typed prefix as one TermQuery against the
         # gram-expanded index == PrefixQuery hit set (min<=len(prefix)<=max)
         "ft_autocomplete_hits": _q(lambda sf: ft.autocomplete_hits(sf, "cust")),
+        # language pack (analysis zoo): EnglishAnalyzer shape — stopwords +
+        # minimal s-stemmer both sides, so 'customers' matches 'customer' docs
+        "ft_lang_en_hits": _q(lambda sf: ft.lang_pack_hits(sf, "customers", "en")),
+        # MoreLikeThis (queries/mlt): deterministic tf*idf term selection,
+        # exact hit set of the expanded OR query, scored top-k (rows-only)
+        "mlt_terms_doc7": _q(lambda sf: mlt.interesting_terms(sf, 7)),
+        "mlt_hits_doc7": _q(lambda sf: mlt.more_like_this_hits(sf, 7)),
+        "mlt_top10_doc7": _q(lambda sf: mlt.more_like_this_topk(sf, 7, 10)),
         # expressions module: sort-by-formula (exact) + score-by-formula
         "ft_expr_topk": _q(
             lambda sf: expression_topk(sf, "ln(length + 1) + (doc_id % 7) * 0.01", 10)
@@ -359,6 +368,42 @@ def oracle_sql() -> dict[str, str]:
         "ft_autocomplete_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok LIKE 'cust%' "
         "ORDER BY doc_id",
+        # English minimal s-stemmer applied to every token (strip final 's'
+        # from len>=4 words unless it follows 'u'/'s' — EnglishMinimalStemmer
+        # rules); no en stopword stems to 'customer', so the stop filter
+        # cannot change this hit set
+        "ft_lang_en_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok <> '' AND "
+        "(CASE WHEN length(tok) >= 4 AND substr(tok, length(tok), 1) = 's' "
+        "AND substr(tok, length(tok) - 1, 1) NOT IN ('u', 's') "
+        "THEN substr(tok, 1, length(tok) - 1) ELSE tok END) = 'customer' "
+        "ORDER BY doc_id",
+        # MLT createQueue(): candidates tf>=2 in the source doc, df>=5 in the
+        # collection, score = tf * (1 + ln(N / (df + 1))), top 25 by
+        # (score desc, term asc)
+        "mlt_terms_doc7": _TOKS
+        + ", src AS (SELECT tok, count(*)::BIGINT AS tf FROM toks "
+        "WHERE doc_id = 7 AND tok <> '' GROUP BY tok HAVING count(*) >= 2), "
+        "dfs AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+        "WHERE tok IN (SELECT tok FROM src) GROUP BY tok), "
+        "nd AS (SELECT count(*) AS n FROM documents) "
+        "SELECT s.tok AS term, s.tf, d.df, "
+        "round(s.tf * (1 + ln((SELECT n FROM nd) / (d.df + 1.0))), 6) AS score "
+        "FROM src s JOIN dfs d USING (tok) WHERE d.df >= 5 "
+        "ORDER BY s.tf * (1 + ln((SELECT n FROM nd) / (d.df + 1.0))) DESC, s.tok "
+        "LIMIT 25",
+        "mlt_hits_doc7": _TOKS
+        + ", src AS (SELECT tok, count(*) AS tf FROM toks "
+        "WHERE doc_id = 7 AND tok <> '' GROUP BY tok HAVING count(*) >= 2), "
+        "dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE tok IN (SELECT tok FROM src) GROUP BY tok), "
+        "nd AS (SELECT count(*) AS n FROM documents), "
+        "sel AS (SELECT s.tok AS term FROM src s JOIN dfs d USING (tok) "
+        "WHERE d.df >= 5 "
+        "ORDER BY s.tf * (1 + ln((SELECT n FROM nd) / (d.df + 1.0))) DESC, s.tok "
+        "LIMIT 25) "
+        "SELECT DISTINCT doc_id FROM toks "
+        "WHERE tok IN (SELECT term FROM sel) AND doc_id <> 7 ORDER BY doc_id",
         "ft_expr_topk": (
             f"SELECT doc_id, round(ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01, 6) "
             f"AS expr_value FROM documents "

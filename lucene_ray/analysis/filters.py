@@ -108,6 +108,10 @@ def build_filters(specs) -> tuple:
             out.append(SynonymFilter(spec[1]))
         elif kind == "edge_ngram":
             out.append(EdgeNGramFilter(spec[1]["min"], spec[1]["max"]))
+        elif kind == "light_stem":
+            from lucene_ray.analysis.lang import LightStemFilter
+
+            out.append(LightStemFilter(spec[1]["lang"]))
         else:
             raise ValueError(f"unknown token filter spec: {spec!r}")
     return tuple(out)

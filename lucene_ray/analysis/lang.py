@@ -1,0 +1,223 @@
+"""Language packs — concrete instances of the analysis "zoo" seam (SURVEY §2.2).
+
+Lucene ships ~40 per-language analyzers in analysis/common
+(``org.apache.lucene.analysis.{en,fr,de,es,it}.*Analyzer``), each a chain of
+tokenizer → lowercase → stopwords → (elision) → stemmer. This module provides
+the same shape for five languages over the engine's pinned ASCII tokenizer
+grammar:
+
+- **stopword sets** — compact versions of the classic public-domain function-
+  word lists the Snowball project distributes (behavioral reference:
+  ``lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball/
+  *_stop.txt``). Trimmed to the high-frequency core; extend per corpus.
+- **minimal/light stemmers** — reimplementations of the published
+  minimal-stemming family (J. Savoy, "Light stemming approaches for the
+  French, Portuguese, German and Hungarian languages", ACM SAC 2006; and the
+  classic s-stemmer for English). Behavioral references:
+  ``EnglishMinimalStemmer.java``, ``FrenchMinimalStemmer.java``,
+  ``GermanMinimalStemmer.java``, ``SpanishLightStemmer.java``,
+  ``ItalianLightStemmer.java`` in ``lucene/analysis/common``. These are
+  rule-for-rule *reimplementations from the published algorithms*, not ports
+  of the Java sources; where the published variants differ we pin the rules
+  documented in each function's docstring (the unit tests are the contract).
+- **elision** — French/Italian elided articles (l', d', qu', un'…) are listed
+  as stopwords instead of an ElisionFilter: the pinned grammar splits at the
+  apostrophe, so the article arrives as its own 1-2 char token.
+
+Accented input caveat: the pinned tokenizer is ASCII-only, so non-ASCII
+letters split tokens ("café" → "caf"). Pair a pack with the build-side
+``fold_text`` char-fold (NFKD + strip combining marks BEFORE tokenization,
+MappingCharFilter position in Lucene's chain) to index accented Latin text;
+the pack's stemmers then see the folded ASCII forms, which is also why the
+rule sets below are written against folded spellings (e.g. French "é" → "e").
+"""
+
+from __future__ import annotations
+
+from lucene_ray.analysis.filters import TokenFilter
+
+# ---------------------------------------------------------------------------
+# Stopword sets (folded-ASCII spellings, matching the fold_text pipeline)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset(
+        """a an and are as at be but by for if in into is it no not of on or
+        such that the their then there these they this to was will with"""
+        .split()
+    ),
+    "fr": frozenset(
+        """au aux avec ce ces dans de des du elle en et eux il ils je la le
+        les leur lui ma mais me meme mes moi mon ne nos notre nous on ou par
+        pas pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos
+        votre vous c d j l m n s t y etre avoir est sont sera ete"""
+        .split()
+    ),
+    "de": frozenset(
+        """aber alle als also am an auch auf aus bei bin bis bist da damit
+        dann das dass dein deine dem den der des dich die dir doch dort du
+        durch ein eine einem einen einer eines er es euer eure fur hatte
+        hatten hier hin ich ihr ihre im in ist ja jede jedem jeden jeder
+        jedes kann kein konnen mein meine mit muss nach nicht noch nun nur ob
+        oder ohne sehr sein seine sich sie sind so uber um und uns unser
+        unter viel vom von vor wann war waren was weiter wenn wer werde
+        werden wie wieder will wir wird wirst wo zu zum zur"""
+        .split()
+    ),
+    "es": frozenset(
+        """a al algo como con contra cual cuando de del desde donde durante e
+        el ella ellas ellos en entre era es esa ese eso esta estas este esto
+        estos fue ha han hasta hay la las le les lo los mas me mi mis mucho
+        muy nada ni no nos nosotros o os otra otro para pero poco por porque
+        que quien se sin sobre son su sus tambien te tiene todo tu tus un una
+        uno unos y ya yo"""
+        .split()
+    ),
+    "it": frozenset(
+        """a ad agli ai al alla alle allo anche che chi ci come con contro da
+        dagli dai dal dalla dalle dallo degli dei del della delle dello di e
+        ed era essere fra gli ha hanno il in io la le lei lo loro lui ma mi
+        ne nei nel nella no noi non nostro o per perche piu quale quando
+        quella quelle quello questa queste questo qui se sei si sia siamo
+        sono sotto su sua sue sugli sui sul sulla suo tra tu tua tue tuo un
+        una uno voi vostro d l un qu c s n m t v"""
+        .split()
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Minimal / light stemmers (pure functions on folded lowercase ASCII terms)
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiou")
+
+
+def english_minimal_stem(t: str) -> str:
+    """Plural-only s-stemmer (EnglishMinimalStemmer.java shape): strip a
+    final 's' from words of length >= 4 unless it follows 'u' or another
+    's' ("genus", "class" keep theirs)."""
+    if len(t) < 4 or t[-1] != "s" or t[-2] in ("u", "s"):
+        return t
+    return t[:-1]
+
+
+def french_minimal_stem(t: str) -> str:
+    """Savoy's minimal French stemmer (FrenchMinimalStemmer.java shape):
+    words >= 6 chars; 'aux' -> 'al', else drop final 'x'; otherwise strip a
+    trailing 's', then 'r', then 'e', then collapse a doubled final letter
+    ("chevaux"->"cheval", "chanteuses"->"chanteus"->... )."""
+    if len(t) < 6:
+        return t
+    if t[-1] == "x":
+        if t.endswith("aux"):
+            return t[:-3] + "al"
+        return t[:-1]
+    if t[-1] == "s":
+        t = t[:-1]
+    if t and t[-1] == "r":
+        t = t[:-1]
+    if t and t[-1] == "e":
+        t = t[:-1]
+    if len(t) >= 2 and t[-1] == t[-2]:
+        t = t[:-1]
+    return t
+
+
+def german_minimal_stem(t: str) -> str:
+    """Savoy's minimal German stemmer (GermanMinimalStemmer.java shape):
+    words >= 5 chars; strip plural/case endings 'nen' (len>6), then one of
+    'en'/'er'/'es'/'se' (len>5), then a single final 'e'/'n'/'r'/'s'
+    ("frauen"->"frau", "kindern"->"kinder"->... applied once each)."""
+    if len(t) < 5:
+        return t
+    if len(t) > 6 and t.endswith("nen"):
+        return t[:-3]
+    if len(t) > 5 and t[-2:] in ("en", "er", "es", "se"):
+        return t[:-2]
+    if t[-1] in "enrs":
+        return t[:-1]
+    return t
+
+
+def spanish_light_stem(t: str) -> str:
+    """Light Spanish plural/gender stemmer (SpanishLightStemmer.java shape,
+    folded spellings): words >= 5 chars; strip plural 'es' after a stemmable
+    consonant (r,l,n,d,s,z) or plain final 's'; then reduce a final gender
+    vowel 'o'/'a'/'e' ("gatos"->"gat", "actrices" handled as 'es' strip)."""
+    if len(t) < 5:
+        return t
+    if t.endswith("es") and len(t) >= 6 and t[-3] in "rlndsz":
+        t = t[:-2]
+    elif t[-1] == "s":
+        t = t[:-1]
+    if len(t) >= 4 and t[-1] in "oae":
+        t = t[:-1]
+    return t
+
+
+def italian_light_stem(t: str) -> str:
+    """Light Italian stemmer (ItalianLightStemmer.java shape): words >= 6
+    chars; map a final plural/gender vowel ('i'/'e' plural, 'o'/'a'
+    singular) to nothing, with 'i'->'o' class merges handled by just
+    stripping ("gatti"/"gatto"->"gatt", "case"/"casa"->"cas")."""
+    if len(t) < 6:
+        return t
+    if t[-1] in "ioae":
+        t = t[:-1]
+        # double vowel endings like "io"/"ia" ("occhio" -> "occhi" -> "occh")
+        if t and t[-1] in "i":
+            t = t[:-1]
+    return t
+
+
+STEMMERS = {
+    "en": english_minimal_stem,
+    "fr": french_minimal_stem,
+    "de": german_minimal_stem,
+    "es": spanish_light_stem,
+    "it": italian_light_stem,
+}
+
+SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
+
+
+class LightStemFilter(TokenFilter):
+    """Vocab-level 1:1 stemmer filter for a language pack. Spec round-trips
+    through the index manifest as ``("light_stem", {"lang": code})``
+    (build_filters resolves it lazily to avoid an import cycle)."""
+
+    def __init__(self, lang: str):
+        if lang not in STEMMERS:
+            raise ValueError(
+                f"unsupported language {lang!r}; have {SUPPORTED_LANGUAGES}"
+            )
+        self.lang = lang
+        self._stem = STEMMERS[lang]
+        self.spec = ("light_stem", {"lang": lang})
+
+    def map_term(self, term: str) -> str:
+        return self._stem(term)
+
+
+def language_pack(lang: str, minimal: bool = True) -> dict:
+    """Analyzer-chain parts for a language: ``{"stopwords": frozenset,
+    "filter_specs": tuple}``. English with ``minimal=False`` uses the full
+    Porter stemmer (EnglishAnalyzer = stop + Porter); every other pack is
+    stop + light stem, the *Analyzer shape Lucene uses for fr/de/es/it."""
+    if lang not in STEMMERS:
+        raise ValueError(f"unsupported language {lang!r}; have {SUPPORTED_LANGUAGES}")
+    if lang == "en" and not minimal:
+        specs: tuple = (("porter_stem",),)
+    else:
+        specs = (("light_stem", {"lang": lang}),)
+    return {"stopwords": STOPWORDS[lang], "filter_specs": specs}
+
+
+def analyzer_for(lang: str, minimal: bool = True):
+    """Query-side AnalyzerChain for a pack (same chain the build side applies
+    via IndexConfig.token_filters/stopwords)."""
+    from lucene_ray.analysis.filters import AnalyzerChain
+
+    pack = language_pack(lang, minimal)
+    return AnalyzerChain(pack["filter_specs"], stopwords=pack["stopwords"])

@@ -108,6 +108,47 @@ def analyzed_hits(sf_dir: str, query_text: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
 
 
+def documents_lang_index(sf_dir: str, lang: str = "en") -> IndexReader:
+    """Build-or-open a documents index analyzed with a LANGUAGE PACK
+    (analysis/lang.py): stopword removal + the pack's light stemmer — the
+    per-language *Analyzer shape from Lucene's analysis-common zoo
+    (e.g. EnglishAnalyzer/FrenchLightStemFilter chains)."""
+    from lucene_ray.analysis.lang import language_pack
+
+    pack = language_pack(lang)
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:lang-{lang}-v1".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-lang-{lang}-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            stopwords=tuple(sorted(pack["stopwords"])),
+            token_filters=pack["filter_specs"],
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def lang_pack_hits(sf_dir: str, query_text: str, lang: str = "en") -> pa.Table:
+    """Hit set over a language-pack index with the query analyzed by the
+    SAME pack (stop + stem both sides): 'customers' and 'customer' conflate
+    to one postings list."""
+    from lucene_ray.analysis.lang import analyzer_for
+    from lucene_ray.search.query import parse_query
+
+    reader = documents_lang_index(sf_dir, lang)
+    q = parse_query(query_text, analyzer=analyzer_for(lang))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 AUTOCOMPLETE_FILTERS = (("edge_ngram", {"min": 2, "max": 6}),)
 
 

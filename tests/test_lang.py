@@ -1,0 +1,115 @@
+"""Language packs (analysis/lang.py): stemmers, stopwords, chain wiring."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.lang import (
+    STOPWORDS,
+    SUPPORTED_LANGUAGES,
+    LightStemFilter,
+    analyzer_for,
+    english_minimal_stem,
+    french_minimal_stem,
+    german_minimal_stem,
+    italian_light_stem,
+    language_pack,
+    spanish_light_stem,
+)
+from lucene_ray.index.invert import invert_partition
+
+
+def test_english_minimal_stem():
+    assert english_minimal_stem("dogs") == "dog"
+    assert english_minimal_stem("queries") == "querie"  # s-stemmer only
+    assert english_minimal_stem("class") == "class"     # -ss kept
+    assert english_minimal_stem("genus") == "genus"     # -us kept
+    assert english_minimal_stem("its") == "its"         # too short
+
+
+def test_french_minimal_stem():
+    assert french_minimal_stem("chevaux") == "cheval"
+    # minimal stemmers are crude on purpose: 'aux'->'al' unconditionally
+    assert french_minimal_stem("bateaux") == "bateal"
+    assert french_minimal_stem("chanteurs") == "chanteu"
+    assert french_minimal_stem("belles") == "bel"       # s, e, then double-l
+    assert french_minimal_stem("portes") == "port"
+    assert french_minimal_stem("belle") == "belle"      # short words untouched
+
+
+def test_german_minimal_stem():
+    assert german_minimal_stem("frauen") == "frau"
+    assert german_minimal_stem("lehrerinnen") == "lehrerin"
+    assert german_minimal_stem("kindes") == "kind"
+    assert german_minimal_stem("hauses") == "haus"
+    assert german_minimal_stem("haus") == "haus"        # len < 5 untouched
+    assert german_minimal_stem("rot") == "rot"
+
+
+def test_spanish_light_stem():
+    assert spanish_light_stem("gatos") == "gat"
+    assert spanish_light_stem("casas") == "cas"
+    assert spanish_light_stem("flores") == "flor"
+    assert spanish_light_stem("azul") == "azul"
+
+
+def test_italian_light_stem():
+    assert italian_light_stem("ragazzi") == "ragazz"
+    assert italian_light_stem("ragazzo") == "ragazz"
+    assert italian_light_stem("occhio") == "occh"
+    assert italian_light_stem("gatti") == "gatti"  # len < 6 untouched
+    assert italian_light_stem("cane") == "cane"
+
+
+def test_stemmers_never_grow_and_are_deterministic():
+    words = ("general", "materiales", "naturelles", "kindern", "ragazzi")
+    for lang in SUPPORTED_LANGUAGES:
+        f = LightStemFilter(lang)
+        for w in words:
+            once = f.map_term(w)
+            assert len(once) <= len(w)
+            assert f.map_term(w) == once
+
+
+def test_unknown_language_rejected():
+    with pytest.raises(ValueError):
+        LightStemFilter("xx")
+    with pytest.raises(ValueError):
+        language_pack("xx")
+
+
+def test_language_pack_shapes():
+    for lang in SUPPORTED_LANGUAGES:
+        pack = language_pack(lang)
+        assert pack["stopwords"] is STOPWORDS[lang]
+        assert pack["filter_specs"][0][0] == "light_stem"
+    en_full = language_pack("en", minimal=False)
+    assert en_full["filter_specs"] == (("porter_stem",),)
+
+
+def test_analyzer_for_round_trip():
+    fr = analyzer_for("fr")
+    # stopwords removed (le, la, les...), remaining terms light-stemmed
+    assert fr("le chanteur et les chevaux") == ["chanteu", "cheval"]
+    en = analyzer_for("en")
+    assert en("the dogs and the cats") == ["dog", "cat"]
+    en_porter = analyzer_for("en", minimal=False)
+    assert en_porter("the running dogs") == ["run", "dog"]
+
+
+def test_invert_with_language_pack():
+    pack = language_pack("de")
+    from lucene_ray.analysis.filters import build_filters
+
+    docs = pa.array(["die frauen und die kinder", "das kind"], pa.string())
+    t, lengths, _ = invert_partition(
+        docs,
+        stopwords=frozenset(pack["stopwords"]),
+        token_filters=build_filters(pack["filter_specs"]),
+    )
+    terms = set(t.column("term").to_pylist())
+    assert "frau" in terms and "und" not in terms and "die" not in terms
+    # "kinder" and "kind" stem to the same form -> one posting, df 2
+    i = t.column("term").to_pylist().index("kind")
+    assert t.column("df")[i].as_py() == 2
+    # stopwords dropped BEFORE counting lengths (position holes kept)
+    assert list(lengths) == [2, 1]
