@@ -147,6 +147,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regexp_hits": _q(lambda sf: ft.regexp_hits(sf, "jo.*n")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
+        # span family (queries/spans): position algebra surfaces
+        "ft_span_first_hits": _q(lambda sf: ft.span_first_hits(sf, "join", 10)),
+        "ft_span_near_hits": _q(
+            lambda sf: ft.span_near_hits(sf, ["batch", "window"], slop=2)
+        ),
+        "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
+        # DisjunctionMaxQuery: union hit set (exact), scored top-k rows-only
+        "ft_dismax_hits": _q(lambda sf: ft.dismax_hits(sf, ["join", "hash"], 0.3)),
+        "ft_dismax_top10": _q(lambda sf: ft.dismax_topk(sf, ["join", "hash"], 0.1)),
+        # numeric doc-values: range query, range+term filter, range facets
+        "ft_numeric_range_hits": _q(
+            lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400)
+        ),
+        "ft_term_numeric_filter": _q(
+            lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400, term="join")
+        ),
+        "ft_facet_nchars_ranges": _q(
+            lambda sf: ft.facet_numeric_ranges(sf, "join", "n_chars", [0, 200, 400])
+        ),
+        # term vectors (IndexReader.getTermVector)
+        "ft_term_vector_doc7": _q(lambda sf: ft.term_vector(sf, 7)),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
         "ft_phrase_slop_hits": _q(
             lambda sf: ft.phrase_hits(sf, ["batch", "window"], slop=3)
@@ -308,6 +329,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"
         ),
+        # span [pos, pos+1) ends at pos+1 <= 10
+        "ft_span_first_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT doc_id FROM pt WHERE tok = 'join' AND pos <= 9 "
+            "ORDER BY doc_id"
+        ),
+        # ordered near, slop=2: window strictly after batch, gap pb-pa-1 <= 2
+        "ft_span_near_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok = 'batch' AND b.tok = 'window' "
+            "AND b.pos - a.pos BETWEEN 1 AND 3 ORDER BY doc_id"
+        ),
+        # a scan occurrence survives unless it begins the bigram 'scan join'
+        "ft_span_not_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT p.doc_id FROM pt p WHERE p.tok = 'scan' AND NOT EXISTS "
+            "(SELECT 1 FROM pt b WHERE b.doc_id = p.doc_id AND b.tok = 'join' "
+            "AND b.pos = p.pos + 1) ORDER BY doc_id"
+        ),
+        "ft_dismax_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join', 'hash') "
+        "ORDER BY doc_id",
+        "ft_numeric_range_hits": (
+            "SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400 "
+            "ORDER BY doc_id"
+        ),
+        "ft_term_numeric_filter": _TOKS
+        + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
+        "WHERE t.tok = 'join' AND d.n_chars BETWEEN 200 AND 400 ORDER BY doc_id",
+        "ft_facet_nchars_ranges": _TOKS
+        + ", hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join'), "
+        "j AS (SELECT n_chars FROM documents JOIN hits USING (doc_id)) "
+        "SELECT '[0,200)' AS range, (SELECT count(*) FROM j "
+        "WHERE n_chars >= 0 AND n_chars < 200)::BIGINT AS n_docs "
+        "UNION ALL SELECT '[200,400)', (SELECT count(*) FROM j "
+        "WHERE n_chars >= 200 AND n_chars < 400)::BIGINT "
+        "UNION ALL SELECT '[400,inf)', (SELECT count(*) FROM j "
+        "WHERE n_chars >= 400)::BIGINT",
+        "ft_term_vector_doc7": _TOKS
+        + "SELECT tok AS term, count(*)::BIGINT AS tf FROM toks "
+        "WHERE doc_id = 7 AND tok <> '' GROUP BY tok ORDER BY term",
         # sloppy hit-set: exists (pa, pb) with |(pb - 1) - pa| <= slop —
         # equivalent to the engine's nearest-anchor matcher for 2 terms
         "ft_phrase_slop_hits": (

@@ -74,6 +74,8 @@ class IndexReader:
         self._live_cache: dict[int, np.ndarray | None] = {}
         # per-segment parent positions for index-time doc blocks
         self._parents_cache: dict[int, np.ndarray] = {}
+        # per-(segment, column) numeric doc-values arrays
+        self._dv_cache: dict[tuple[int, str], np.ndarray] = {}
 
     # ---- statistics ----
 
@@ -288,6 +290,22 @@ class IndexReader:
             )
             self._parents_cache[seg] = np.flatnonzero(flags).astype(np.int64)
         return self._parents_cache[seg]
+
+    def docvalues(self, seg: int, col: str) -> np.ndarray:
+        """Numeric doc-values for a segment, indexed by segment-local doc id
+        (NumericDocValues analog, index/NumericDocValues.java): the column
+        must be among the index's stored ``id_cols``; read column-pruned
+        from the docmap in pid order."""
+        key = (seg, col)
+        if key not in self._dv_cache:
+            parts = [
+                pq.read_table(docmap_path(self.index_dir, pid), columns=[col])
+                for pid in self._seg_info[seg]["pids"]
+            ]
+            self._dv_cache[key] = np.asarray(
+                pa.concat_tables(parts).column(col).combine_chunks()
+            )
+        return self._dv_cache[key]
 
     def tombstones(self) -> np.ndarray:
         if self._tombstones is None:

@@ -21,8 +21,8 @@ import ray
 import ray.data
 
 from lucene_ray.index.reader import IndexReader
-from lucene_ray.search.query import Query
-from lucene_ray.search.searcher import Searcher, TopDocs, _collect_phrases, merge_topk
+from lucene_ray.search.query import Query, needs_positions
+from lucene_ray.search.searcher import Searcher, TopDocs, merge_topk
 
 
 class QueryShard:
@@ -38,7 +38,7 @@ class QueryShard:
                 "total": [], "exact": []}
         for seg in batch.column("seg").to_pylist():
             for qid, q, all_terms, scorers, ph, pf, k, thr in self.plans:
-                need_pos = bool(_collect_phrases(q))
+                need_pos = needs_positions(q)
                 ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
                 gids, scores, total, exact = ss.top_k(q, k, thr)
                 n = max(1, len(gids))  # emit >=1 row per (seg, qid) for totals
@@ -86,7 +86,7 @@ class QueryShardActor:
         out = []
         for seg in self.segs:
             for qid, q, all_terms, scorers, ph, pf, k, thr in plans:
-                need_pos = bool(_collect_phrases(q))
+                need_pos = needs_positions(q)
                 ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
                 gids, scores, total, exact = ss.top_k(q, k, thr)
                 out.append((seg, qid, gids, scores, total, exact))
@@ -98,7 +98,7 @@ class QueryShardActor:
         out: dict[int, list] = {}
         for seg in self.segs:
             for qid, q, all_terms, scorers, ph, pf in plans:
-                need_pos = bool(_collect_phrases(q))
+                need_pos = needs_positions(q)
                 ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
                 docs, _ = ss.evaluate(q)
                 out.setdefault(qid, []).append(ss.ctx.global_ids[docs])

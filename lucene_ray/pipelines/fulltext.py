@@ -27,12 +27,14 @@ _readers: dict[str, IndexReader] = {}
 def documents_index(sf_dir: str) -> IndexReader:
     """Build-or-open the cached documents index for an sf dir."""
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v3".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:v4".encode()).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"documents-{key}")
     if index_dir not in _readers:
         cfg = IndexConfig(
             content_col="text",
-            id_cols=("doc_id", "lang", "source"),
+            # n_chars doubles as a numeric doc-values column
+            # (NumericRangeQuery / numeric range facets)
+            id_cols=("doc_id", "lang", "source", "n_chars"),
             target_rows_per_partition=20_000,
             partitions_per_segment=4,
             hot_df_threshold=500_000,
@@ -440,6 +442,134 @@ def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
             "doc_id": pa.array(orig[order], pa.int64()),
             "start_offset": pa.array(starts[order], pa.int64()),
             "end_offset": pa.array(ends[order], pa.int64()),
+        }
+    )
+
+
+def span_first_hits(sf_dir: str, term: str, end: int) -> pa.Table:
+    """Docs where ``term`` occurs within the first ``end`` positions —
+    SpanFirstQuery over a SpanTermQuery (SpanFirstQuery.java)."""
+    from lucene_ray.search.query import SpanFirstQuery, SpanTermQuery
+
+    q = SpanFirstQuery(SpanTermQuery(term), end)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def span_near_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
+    """Docs where the terms occur IN ORDER with total gap <= slop —
+    SpanNearQuery(ordered) over SpanTermQuerys (NearSpansOrdered.java)."""
+    from lucene_ray.search.query import SpanNearQuery, SpanTermQuery
+
+    q = SpanNearQuery([SpanTermQuery(t) for t in terms], slop=slop, in_order=True)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def span_not_hits(sf_dir: str, include: str, follow: str) -> pa.Table:
+    """Docs with an occurrence of ``include`` that is NOT part of the
+    ordered bigram ``include follow`` — SpanNotQuery(include,
+    SpanNear([include, follow], 0)) (SpanNotQuery.java)."""
+    from lucene_ray.search.query import SpanNearQuery, SpanNotQuery, SpanTermQuery
+
+    near = SpanNearQuery([SpanTermQuery(include), SpanTermQuery(follow)], slop=0)
+    q = SpanNotQuery(SpanTermQuery(include), near)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def dismax_hits(sf_dir: str, terms: list[str], tie_breaker: float = 0.0) -> pa.Table:
+    """Hit set of a DisjunctionMaxQuery over TermQuerys (= the union; the
+    tie_breaker only affects scores)."""
+    from lucene_ray.search.query import DisMaxQuery, TermQuery
+
+    q = DisMaxQuery([TermQuery(t) for t in terms], tie_breaker)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.1,
+                k: int = 10) -> pa.Table:
+    """Scored DisMax top-k (rows-only contract surface: float32 max +
+    tie_breaker arithmetic)."""
+    from lucene_ray.search.query import DisMaxQuery, TermQuery
+
+    reader = documents_index(sf_dir)
+    q = DisMaxQuery([TermQuery(t) for t in terms], tie_breaker)
+    td = _pool(reader).search([(0, q)], k)[0]
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+            "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+            "score": pa.array(td.scores, pa.float32()),
+        }
+    )
+
+
+def numeric_range_hits(sf_dir: str, col: str, lower, upper,
+                       term: str | None = None) -> pa.Table:
+    """Docs with ``lower <= col <= upper`` (NumericRangeQuery over the
+    doc-values column), optionally intersected with a TermQuery as a
+    BooleanQuery filter clause — the IntPoint.newRangeQuery + filter shape."""
+    from lucene_ray.search.query import BooleanQuery, NumericRangeQuery, TermQuery
+
+    nq = NumericRangeQuery(col, lower, upper)
+    q = BooleanQuery(must=[TermQuery(term), nq]) if term else nq
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def facet_numeric_ranges(sf_dir: str, term: str, col: str,
+                         edges: list[int]) -> pa.Table:
+    """Range facet counts over a query's hit set (LongRangeFacetCounts
+    analog, facet/range/LongRangeFacetCounts.java): buckets are
+    [edges[i], edges[i+1]) plus a final [edges[-1], inf) bucket; counts from
+    the doc-values column of the matching docs."""
+    from lucene_ray.search.query import TermQuery
+
+    gids = _all_matches(sf_dir, TermQuery(term))
+    reader = documents_index(sf_dir)
+    labels = [f"[{edges[i]},{edges[i + 1]})" for i in range(len(edges) - 1)]
+    labels.append(f"[{edges[-1]},inf)")
+    if len(gids) == 0:
+        counts = np.zeros(len(labels), dtype=np.int64)
+    else:
+        vals = np.asarray(
+            reader.lookup_docs(gids, columns=["doc_id", col]).column(col)
+        )
+        idx = np.searchsorted(np.asarray(edges, dtype=np.int64), vals, side="right") - 1
+        idx = idx[idx >= 0]  # below the first edge: uncounted (as in Lucene)
+        counts = np.bincount(idx, minlength=len(labels)).astype(np.int64)
+    return pa.table(
+        {
+            "range": pa.array(labels, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def term_vector(sf_dir: str, doc_id: int) -> pa.Table:
+    """(term, tf) of one document — the IndexReader.getTermVector surface
+    (index/TermVectors.java). Served by re-analyzing the stored text with
+    the index's analyzer (equivalent to a stored vector under a
+    deterministic analyzer); sorted by term like Lucene's TermsEnum."""
+    from collections import Counter
+
+    import pyarrow.dataset as pads
+
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+
+    ds = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    t = ds.to_table(columns=["text"], filter=pads.field("doc_id") == doc_id)
+    if t.num_rows != 1:
+        raise KeyError(f"doc_id {doc_id}: {t.num_rows} rows")
+    tf = Counter(CodeTokenizer()(t.column("text")[0].as_py()))
+    terms = sorted(tf)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[t] for t in terms], pa.int64()),
         }
     )
 

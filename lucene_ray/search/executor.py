@@ -35,10 +35,18 @@ import numpy as np
 from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_positions
 from lucene_ray.search.query import (
     MULTI_TERM_TYPES,
+    SPAN_TYPES,
     BooleanQuery,
+    DisMaxQuery,
     MatchAllQuery,
+    NumericRangeQuery,
     PhraseQuery,
     Query,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
     TermQuery,
     ToParentBlockJoinQuery,
 )
@@ -69,10 +77,15 @@ class SegmentContext:
 
     def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray,
                  live: np.ndarray | None = None,
-                 parents: np.ndarray | None = None):
+                 parents: np.ndarray | None = None,
+                 dv_fetch=None):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
+        # col -> np.ndarray[num_docs] numeric doc-values, fetched lazily via
+        # dv_fetch (the reader's column-pruned docmap read) and cached
+        self.dv_fetch = dv_fetch
+        self._dv: dict[str, np.ndarray] = {}
         # ascending local ids of block-last docs (index-time doc blocks);
         # None when the index was built without block_col
         self.parents = parents
@@ -84,11 +97,22 @@ class SegmentContext:
         self._decoded: dict[str, TermPostings] = {}
         self.with_positions = False
 
+    def docvalues(self, col: str) -> np.ndarray:
+        if col not in self._dv:
+            if self.dv_fetch is None:
+                raise ValueError(
+                    f"query needs doc-values column {col!r} but the context "
+                    "has no doc-values fetcher"
+                )
+            self._dv[col] = self.dv_fetch(col)
+        return self._dv[col]
+
     @classmethod
     def from_chunk_table(cls, table, num_docs, norms, global_ids,
-                        with_positions=False, live=None, parents=None):
+                        with_positions=False, live=None, parents=None,
+                        dv_fetch=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
-        ctx = cls(num_docs, norms, global_ids, live, parents)
+        ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch)
         ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
@@ -201,7 +225,117 @@ class SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, ToParentBlockJoinQuery):
             return self._eval_blockjoin(q)
+        if isinstance(q, DisMaxQuery):
+            return self._eval_dismax(q)
+        if isinstance(q, SPAN_TYPES):
+            d, _s, _e = self._spans(q)
+            docs = np.unique(d)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, NumericRangeQuery):
+            return self._eval_numeric_range(q)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _eval_dismax(self, q: DisMaxQuery) -> tuple[np.ndarray, np.ndarray]:
+        """score = max(matching disjunct scores) + tie_breaker * (sum of the
+        others), float32 (DisjunctionMaxQuery.java DisjunctionMaxScorer)."""
+        n = self.ctx.num_docs
+        mx = np.zeros(n, dtype=np.float32)
+        sm = np.zeros(n, dtype=np.float32)
+        matched = np.zeros(n, dtype=bool)
+        for c in q.disjuncts:
+            d, s = self.evaluate(c)
+            mx[d] = np.maximum(mx[d], s)
+            sm[d] += s
+            matched[d] = True
+        docs = np.flatnonzero(matched).astype(np.int64)
+        tie = np.float32(q.tie_breaker)
+        scores = (mx[docs] + tie * (sm[docs] - mx[docs])) * np.float32(q.boost)
+        return docs, scores
+
+    def _eval_numeric_range(self, q: NumericRangeQuery) -> tuple[np.ndarray, np.ndarray]:
+        vals = self.ctx.docvalues(q.col)
+        mask = np.ones(self.ctx.num_docs, dtype=bool)
+        if q.lower is not None:
+            mask &= vals >= q.lower
+        if q.upper is not None:
+            mask &= vals <= q.upper
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+
+    # ---- span family: (doc, start, end) span algebra ----
+
+    def _spans(self, q: Query) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All spans of a span query as (doc, start, end) int64 arrays,
+        sorted by (doc, start, end). Kernels follow the Spans contract of
+        lucene/queries/src/java/org/apache/lucene/queries/spans/."""
+        if isinstance(q, SpanTermQuery):
+            tp = self.ctx.postings(q.term)
+            if tp is None or tp.pos_chunks is None:
+                return _EMPTY_SPANS
+            pos = _decode_all_positions(tp).astype(np.int64)
+            doc_rep = np.repeat(tp.docs, tp.freqs)
+            return doc_rep, pos, pos + 1
+        if isinstance(q, SpanFirstQuery):
+            d, s, e = self._spans(q.match)
+            keep = e <= q.end
+            return d[keep], s[keep], e[keep]
+        if isinstance(q, SpanOrQuery):
+            parts = [self._spans(c) for c in q.clauses]
+            d = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            e = np.concatenate([p[2] for p in parts])
+            order = np.lexsort((e, s, d))
+            return d[order], s[order], e[order]
+        if isinstance(q, SpanNotQuery):
+            return self._span_not(q)
+        if isinstance(q, SpanNearQuery):
+            return self._span_near(q)
+        raise TypeError(f"not a span query: {q!r}")
+
+    def _span_near(self, q: SpanNearQuery) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Ordered near (NearSpansOrdered.java): greedy chain — per anchor
+        span of clause 0, each later clause takes its first span starting at
+        or after the previous clause's end (minimal start); match when the
+        accumulated gap sum(start_i - end_{i-1}) <= slop."""
+        parts = [self._spans(c) for c in q.clauses]
+        d0, s0, e0 = parts[0]
+        if len(d0) == 0:
+            return _EMPTY_SPANS
+        M = np.int64(1) << 32
+        cur_end = e0.copy()
+        gap = np.zeros(len(d0), dtype=np.int64)
+        valid = np.ones(len(d0), dtype=bool)
+        for dk, sk, ek in parts[1:]:
+            if len(dk) == 0:
+                return _EMPTY_SPANS
+            keys = dk * M + sk  # sorted (doc, start)
+            idx = np.searchsorted(keys, d0 * M + cur_end, side="left")
+            idx_c = np.minimum(idx, len(keys) - 1)
+            ok = (idx < len(keys)) & (dk[idx_c] == d0)
+            gap = np.where(ok, gap + sk[idx_c] - cur_end, gap)
+            cur_end = np.where(ok, ek[idx_c], cur_end)
+            valid &= ok
+        keep = valid & (gap <= q.slop)
+        return d0[keep], s0[keep], cur_end[keep]
+
+    def _span_not(self, q: SpanNotQuery) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Spans of include that overlap no exclude span: an include span
+        [s, e) is removed iff an exclude span [sx, ex) in the same doc has
+        sx < e and ex > s (SpanNotQuery.java, pre=post=0)."""
+        di, si, ei = self._spans(q.include)
+        dx, sx, ex = self._spans(q.exclude)
+        if len(di) == 0 or len(dx) == 0:
+            return di, si, ei
+        M = np.int64(1) << 32
+        # doc-offset ends make the running max segment-local: an earlier
+        # doc's entry can never exceed a later doc's base
+        cummax_end = np.maximum.accumulate(dx * M + ex)
+        idx = np.searchsorted(dx * M + sx, di * M + ei, side="left") - 1
+        has_prior = idx >= 0
+        overlap = np.zeros(len(di), dtype=bool)
+        overlap[has_prior] = cummax_end[idx[has_prior]] > di[has_prior] * M + si[has_prior]
+        keep = ~overlap
+        return di[keep], si[keep], ei[keep]
 
     def _eval_blockjoin(self, q: ToParentBlockJoinQuery) -> tuple[np.ndarray, np.ndarray]:
         """Map child matches to their block's parent doc and aggregate
@@ -602,6 +736,8 @@ class SegmentScorer:
 
 
 _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+_EMPTY_SPANS = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64))
 
 
 def _topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -125,6 +125,104 @@ class ToParentBlockJoinQuery(Query):
 
 
 @dataclass(frozen=True)
+class DisMaxQuery(Query):
+    """Disjunction-max: a doc matching any disjunct scores
+    ``max(clause scores) + tie_breaker * (sum of the other matching
+    clauses)`` — DisjunctionMaxQuery.java:49 (tie_breaker=0 is the classic
+    best-field behavior, 1.0 degrades to a plain sum)."""
+
+    disjuncts: tuple
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def __init__(self, disjuncts, tie_breaker: float = 0.0, boost: float = 1.0):
+        object.__setattr__(self, "disjuncts", tuple(disjuncts))
+        object.__setattr__(self, "tie_breaker", float(tie_breaker))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """Primitive span: every occurrence of ``term`` is a [pos, pos+1) span
+    (lucene/queries/src/java/org/apache/lucene/queries/spans/SpanTermQuery.java)."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Spans of ``match`` ending at position <= ``end`` — matches near the
+    start of the field (SpanFirstQuery.java)."""
+
+    match: "Query"
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Ordered proximity of sub-spans: clauses must appear in order,
+    non-overlapping, with total gap (sum of start_i - end_{i-1}) <= ``slop``
+    (SpanNearQuery.java / NearSpansOrdered.java). The matcher is a greedy
+    minimal-next-start chain per anchor span — exact for unit-length
+    sub-spans (terms / span-first / span-or over terms); for nested nears it
+    is Lucene's greedy behavior. Only ``in_order=True`` is implemented."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+    def __init__(self, clauses, slop: int = 0, in_order: bool = True,
+                 boost: float = 1.0):
+        if not in_order:
+            raise ValueError("unordered SpanNearQuery is not implemented")
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "in_order", True)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of sub-spans (SpanOrQuery.java)."""
+
+    clauses: tuple
+    boost: float = 1.0
+
+    def __init__(self, clauses, boost: float = 1.0):
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Spans of ``include`` that do not overlap any span of ``exclude``
+    (SpanNotQuery.java with pre=post=0)."""
+
+    include: "Query"
+    exclude: "Query"
+    boost: float = 1.0
+
+
+SPAN_TYPES = (SpanTermQuery, SpanFirstQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery)
+
+
+@dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """Inclusive numeric doc-values range over a stored numeric column —
+    the IntPoint/LongPoint range + NumericDocValues filter analog
+    (document/IntPoint.java newRangeQuery; SURVEY §2 numeric points row:
+    zone-map-style pruning happens at the docmap read). Constant score."""
+
+    col: str
+    lower: float | int | None = None
+    upper: float | int | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     must: tuple = field(default_factory=tuple)
     should: tuple = field(default_factory=tuple)
@@ -154,7 +252,7 @@ def collect_terms(q: Query) -> set[str]:
 
 
 def _collect(q: Query, out: set[str]) -> None:
-    if isinstance(q, TermQuery):
+    if isinstance(q, (TermQuery, SpanTermQuery)):
         out.add(q.term)
     elif isinstance(q, PhraseQuery):
         out.update(q.terms)
@@ -163,6 +261,52 @@ def _collect(q: Query, out: set[str]) -> None:
             _collect(c, out)
     elif isinstance(q, ToParentBlockJoinQuery):
         _collect(q.child, out)
+    elif isinstance(q, DisMaxQuery):
+        for c in q.disjuncts:
+            _collect(c, out)
+    elif isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        for c in q.clauses:
+            _collect(c, out)
+    elif isinstance(q, SpanFirstQuery):
+        _collect(q.match, out)
+    elif isinstance(q, SpanNotQuery):
+        _collect(q.include, out)
+        _collect(q.exclude, out)
+
+
+def children(q: Query) -> tuple:
+    """Direct sub-queries of a node (empty for leaves)."""
+    if isinstance(q, BooleanQuery):
+        return (*q.must, *q.should, *q.must_not)
+    if isinstance(q, ToParentBlockJoinQuery):
+        return (q.child,)
+    if isinstance(q, DisMaxQuery):
+        return q.disjuncts
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        return q.clauses
+    if isinstance(q, SpanFirstQuery):
+        return (q.match,)
+    if isinstance(q, SpanNotQuery):
+        return (q.include, q.exclude)
+    return ()
+
+
+def needs_positions(q: Query) -> bool:
+    """True when evaluating ``q`` requires positional postings (phrases and
+    the span family)."""
+    if isinstance(q, (PhraseQuery, *SPAN_TYPES)):
+        return True
+    return any(needs_positions(c) for c in children(q))
+
+
+def collect_dv_cols(q: Query) -> set[str]:
+    """Doc-values columns a query filters on (NumericRangeQuery nodes)."""
+    out: set[str] = set()
+    if isinstance(q, NumericRangeQuery):
+        out.add(q.col)
+    for c in children(q):
+        out |= collect_dv_cols(c)
+    return out
 
 
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)
@@ -174,11 +318,8 @@ def collect_multi_term(q: Query) -> set[Query]:
     out: set[Query] = set()
     if isinstance(q, MULTI_TERM_TYPES):
         out.add(q)
-    elif isinstance(q, BooleanQuery):
-        for c in (*q.must, *q.should, *q.must_not):
-            out |= collect_multi_term(c)
-    elif isinstance(q, ToParentBlockJoinQuery):
-        out |= collect_multi_term(q.child)
+    for c in children(q):
+        out |= collect_multi_term(c)
     return out
 
 

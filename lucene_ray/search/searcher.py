@@ -22,6 +22,7 @@ from lucene_ray.search.query import (
     Query,
     collect_multi_term,
     collect_terms,
+    needs_positions,
     parse_query,
 )
 from lucene_ray.search.similarity import BM25Similarity, TermStats
@@ -96,6 +97,7 @@ class Searcher:
             with_positions=need_positions,
             live=self.reader.live_mask(seg),
             parents=self.reader.parents(seg),
+            dv_fetch=lambda col, _s=seg: self.reader.docvalues(_s, col),
         )
         return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 
@@ -110,7 +112,7 @@ class Searcher:
         ``after=(score, doc_id)`` pages past a previous hit (searchAfter)."""
         q = parse_query(query) if isinstance(query, str) else query
         all_terms, scorers, phrase_scorers, expansions = self.plan(q)
-        need_pos = bool(_collect_phrases(q))
+        need_pos = needs_positions(q)
         doc_parts, score_parts, total = [], [], 0
         exact = True
         for seg in self.reader.segs:
@@ -133,7 +135,7 @@ class Searcher:
         q = parse_query(query) if isinstance(query, str) else query
         gid = np.uint64(global_doc_id)
         all_terms, scorers, phrase_scorers, expansions = self.plan(q)
-        need_pos = bool(_collect_phrases(q))
+        need_pos = needs_positions(q)
         for seg in self.reader.segs:
             gids = self.reader.global_doc_ids(seg)
             pos = np.searchsorted(gids, gid)
