@@ -30,6 +30,20 @@ _TOKLIST = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 )
 
+# shared n-gram-Jaccard CTE chain (3-shingles, exact set Jaccard)
+_NGRAM_CTES = (
+    "tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, unnest("
+    "CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')] "
+    "ELSE list_transform(generate_series(1, len(l) - 2), "
+    "i -> array_to_string(l[i:i+2], ' ')) END) AS s "
+    "FROM tl WHERE len(l) > 0), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+    "it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+)
+
 
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents via the Ray
@@ -190,6 +204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _q(
             lambda sf: dedup.ngram_jaccard_pairs(_docs(sf), threshold=0.5)
         ),
+        # duplicate CLUSTERS (connected components of the exact-Jaccard pair
+        # graph, cluster_id = min member) — the keep-one-per-cluster step
+        "dedup_ngram_clusters": _q(
+            lambda sf: dedup.ngram_jaccard_clusters(_docs(sf), threshold=0.5)
+        ),
         "dedup_simhash_sigs": _q(lambda sf: dedup.simhash_signatures(_docs(sf))),
         "dedup_simhash_pairs": _q(lambda sf: dedup.simhash_pairs(_docs(sf))),
         # exact block-pair path — verifiable against a DuckDB cross join
@@ -272,6 +291,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_top_orders": _q(rel.top_orders),
         "events_tumbling_daily": _q(rel.events_tumbling_daily),
         "events_top_users": _q(rel.top_users_by_events),
+        "events_distinct_users_per_type": _q(rel.distinct_users_per_type),
+        # mergeable per-group HLL (approximate distinct users per type;
+        # deterministic sketch, rows-only)
+        "events_approx_users_per_type": _q(
+            lambda sf: sketch.approx_distinct_grouped(
+                ray.data.read_parquet(f"{sf}/events.parquet"),
+                "event_type", "user_id",
+            )
+        ),
         "events_session_windows": _q(session_windows),
         "events_sliding_counts": _q(sliding_window_counts),
         # large-large shuffle join (neither side broadcast)
@@ -527,19 +555,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "dedup_ngram_jaccard": (
-            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
-            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, unnest("
-            "CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')] "
-            "ELSE list_transform(generate_series(1, len(l) - 2), "
-            "i -> array_to_string(l[i:i+2], ' ')) END) AS s "
-            "FROM tl WHERE len(l) > 0), "
-            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
-            "it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            f"WITH {_NGRAM_CTES} "
             "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
             "FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
             "WHERE c / (sa.n + sb.n - c) >= 0.5 ORDER BY id_a, id_b"
+        ),
+        # transitive closure of the >= 0.5 pair graph; cluster = min member
+        "dedup_ngram_clusters": (
+            f"WITH RECURSIVE {_NGRAM_CTES}, "
+            "p AS (SELECT id_a, id_b "
+            "FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE c / (sa.n + sb.n - c) >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v) "
+            "SELECT u AS doc_id, min(v)::BIGINT AS cluster_id FROM reach "
+            "GROUP BY u ORDER BY doc_id"
+        ),
+        "events_distinct_users_per_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "dedup_embedding_pairs": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

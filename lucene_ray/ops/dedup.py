@@ -435,6 +435,59 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def connected_components(pairs: pa.Table, col_a: str = "id_a",
+                         col_b: str = "id_b") -> pa.Table:
+    """Connected components over a near-duplicate pair list: every node gets
+    ``cluster_id`` = the minimum id in its component — the canonical
+    keep-one-per-duplicate-cluster step after any pair-producing dedup
+    (exact Jaccard, MinHash-LSH, SimHash, embedding cosine).
+
+    Vectorized min-label propagation with pointer jumping: per round, each
+    edge relaxes both endpoints to the smaller label (``np.minimum.at``),
+    then labels chase their own label's label (``lab = lab[lab]``), halving
+    path lengths — O((E+N) log N) total work, no per-node Python loop.
+    The pair list is output-sized (pairs << corpus, produced by the
+    distributed pair stages); at cluster scale shard it by component via
+    iterated hash-to-min groupbys with the same per-round kernel.
+
+    Returns (doc_id, cluster_id) int64, sorted by doc_id, one row per node
+    appearing in ``pairs`` (singletons are their own cluster by definition
+    and are omitted, as they need no dedup decision)."""
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    a = np.asarray(pairs.column(col_a), dtype=np.int64)
+    b = np.asarray(pairs.column(col_b), dtype=np.int64)
+    # np.unique inverse gives compacted edge endpoints in one pass
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])
+        np.minimum.at(new, ib, lab[ia])
+        new = new[new]  # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(nodes[lab], pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_clusters(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_k: int = 3,
+                           threshold: float = 0.5) -> pa.Table:
+    """Duplicate clusters from EXACT n-gram-Jaccard pairs: (doc_id,
+    cluster_id) with cluster_id = min doc id in the connected component —
+    deterministic and SQL-checkable (recursive-CTE transitive closure)."""
+    pairs = ngram_jaccard_pairs(ds, text_col, id_col, shingle_k, threshold)
+    return connected_components(pairs)
+
+
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id") -> ray.data.Dataset:
     """64-bit SimHash over token hashes (weighted by tf), vectorized: one

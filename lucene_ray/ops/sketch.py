@@ -76,3 +76,53 @@ def approx_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text",
     return pa.table(
         {"n_distinct_est": pa.array([int(round(_hll_estimate(merged)))], pa.int64())}
     )
+
+
+def approx_distinct_grouped(ds: ray.data.Dataset, group_col: str,
+                            value_col: str, p: int = 12) -> pa.Table:
+    """Approximate distinct ``value_col`` per ``group_col`` value via
+    per-group HLL registers — the mergeable-sketch GROUP BY shape (map-side
+    per-(batch, group) partials, shuffle one 2^p register array per group
+    per batch, elementwise-max merge per group). Deterministic (md5 value
+    hashing). Returns (group, n_distinct_est int64) sorted by group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gd = batch.column(group_col).combine_chunks().dictionary_encode()
+        gidx = np.asarray(gd.indices)
+        vals = batch.column(value_col).cast(pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        hashes = _token_hash64(vals)
+        # one register array per group present in the batch (sort by group
+        # index so each group's hashes are one contiguous slice)
+        order = np.argsort(gidx, kind="stable")
+        bounds = np.flatnonzero(np.diff(gidx[order], prepend=-1))
+        ends = np.append(bounds[1:], len(order))
+        out_r = [
+            _hll_partial(hashes[order[s:e]], p).tobytes()
+            for s, e in zip(bounds, ends)
+        ]
+        return pa.table({group_col: gd.dictionary.take(pa.array(gidx[order[bounds]])),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for buf in group.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n_distinct_est": pa.array(
+                    [int(round(_hll_estimate(merged)))], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(group_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -158,6 +158,22 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT user_id) per event_type — two-level aggregation:
+    dedup (event_type, user_id) pairs with a groupby (map-side combine makes
+    the shuffle |distinct pairs|, not |events|), then count per type. The
+    exact companion of the HLL sketch (``approx_distinct_grouped``)."""
+    pairs = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    out = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def supplier_part_stats(sf_dir: str) -> pa.Table:
     """Grouped numeric aggregates with min/max/mean over a join-free table."""
     agg = (
