@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_near_hits": _q(
             lambda sf: ft.span_near_hits(sf, ["batch", "window"], slop=2)
         ),
+        "ft_span_near_unordered": _q(
+            lambda sf: ft.span_near_hits(sf, ["batch", "window"], slop=2,
+                                         in_order=False)
+        ),
         "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
         # DisjunctionMaxQuery: union hit set (exact), scored top-k rows-only
         "ft_dismax_hits": _q(lambda sf: ft.dismax_hits(sf, ["join", "hash"], 0.3)),
@@ -373,6 +377,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
             "WHERE a.tok = 'batch' AND b.tok = 'window' "
             "AND b.pos - a.pos BETWEEN 1 AND 3 ORDER BY doc_id"
+        ),
+        # unordered, slop=2: |pb - pa| - 1 <= 2 (positions always differ)
+        "ft_span_near_unordered": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok = 'batch' AND b.tok = 'window' "
+            "AND abs(b.pos - a.pos) BETWEEN 1 AND 3 ORDER BY doc_id"
         ),
         # a scan occurrence survives unless it begins the bigram 'scan join'
         "ft_span_not_hits": (

@@ -455,12 +455,14 @@ def span_first_hits(sf_dir: str, term: str, end: int) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, q))
 
 
-def span_near_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
-    """Docs where the terms occur IN ORDER with total gap <= slop —
-    SpanNearQuery(ordered) over SpanTermQuerys (NearSpansOrdered.java)."""
+def span_near_hits(sf_dir: str, terms: list[str], slop: int = 0,
+                   in_order: bool = True) -> pa.Table:
+    """Docs where the terms occur within slop — SpanNearQuery over
+    SpanTermQuerys (NearSpansOrdered.java / NearSpansUnordered.java)."""
     from lucene_ray.search.query import SpanNearQuery, SpanTermQuery
 
-    q = SpanNearQuery([SpanTermQuery(t) for t in terms], slop=slop, in_order=True)
+    q = SpanNearQuery([SpanTermQuery(t) for t in terms], slop=slop,
+                      in_order=in_order)
     return _orig_ids(sf_dir, _all_matches(sf_dir, q))
 
 

@@ -297,6 +297,8 @@ class SegmentScorer:
         span of clause 0, each later clause takes its first span starting at
         or after the previous clause's end (minimal start); match when the
         accumulated gap sum(start_i - end_{i-1}) <= slop."""
+        if not q.in_order:
+            return self._span_near_unordered(q)
         parts = [self._spans(c) for c in q.clauses]
         d0, s0, e0 = parts[0]
         if len(d0) == 0:
@@ -317,6 +319,43 @@ class SegmentScorer:
             valid &= ok
         keep = valid & (gap <= q.slop)
         return d0[keep], s0[keep], cur_end[keep]
+
+    def _span_near_unordered(self, q: SpanNearQuery) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Unordered near (NearSpansUnordered.java): minimal-window sweep.
+        Every occurrence of any clause is a candidate window END; per clause
+        the window start is its LAST occurrence at or before the candidate
+        (searchsorted on (doc, pos) keys). A doc matches when some candidate
+        window spans max(pos) - min(pos) - (k-1) <= slop. Exact for
+        unit-length sub-spans (one occurrence per position)."""
+        parts = [self._spans(c) for c in q.clauses]
+        for d, s, e in parts:
+            if len(d) == 0:
+                return _EMPTY_SPANS
+            if np.any(e - s != 1):
+                raise ValueError(
+                    "unordered SpanNearQuery requires unit-length sub-spans"
+                )
+        k = len(parts)
+        M = np.int64(1) << 32
+        alld = np.concatenate([p[0] for p in parts])
+        allp = np.concatenate([p[1] for p in parts])
+        cand = alld * M + allp
+        order = np.argsort(cand, kind="stable")
+        alld, allp, cand = alld[order], allp[order], cand[order]
+        min_start = allp.copy()
+        valid = np.ones(len(cand), dtype=bool)
+        for dc, sc, _ec in parts:
+            kc = dc * M + sc
+            idx = np.searchsorted(kc, cand, side="right") - 1
+            idx_c = np.maximum(idx, 0)
+            ok = (idx >= 0) & (dc[idx_c] == alld)
+            valid &= ok
+            min_start = np.where(ok, np.minimum(min_start, sc[idx_c]), min_start)
+        keep = valid & (allp - min_start - (k - 1) <= q.slop)
+        d, s, e = alld[keep], min_start[keep], allp[keep] + 1
+        # restore the (doc, start, end) span-sort contract for composition
+        o = np.lexsort((e, s, d))
+        return d[o], s[o], e[o]
 
     def _span_not(self, q: SpanNotQuery) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Spans of include that overlap no exclude span: an include span

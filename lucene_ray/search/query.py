@@ -162,12 +162,15 @@ class SpanFirstQuery(Query):
 
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
-    """Ordered proximity of sub-spans: clauses must appear in order,
-    non-overlapping, with total gap (sum of start_i - end_{i-1}) <= ``slop``
-    (SpanNearQuery.java / NearSpansOrdered.java). The matcher is a greedy
-    minimal-next-start chain per anchor span — exact for unit-length
-    sub-spans (terms / span-first / span-or over terms); for nested nears it
-    is Lucene's greedy behavior. Only ``in_order=True`` is implemented."""
+    """Proximity of sub-spans (SpanNearQuery.java). ``in_order=True``:
+    clauses must appear in order, non-overlapping, with total gap
+    (sum of start_i - end_{i-1}) <= ``slop`` (NearSpansOrdered.java) — a
+    greedy minimal-next-start chain per anchor span, exact for unit-length
+    sub-spans (terms / span-first / span-or over terms). ``in_order=False``:
+    one occurrence per clause within a window of
+    max(pos) - min(pos) - (k-1) <= slop intervening positions
+    (NearSpansUnordered.java) — a vectorized minimal-window sweep; clauses
+    must produce unit-length spans."""
 
     clauses: tuple
     slop: int = 0
@@ -176,11 +179,9 @@ class SpanNearQuery(Query):
 
     def __init__(self, clauses, slop: int = 0, in_order: bool = True,
                  boost: float = 1.0):
-        if not in_order:
-            raise ValueError("unordered SpanNearQuery is not implemented")
         object.__setattr__(self, "clauses", tuple(clauses))
         object.__setattr__(self, "slop", int(slop))
-        object.__setattr__(self, "in_order", True)
+        object.__setattr__(self, "in_order", bool(in_order))
         object.__setattr__(self, "boost", boost)
 
 

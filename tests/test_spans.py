@@ -94,6 +94,48 @@ def test_span_near_greedy_matches_exhaustive_on_pairs(docs):
         assert got == want, (a, b, slop)
 
 
+@pytest.mark.parametrize("slop", [0, 2, 5])
+def test_span_near_unordered_pair(docs, slop):
+    from lucene_ray.pipelines.fulltext import span_near_hits
+
+    got = span_near_hits(SF, ["batch", "window"], slop, in_order=False) \
+        .column("doc_id").to_pylist()
+    want = []
+    for d, (toks, _) in docs.items():
+        pa_ = _positions(toks, "batch")
+        pb_ = _positions(toks, "window")
+        if any(abs(pb - pa) - 1 <= slop for pa in pa_ for pb in pb_):
+            want.append(d)
+    assert got == sorted(want)
+
+
+def test_span_near_unordered_three(docs):
+    from lucene_ray.pipelines.fulltext import span_near_hits
+
+    slop = 5
+    got = span_near_hits(SF, ["hash", "join", "scan"], slop, in_order=False) \
+        .column("doc_id").to_pylist()
+    want = []
+    for d, (toks, _) in docs.items():
+        ps = [_positions(toks, t) for t in ("hash", "join", "scan")]
+        hit = any(
+            max(p1, p2, p3) - min(p1, p2, p3) - 2 <= slop
+            for p1 in ps[0] for p2 in ps[1] for p3 in ps[2]
+        )
+        if hit:
+            want.append(d)
+    assert got == sorted(want)
+
+
+def test_span_near_unordered_superset_of_ordered(docs):
+    from lucene_ray.pipelines.fulltext import span_near_hits
+
+    o = set(span_near_hits(SF, ["batch", "window"], 3).column("doc_id").to_pylist())
+    u = set(span_near_hits(SF, ["batch", "window"], 3, in_order=False)
+            .column("doc_id").to_pylist())
+    assert o <= u
+
+
 def test_span_not(docs):
     from lucene_ray.pipelines.fulltext import span_not_hits
 
