@@ -184,6 +184,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_nchars_ranges": _q(
             lambda sf: ft.facet_numeric_ranges(sf, "join", "n_chars", [0, 200, 400])
         ),
+        "ft_numeric_set_hits": _q(
+            lambda sf: ft.numeric_set_hits(sf, "n_chars", [250, 301, 999])
+        ),
+        # scoreless FILTER clause (Occur.FILTER): ranking from the scoring
+        # clause only — rows-only scored surface
+        "ft_filtered_bm25_top10": _q(
+            lambda sf: ft.filtered_bm25_topk(sf, "customer", "n_chars", 200, 500)
+        ),
         # term vectors (IndexReader.getTermVector)
         "ft_term_vector_doc7": _q(lambda sf: ft.term_vector(sf, 7)),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
@@ -415,6 +423,10 @@ def oracle_sql() -> dict[str, str]:
         "WHERE n_chars >= 200 AND n_chars < 400)::BIGINT "
         "UNION ALL SELECT '[400,inf)', (SELECT count(*) FROM j "
         "WHERE n_chars >= 400)::BIGINT",
+        "ft_numeric_set_hits": (
+            "SELECT doc_id FROM documents WHERE n_chars IN (250, 301, 999) "
+            "ORDER BY doc_id"
+        ),
         "ft_term_vector_doc7": _TOKS
         + "SELECT tok AS term, count(*)::BIGINT AS tf FROM toks "
         "WHERE doc_id = 7 AND tok <> '' GROUP BY tok ORDER BY term",

@@ -627,6 +627,26 @@ def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
     )
 
 
+def numeric_set_hits(sf_dir: str, col: str, values: list) -> pa.Table:
+    """Docs whose doc-values column is in ``values`` (IntPoint.newSetQuery
+    analog)."""
+    from lucene_ray.search.query import NumericSetQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, NumericSetQuery(col, values)))
+
+
+def filtered_bm25_topk(sf_dir: str, query: str, col: str, lower, upper,
+                       k: int = 10) -> pa.Table:
+    """BM25 top-k restricted by a scoreless numeric FILTER clause
+    (BooleanClause.Occur.FILTER + IntPoint range): ranking comes from the
+    scoring clause alone — rows-only contract surface."""
+    from lucene_ray.search.query import BooleanQuery, NumericRangeQuery, parse_query
+
+    q = BooleanQuery(must=[parse_query(query)],
+                     filter=[NumericRangeQuery(col, lower, upper)])
+    return _scored_topk(sf_dir, q, k)
+
+
 def bm25_topk(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     """BM25 top-k (doc_id, rank, score float32) — scored path, no SQL oracle
     (float32 Lucene-order arithmetic is not expressible in DuckDB; validated
@@ -635,9 +655,12 @@ def bm25_topk(sf_dir: str, query: str, k: int = 10) -> pa.Table:
     bulk-search parity tests)."""
     from lucene_ray.search.query import parse_query
 
+    return _scored_topk(sf_dir, parse_query(query), k)
+
+
+def _scored_topk(sf_dir: str, q: Query, k: int) -> pa.Table:
     reader = documents_index(sf_dir)
-    td = _pool(reader).search([(0, parse_query(query))], k)[0]
-    reader = documents_index(sf_dir)
+    td = _pool(reader).search([(0, q)], k)[0]
     if len(td.doc_ids) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),

@@ -37,9 +37,11 @@ from lucene_ray.search.query import (
     MULTI_TERM_TYPES,
     SPAN_TYPES,
     BooleanQuery,
+    ConstantScoreQuery,
     DisMaxQuery,
     MatchAllQuery,
     NumericRangeQuery,
+    NumericSetQuery,
     PhraseQuery,
     Query,
     SpanFirstQuery,
@@ -233,6 +235,15 @@ class SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericRangeQuery):
             return self._eval_numeric_range(q)
+        if isinstance(q, NumericSetQuery):
+            vals = self.ctx.docvalues(q.col)
+            docs = np.flatnonzero(
+                np.isin(vals, np.asarray(q.values))
+            ).astype(np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, ConstantScoreQuery):
+            docs, _ = self.evaluate(q.query)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         raise TypeError(f"unsupported query: {q!r}")
 
     def _eval_dismax(self, q: DisMaxQuery) -> tuple[np.ndarray, np.ndarray]:
@@ -555,13 +566,16 @@ class SegmentScorer:
         msm = q.effective_msm
         touched_any = False
 
-        if q.must:
+        if q.must or q.filter:
             must_count = np.zeros(n, dtype=np.int32)
             for c in q.must:
                 d, s = self.evaluate(c)
                 acc[d] += s
                 must_count[d] += 1
-            mask = must_count == len(q.must)
+            for c in q.filter:  # required match, zero score contribution
+                d, _ = self.evaluate(c)
+                must_count[d] += 1
+            mask = must_count == len(q.must) + len(q.filter)
             touched_any = True
         else:
             mask = None
@@ -617,12 +631,14 @@ class SegmentScorer:
     def _top_k_pruned(self, q: Query, k: int, threshold: int) -> SegTopK | None:
         if isinstance(q, TermQuery) and q.boost == 1.0 and q.term in self.scorers:
             return self._topk_term_impact_ordered(q.term, k, threshold)
-        if isinstance(q, BooleanQuery) and not q.must_not and not q.must and q.should \
+        if isinstance(q, BooleanQuery) and not q.must_not and not q.must \
+                and not q.filter and q.should \
                 and q.effective_msm <= 1 \
                 and all(isinstance(c, TermQuery) and c.boost == 1.0 and c.term in self.scorers
                         for c in q.should):
             return self._topk_or_maxscore([c.term for c in q.should], k, threshold)
-        if isinstance(q, BooleanQuery) and not q.must_not and not q.should and q.must \
+        if isinstance(q, BooleanQuery) and not q.must_not and not q.should \
+                and not q.filter and q.must \
                 and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in q.must):
             if not all(c.term in self.scorers for c in q.must):
                 return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)

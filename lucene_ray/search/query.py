@@ -224,22 +224,56 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericSetQuery(Query):
+    """Docs whose doc-values column equals one of ``values`` — the
+    IntPoint.newSetQuery / TermInSetQuery-over-points analog. Constant
+    score."""
+
+    col: str
+    values: tuple = ()
+    boost: float = 1.0
+
+    def __init__(self, col: str, values, boost: float = 1.0):
+        object.__setattr__(self, "col", col)
+        object.__setattr__(self, "values", tuple(values))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Wraps any query: same hit set, every hit scores ``boost``
+    (ConstantScoreQuery.java)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
+    """MUST / SHOULD / MUST_NOT / FILTER clauses (BooleanClause.Occur):
+    FILTER is required like MUST but contributes nothing to the score —
+    Lucene's scoreless cached-filter occur."""
+
     must: tuple = field(default_factory=tuple)
     should: tuple = field(default_factory=tuple)
     must_not: tuple = field(default_factory=tuple)
+    filter: tuple = field(default_factory=tuple)
     minimum_should_match: int = 0
 
-    def __init__(self, must=(), should=(), must_not=(), minimum_should_match: int = 0):
+    def __init__(self, must=(), should=(), must_not=(), filter=(),
+                 minimum_should_match: int = 0):
         object.__setattr__(self, "must", tuple(must))
         object.__setattr__(self, "should", tuple(should))
         object.__setattr__(self, "must_not", tuple(must_not))
+        object.__setattr__(self, "filter", tuple(filter))
         object.__setattr__(self, "minimum_should_match", minimum_should_match)
 
     @property
     def effective_msm(self) -> int:
-        # pure-disjunction requires one SHOULD match (BooleanWeight semantics)
-        if self.minimum_should_match == 0 and not self.must and self.should:
+        # pure-disjunction requires one SHOULD match; a MUST or FILTER
+        # clause makes SHOULD optional (BooleanWeight semantics)
+        if self.minimum_should_match == 0 and not self.must \
+                and not self.filter and self.should:
             return 1
         return self.minimum_should_match
 
@@ -258,10 +292,10 @@ def _collect(q: Query, out: set[str]) -> None:
     elif isinstance(q, PhraseQuery):
         out.update(q.terms)
     elif isinstance(q, BooleanQuery):
-        for c in (*q.must, *q.should, *q.must_not):
+        for c in (*q.must, *q.should, *q.must_not, *q.filter):
             _collect(c, out)
-    elif isinstance(q, ToParentBlockJoinQuery):
-        _collect(q.child, out)
+    elif isinstance(q, (ToParentBlockJoinQuery, ConstantScoreQuery)):
+        _collect(children(q)[0], out)
     elif isinstance(q, DisMaxQuery):
         for c in q.disjuncts:
             _collect(c, out)
@@ -278,9 +312,11 @@ def _collect(q: Query, out: set[str]) -> None:
 def children(q: Query) -> tuple:
     """Direct sub-queries of a node (empty for leaves)."""
     if isinstance(q, BooleanQuery):
-        return (*q.must, *q.should, *q.must_not)
+        return (*q.must, *q.should, *q.must_not, *q.filter)
     if isinstance(q, ToParentBlockJoinQuery):
         return (q.child,)
+    if isinstance(q, ConstantScoreQuery):
+        return (q.query,)
     if isinstance(q, DisMaxQuery):
         return q.disjuncts
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
@@ -303,7 +339,7 @@ def needs_positions(q: Query) -> bool:
 def collect_dv_cols(q: Query) -> set[str]:
     """Doc-values columns a query filters on (NumericRangeQuery nodes)."""
     out: set[str] = set()
-    if isinstance(q, NumericRangeQuery):
+    if isinstance(q, (NumericRangeQuery, NumericSetQuery)):
         out.add(q.col)
     for c in children(q):
         out |= collect_dv_cols(c)

@@ -39,16 +39,13 @@ class TopDocs:
 
 
 def _collect_phrases(q: Query) -> list[tuple]:
-    from lucene_ray.search.query import BooleanQuery, ToParentBlockJoinQuery
+    from lucene_ray.search.query import children
 
     out: list[tuple] = []
     if isinstance(q, PhraseQuery):
         out.append(tuple(q.terms))
-    elif isinstance(q, BooleanQuery):
-        for c in (*q.must, *q.should, *q.must_not):
-            out.extend(_collect_phrases(c))
-    elif isinstance(q, ToParentBlockJoinQuery):
-        out.extend(_collect_phrases(q.child))
+    for c in children(q):
+        out.extend(_collect_phrases(c))
     return out
 
 
