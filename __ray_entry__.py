@@ -187,6 +187,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_numeric_set_hits": _q(
             lambda sf: ft.numeric_set_hits(sf, "n_chars", [250, 301, 999])
         ),
+        # query-time Sort(SortField(n_chars, reverse)) — exact
+        "ft_sort_by_field_top10": _q(
+            lambda sf: ft.sort_by_field_topk(sf, "join", "n_chars", 10)
+        ),
+        # TotalHitCountCollector surface — exact
+        "ft_count_join_or_hash": _q(lambda sf: ft.hit_count(sf, "join OR hash")),
+        # grouping module: top-2 per lang by BM25 (rows-only, float32 scores)
+        "ft_grouped_bm25_by_lang": _q(
+            lambda sf: ft.grouped_bm25_topk(sf, "join", "lang", 2)
+        ),
         # scoreless FILTER clause (Occur.FILTER): ranking from the scoring
         # clause only — rows-only scored surface
         "ft_filtered_bm25_top10": _q(
@@ -427,6 +437,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE n_chars IN (250, 301, 999) "
             "ORDER BY doc_id"
         ),
+        "ft_sort_by_field_top10": _TOKS
+        + "SELECT d.doc_id, d.n_chars FROM documents d "
+        "JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') h "
+        "USING (doc_id) ORDER BY d.n_chars DESC, d.doc_id LIMIT 10",
+        "ft_count_join_or_hash": _TOKS
+        + "SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks "
+        "WHERE tok IN ('join', 'hash')",
         "ft_term_vector_doc7": _TOKS
         + "SELECT tok AS term, count(*)::BIGINT AS tf FROM toks "
         "WHERE doc_id = 7 AND tok <> '' GROUP BY tok ORDER BY term",

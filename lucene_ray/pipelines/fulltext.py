@@ -627,6 +627,85 @@ def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
     )
 
 
+def sort_by_field_topk(sf_dir: str, term: str, col: str, k: int = 10,
+                       reverse: bool = True) -> pa.Table:
+    """Query-time sort by a doc-values column — the
+    Sort(SortField(col, LONG, reverse)) search surface
+    (search/SortField.java): top-k of the term's hit set ordered by the
+    column, ties broken by doc id ascending (Lucene's index-order
+    tie-break). Like Lucene without an index sort, every hit's comparator
+    value is visited; at cluster scale this runs as per-segment partial
+    top-k in the shard actors with a tiny driver merge (the BM25 top-k
+    shape), so no full hit set crosses the wire."""
+    from lucene_ray.search.query import TermQuery
+
+    gids = _all_matches(sf_dir, TermQuery(term))
+    if len(gids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         col: pa.array([], pa.int64())})
+    reader = documents_index(sf_dir)
+    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig", col])
+    vals = np.asarray(t.column(col).combine_chunks())
+    orig = np.asarray(t.column("doc_id_orig").combine_chunks())
+    order = np.lexsort((orig, -vals if reverse else vals))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(orig[order], pa.int64()),
+            col: pa.array(vals[order], pa.int64()),
+        }
+    )
+
+
+def hit_count(sf_dir: str, query_text: str) -> pa.Table:
+    """Exact hit count of a parsed query — the TotalHitCountCollector
+    surface (search/TotalHitCountCollector.java), computed on the
+    distributed match path."""
+    from lucene_ray.search.query import parse_query
+
+    n = len(_all_matches(sf_dir, parse_query(query_text)))
+    return pa.table({"n_hits": pa.array([n], pa.int64())})
+
+
+def grouped_bm25_topk(sf_dir: str, term: str, group_col: str = "lang",
+                      per_group: int = 2) -> pa.Table:
+    """Top-N docs per group value by BM25 score — the grouping module's
+    two-pass GroupingSearch shape (lucene/grouping/.../GroupingSearch.java)
+    flattened to one scored pass + per-group partial top-k. Rows-only
+    contract surface (float32 scores)."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_index(sf_dir)
+    s = Searcher(reader)
+    td = s.search(TermQuery(term), k=reader.collection_stats().doc_count)
+    if len(td.doc_ids) == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig", group_col])
+    m = {int(d): (o, g) for d, o, g in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("doc_id_orig").to_pylist(),
+        t.column(group_col).to_pylist(),
+    )}
+    rows: dict[str, list] = {}
+    for gid, sc in zip(td.doc_ids, td.scores):  # already (score desc, doc asc)
+        orig, grp = m[int(gid)]
+        bucket = rows.setdefault(grp, [])
+        if len(bucket) < per_group:
+            bucket.append((orig, float(sc)))
+    groups = sorted(rows)
+    return pa.table(
+        {
+            group_col: pa.array([g for g in groups for _ in rows[g]], pa.string()),
+            "doc_id": pa.array([o for g in groups for o, _ in rows[g]], pa.int64()),
+            "rank": pa.array([r + 1 for g in groups for r in range(len(rows[g]))],
+                             pa.int64()),
+            "score": pa.array([sc for g in groups for _, sc in rows[g]], pa.float32()),
+        }
+    )
+
+
 def numeric_set_hits(sf_dir: str, col: str, values: list) -> pa.Table:
     """Docs whose doc-values column is in ``values`` (IntPoint.newSetQuery
     analog)."""
