@@ -241,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs_lsh": _q(
             lambda sf: dedup.embedding_near_dup(_emb(sf), threshold=0.45, method="lsh")
         ),
+        "dedup_embedding_clusters": _q(
+            lambda sf: dedup.embedding_near_dup_clusters(_emb(sf), threshold=0.45)
+        ),
         # --- text analysis ---
         "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
@@ -626,6 +629,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY id_a, id_b"
+        ),
+        "dedup_embedding_clusters": (
+            "WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v) "
+            "SELECT u AS doc_id, min(v)::BIGINT AS cluster_id FROM reach "
+            "GROUP BY u ORDER BY doc_id"
         ),
         "text_token_stats": (
             f"SELECT doc_id, len({_TOKLIST})::BIGINT AS n_tokens, "

@@ -488,6 +488,16 @@ def ngram_jaccard_clusters(ds: ray.data.Dataset, text_col: str = "text",
     return connected_components(pairs)
 
 
+def embedding_near_dup_clusters(ds: ray.data.Dataset, threshold: float = 0.95,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> pa.Table:
+    """Duplicate clusters from exact cosine near-dup pairs: (doc_id,
+    cluster_id) with cluster_id = min member — the keep-one-per-cluster
+    step for embedding dedup; exact, recursive-CTE-checkable."""
+    pairs = embedding_near_dup(ds, threshold, vec_col, id_col)
+    return connected_components(pairs)
+
+
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id") -> ray.data.Dataset:
     """64-bit SimHash over token hashes (weighted by tf), vectorized: one
