@@ -65,7 +65,7 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import ann, dedup, hnsw, shingles, sketch, text
+    from lucene_ray.ops import ann, dedup, hnsw, quantiles, shingles, sketch, text
     from lucene_ray.ops import multimodal as mm
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import mlt
@@ -323,6 +323,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: sketch.approx_distinct_grouped(
                 ray.data.read_parquet(f"{sf}/events.parquet"),
                 "event_type", "user_id",
+            )
+        ),
+        # exact discrete quantiles via bounded value-histogram shuffle
+        "events_value_quantiles": _q(
+            lambda sf: quantiles.value_quantiles(
+                ray.data.read_parquet(f"{sf}/events.parquet"), "value"
+            )
+        ),
+        "events_median_by_type": _q(
+            lambda sf: quantiles.grouped_value_quantiles(
+                ray.data.read_parquet(f"{sf}/events.parquet"),
+                "event_type", "value", q=0.5,
             )
         ),
         "events_session_windows": _q(session_windows),
@@ -692,6 +704,26 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        # discrete quantile: smallest rounded value with cumcount >= ceil(q*n)
+        "events_value_quantiles": (
+            "WITH h AS (SELECT round(value, 2) AS v, count(*) AS c FROM events "
+            "GROUP BY 1), t AS (SELECT sum(c) AS n FROM h), "
+            "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs FROM h) "
+            "SELECT q, (SELECT min(v) FROM cum "
+            "WHERE cs >= greatest(1, ceil(q * (SELECT n FROM t)))) AS value "
+            "FROM (VALUES (0.25), (0.5), (0.75), (0.9)) qs(q) ORDER BY q"
+        ),
+        "events_median_by_type": (
+            "WITH h AS (SELECT event_type, round(value, 2) AS v, count(*) AS c "
+            "FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1), "
+            "cum AS (SELECT event_type, v, "
+            "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cs FROM h) "
+            "SELECT t.event_type, (SELECT min(v) FROM cum "
+            "WHERE cum.event_type = t.event_type "
+            "AND cs >= greatest(1, ceil(0.5 * t.n))) AS value "
+            "FROM t ORDER BY t.event_type"
         ),
         "events_session_windows": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
