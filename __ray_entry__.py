@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import relational as rel
+    from lucene_ray.pipelines.drilldown import drill_down, drill_sideways
     from lucene_ray.pipelines.highlight import highlight_first
     from lucene_ray.pipelines.joins import block_join, join_to_parent
     from lucene_ray.pipelines.percolate import percolate
@@ -250,6 +251,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
         "ft_facet_lang": _q(lambda sf: ft.facet_counts(sf, "join", "lang")),
+        # facet module: DrillDownQuery + DrillSideways over keyword dims
+        "ft_drilldown_source": _q(
+            lambda sf: drill_down(sf, "join", {"lang": "en"}, "source")
+        ),
+        "ft_drillsideways": _q(
+            lambda sf: drill_sideways(sf, "join", {"lang": "en"},
+                                      ("lang", "source"))
+        ),
         "ft_snippet_join": _q(lambda sf: ft.snippet_first_occurrence(sf, "join")),
         # JoinUtil score modes (None exact; Max scored rows-only)
         "ft_join_parent_counts": _q(
@@ -489,6 +498,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents "
             "WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY lang ORDER BY lang"
         ),
+        "ft_drilldown_source": _TOKS
+        + ", h AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') "
+        "SELECT source, count(*)::BIGINT AS n_docs FROM documents "
+        "JOIN h USING (doc_id) WHERE lang = 'en' GROUP BY source ORDER BY source",
+        "ft_drillsideways": _TOKS
+        + ", h AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') "
+        "SELECT * FROM ("
+        "SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n_docs "
+        "FROM documents JOIN h USING (doc_id) GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'source', source, count(*)::BIGINT "
+        "FROM documents JOIN h USING (doc_id) WHERE lang = 'en' GROUP BY 2"
+        ") ORDER BY dim, value",
         # offsets consumer: first occurrence of the token at a word boundary;
         # start = chars before the match in lower(text) (engine offsets are
         # char offsets into the lowercased text)
