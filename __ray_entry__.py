@@ -206,6 +206,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term vectors (IndexReader.getTermVector)
         "ft_term_vector_doc7": _q(lambda sf: ft.term_vector(sf, 7)),
         "ft_phrase_hits": _q(lambda sf: ft.phrase_hits(sf, ["batch", "window"])),
+        # MultiPhraseQuery: alternatives per position + phrase-prefix
+        "ft_multi_phrase_hits": _q(
+            lambda sf: ft.multi_phrase_hits(sf, [("hash", "merge"), ("join",)])
+        ),
+        "ft_phrase_prefix_hits": _q(
+            lambda sf: ft.phrase_prefix_hits(sf, ["batch"], "win")
+        ),
+        # CommonTermsQuery rewrite: rare terms required, common demoted
+        "ft_common_terms_hits": _q(
+            lambda sf: ft.common_terms_hits(sf, ["the", "dup"], 0.4)
+        ),
+        "ft_common_terms_all_common": _q(
+            lambda sf: ft.common_terms_hits(sf, ["the", "join"], 0.4)
+        ),
         "ft_phrase_slop_hits": _q(
             lambda sf: ft.phrase_hits(sf, ["batch", "window"], slop=3)
         ),
@@ -403,6 +417,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"
         ),
+        # per position: alternatives unioned, then consecutive-position join
+        "ft_multi_phrase_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok IN ('hash', 'merge') AND b.tok = 'join' "
+            "AND b.pos = a.pos + 1 ORDER BY doc_id"
+        ),
+        "ft_phrase_prefix_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok = 'batch' AND b.tok LIKE 'win%' "
+            "AND b.pos = a.pos + 1 ORDER BY doc_id"
+        ),
+        # rare terms (df <= 0.4*N) are MUST; if none are rare, plain OR
+        "ft_common_terms_hits": _TOKS
+        + ", dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE tok IN ('the', 'dup') GROUP BY tok), "
+        "rare AS (SELECT tok FROM dfs "
+        "WHERE df <= 0.4 * (SELECT count(*) FROM documents)) "
+        "SELECT doc_id FROM toks WHERE tok IN ('the', 'dup') GROUP BY doc_id "
+        "HAVING count(DISTINCT CASE WHEN tok IN (SELECT tok FROM rare) "
+        "THEN tok END) = (SELECT count(*) FROM rare) ORDER BY doc_id",
+        "ft_common_terms_all_common": _TOKS
+        + ", dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE tok IN ('the', 'join') GROUP BY tok), "
+        "rare AS (SELECT tok FROM dfs "
+        "WHERE df <= 0.4 * (SELECT count(*) FROM documents)) "
+        "SELECT doc_id FROM toks WHERE tok IN ('the', 'join') GROUP BY doc_id "
+        "HAVING count(DISTINCT CASE WHEN tok IN (SELECT tok FROM rare) "
+        "THEN tok END) = (SELECT count(*) FROM rare) ORDER BY doc_id",
         # span [pos, pos+1) ends at pos+1 <= 10
         "ft_span_first_hits": (
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "

@@ -627,6 +627,53 @@ def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
     )
 
 
+def common_terms_hits(sf_dir: str, terms: list[str],
+                      max_df_ratio: float = 0.4) -> pa.Table:
+    """CommonTermsQuery rewrite (lucene/queries/.../CommonTermsQuery.java):
+    terms with df/doc_count > ``max_df_ratio`` are "common" and demoted to
+    scoring-only SHOULD clauses; rare terms form the required conjunction.
+    If every term is common the query degrades to a plain OR (Lucene's
+    fallback when the low-frequency clause is empty). Hit set is therefore
+    AND(rare) — or OR(all) when no rare terms — fully SQL-checkable."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    reader = documents_index(sf_dir)
+    stats = reader.term_stats(sorted(set(terms)))
+    n = reader.collection_stats().doc_count
+    rare = [t for t in terms
+            if stats.get(t) is None or stats[t].doc_freq <= max_df_ratio * n]
+    common = [t for t in terms if t not in rare]
+    if rare:
+        q = BooleanQuery(must=[TermQuery(t) for t in rare],
+                         should=[TermQuery(t) for t in common])
+    else:
+        q = BooleanQuery(should=[TermQuery(t) for t in common])
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def phrase_prefix_hits(sf_dir: str, terms: list[str], prefix: str) -> pa.Table:
+    """Match-phrase-prefix: exact phrase whose LAST position matches any
+    dictionary term with ``prefix`` — MultiPhraseQuery over the prefix
+    expansion (MultiPhraseQuery.java:46, the PhraseQuery.Builder +
+    TermsEnum pattern; the search-as-you-type query shape)."""
+    from lucene_ray.search.query import MultiPhraseQuery
+
+    reader = documents_index(sf_dir)
+    expansion = reader.expand_prefix(prefix)
+    if not expansion:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    q = MultiPhraseQuery([(t,) for t in terms] + [tuple(expansion)])
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
+def multi_phrase_hits(sf_dir: str, positions: list) -> pa.Table:
+    """Exact phrase with alternatives per position (synonym-phrase shape)."""
+    from lucene_ray.search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery(positions)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
 def sort_by_field_topk(sf_dir: str, term: str, col: str, k: int = 10,
                        reverse: bool = True) -> pa.Table:
     """Query-time sort by a doc-values column — the

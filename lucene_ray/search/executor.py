@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     ConstantScoreQuery,
     DisMaxQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     NumericRangeQuery,
     NumericSetQuery,
     PhraseQuery,
@@ -220,6 +221,8 @@ class SegmentScorer:
             return self._eval_bool(q)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multi_phrase(q)
         if isinstance(q, MULTI_TERM_TYPES):
             return self._eval_const_union(q)
         if isinstance(q, MatchAllQuery):
@@ -461,6 +464,32 @@ class SegmentScorer:
             scorer = scorer.with_boost(q.boost)
         scores = scorer.score(pfreqs, self.ctx.norms[docs])
         return docs, scores
+
+    def _eval_multi_phrase(self, q: MultiPhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Exact multi-phrase: per position i, the (doc, pos - i) key set is
+        the UNION over that position's alternative terms (UnionPostingsEnum,
+        MultiPhraseQuery.java); keys intersect across positions exactly like
+        the single-term phrase kernel. Constant score (v1 divergence)."""
+        M = np.int64(1) << 32
+        L = np.int64(len(q.positions))  # offset keeps shifted keys positive
+        common = None
+        for i, alts in enumerate(q.positions):
+            keys_parts = []
+            for t in alts:
+                tp = self.ctx.postings(t)
+                if tp is None or tp.pos_chunks is None:
+                    continue
+                pos_flat = _decode_all_positions(tp).astype(np.int64)
+                doc_rep = np.repeat(tp.docs, tp.freqs)
+                keys_parts.append(doc_rep * M + pos_flat - i + L)
+            if not keys_parts:
+                return _EMPTY
+            keys = np.unique(np.concatenate(keys_parts))
+            common = keys if common is None else common[np.isin(common, keys)]
+            if len(common) == 0:
+                return _EMPTY
+        docs = np.unique((common // M).astype(np.int64))
+        return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
 
     def _phrase_freqs(self, terms: tuple, slop: int = 0) -> tuple[np.ndarray, np.ndarray] | None:
         """Phrase frequencies per doc. ``slop=0``: exact — docs containing

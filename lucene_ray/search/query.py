@@ -52,6 +52,25 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Exact phrase with term ALTERNATIVES per position
+    (MultiPhraseQuery.java:46): position i matches when ANY of
+    ``positions[i]``'s terms occurs there — the phrase-prefix /
+    synonym-phrase shape. v1 scores the hit set constant (the
+    union-postings freq scoring is a documented divergence); slop
+    unsupported."""
+
+    positions: tuple  # tuple of tuples of alternative terms
+    boost: float = 1.0
+
+    def __init__(self, positions, boost: float = 1.0):
+        object.__setattr__(
+            self, "positions", tuple(tuple(p) for p in positions)
+        )
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
@@ -291,6 +310,9 @@ def _collect(q: Query, out: set[str]) -> None:
         out.add(q.term)
     elif isinstance(q, PhraseQuery):
         out.update(q.terms)
+    elif isinstance(q, MultiPhraseQuery):
+        for alts in q.positions:
+            out.update(alts)
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not, *q.filter):
             _collect(c, out)
@@ -331,7 +353,7 @@ def children(q: Query) -> tuple:
 def needs_positions(q: Query) -> bool:
     """True when evaluating ``q`` requires positional postings (phrases and
     the span family)."""
-    if isinstance(q, (PhraseQuery, *SPAN_TYPES)):
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, *SPAN_TYPES)):
         return True
     return any(needs_positions(c) for c in children(q))
 

@@ -264,3 +264,56 @@ def test_term_vector(docs):
     tf = Counter(toks)
     assert t.column("term").to_pylist() == sorted(tf)
     assert t.column("tf").to_pylist() == [tf[x] for x in sorted(tf)]
+
+
+def test_multi_phrase_alternatives(docs):
+    from lucene_ray.pipelines.fulltext import multi_phrase_hits
+
+    got = multi_phrase_hits(SF, [("hash", "merge"), ("join",)]) \
+        .column("doc_id").to_pylist()
+    want = []
+    for d, (toks, _) in docs.items():
+        hit = any(toks[i] in ("hash", "merge") and i + 1 < len(toks)
+                  and toks[i + 1] == "join" for i in range(len(toks)))
+        if hit:
+            want.append(d)
+    assert got == sorted(want)
+
+
+def test_multi_phrase_single_alts_equals_phrase(docs):
+    from lucene_ray.pipelines.fulltext import multi_phrase_hits, phrase_hits
+
+    a = multi_phrase_hits(SF, [("batch",), ("window",)]).column("doc_id").to_pylist()
+    b = phrase_hits(SF, ["batch", "window"]).column("doc_id").to_pylist()
+    assert a == b
+
+
+def test_phrase_prefix(docs):
+    from lucene_ray.pipelines.fulltext import phrase_prefix_hits
+
+    got = phrase_prefix_hits(SF, ["batch"], "win").column("doc_id").to_pylist()
+    want = []
+    for d, (toks, _) in docs.items():
+        hit = any(toks[i] == "batch" and i + 1 < len(toks)
+                  and toks[i + 1].startswith("win") for i in range(len(toks)))
+        if hit:
+            want.append(d)
+    assert got == sorted(want)
+
+
+def test_common_terms_rare_required(docs):
+    from lucene_ray.pipelines.fulltext import common_terms_hits
+
+    got = common_terms_hits(SF, ["the", "dup"], 0.4).column("doc_id").to_pylist()
+    # 'the' is common (df > 40%), 'dup' rare -> hit set = docs with 'dup'
+    want = sorted(d for d, (toks, _) in docs.items() if "dup" in toks)
+    assert got == want
+
+
+def test_common_terms_all_common_is_or(docs):
+    from lucene_ray.pipelines.fulltext import common_terms_hits
+
+    got = common_terms_hits(SF, ["the", "join"], 0.4).column("doc_id").to_pylist()
+    want = sorted(d for d, (toks, _) in docs.items()
+                  if "the" in toks or "join" in toks)
+    assert got == want
