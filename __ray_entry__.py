@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import relational as rel
     from lucene_ray.pipelines.drilldown import drill_down, drill_sideways
+    from lucene_ray.pipelines.prepare import prepare_corpus
     from lucene_ray.pipelines.highlight import highlight_first
     from lucene_ray.pipelines.joins import block_join, join_to_parent
     from lucene_ray.pipelines.percolate import percolate
@@ -258,6 +259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_embedding_clusters": _q(
             lambda sf: dedup.embedding_near_dup_clusters(_emb(sf), threshold=0.45)
+        ),
+        # flagship composition: quality filter -> exact dedup -> near-dup
+        # cluster prune, streaming end-to-end (pipelines/prepare.py)
+        "pipeline_prepare_corpus": _q(
+            lambda sf: prepare_corpus(_docs(sf))
         ),
         # --- text analysis ---
         "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
@@ -723,6 +729,36 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v) "
             "SELECT u AS doc_id, min(v)::BIGINT AS cluster_id FROM reach "
             "GROUP BY u ORDER BY doc_id"
+        ),
+        # quality (>=30 tokens, alpha ratio >= 0.55) -> min-id per text ->
+        # transitive closure of >=0.5-Jaccard pairs, keep cluster minima
+        "pipeline_prepare_corpus": (
+            "WITH RECURSIVE q AS (SELECT doc_id, text FROM documents "
+            f"WHERE len({_TOKLIST}) >= 30 "
+            "AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) "
+            ">= 0.55 * length(text)), "
+            "e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text), "
+            "e2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)), "
+            "tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM e2), "
+            "sh AS (SELECT DISTINCT doc_id, unnest("
+            "CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')] "
+            "ELSE list_transform(generate_series(1, len(l) - 2), "
+            "i -> array_to_string(l[i:i+2], ' ')) END) AS s "
+            "FROM tl WHERE len(l) > 0), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "p AS (SELECT id_a, id_b "
+            "FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE c / (sa.n + sb.n - c) >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT ed.u, r.v FROM edges ed JOIN reach r ON r.u = ed.v), "
+            "cl AS (SELECT u AS doc_id, min(v) AS cid FROM reach GROUP BY u) "
+            "SELECT doc_id FROM e WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM cl WHERE doc_id <> cid) ORDER BY doc_id"
         ),
         "text_token_stats": (
             f"SELECT doc_id, len({_TOKLIST})::BIGINT AS n_tokens, "
