@@ -109,7 +109,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "text_shingle_top20", "percolate_matches",
                      "ann_cosine_top10", "agg_lineitem_pricing",
                      "events_tumbling_daily", "join_orders_per_nation",
-                     "join_order_revenue"]:
+                     "join_order_revenue", "pipeline_prepare_corpus",
+                     "events_value_quantiles", "dedup_ngram_clusters"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)

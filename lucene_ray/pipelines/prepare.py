@@ -104,6 +104,8 @@ def prepare_corpus(ds: ray.data.Dataset, text_col: str = "text",
     kept_arr = np.array(sorted(exact_kept), dtype=np.int64)
 
     def only_exact_kept(batch: pa.Table) -> pa.Table:
+        if len(kept_arr) == 0:
+            return batch.slice(0, 0)
         ids = np.asarray(batch.column(id_col).combine_chunks())
         pos = np.searchsorted(kept_arr, ids)
         pos = np.minimum(pos, len(kept_arr) - 1)
@@ -120,7 +122,7 @@ def prepare_corpus(ds: ray.data.Dataset, text_col: str = "text",
     }
     final_ids = sorted(exact_kept - drop)
 
-    if out_dir is not None:
+    if out_dir is not None and final_ids:
         final_arr = np.array(final_ids, dtype=np.int64)
 
         def only_final(batch: pa.Table) -> pa.Table:
