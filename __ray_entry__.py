@@ -45,6 +45,21 @@ _NGRAM_CTES = (
 )
 
 
+# geo oracle pieces: derived customer points + haversine to the pinned
+# center (48.85, 2.35) on the mean-radius sphere (ops/geo.EARTH_RADIUS_M)
+_GEO_PTS = (
+    "WITH pts AS (SELECT c_custkey, "
+    "((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+    "((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon FROM customer) "
+)
+_GEO_DIST = (
+    "2.0 * 6371008.7714 * asin(least(1.0, sqrt("
+    "pow(sin((radians(48.85) - radians(lat)) / 2), 2) + "
+    "cos(radians(lat)) * cos(radians(48.85)) * "
+    "pow(sin(radians(2.35 - lon) / 2), 2))))"
+)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents via the Ray
     Data pipeline, serve the pinned query battery, return the hits table."""
@@ -78,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
     from lucene_ray.pipelines.shuffle_join import order_revenue
     from lucene_ray.pipelines.windows import session_windows, sliding_window_counts
+    from lucene_ray.pipelines import geo as geo_pipe
 
     import ray.data
 
@@ -381,6 +397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_orders": _q(rel.grouped_topk_orders),
         "sampled_avg_quantity": _q(rel.sampled_avg_quantity),
         "filter_high_value_orders": _q(rel.filter_high_value_orders),
+        # --- geo (LatLonPoint family over derived customer points) ---
+        "geo_box_hits": _q(geo_pipe.geo_box_hits),
+        "geo_distance_hits": _q(geo_pipe.geo_distance_hits),
+        "geo_knn_top10": _q(geo_pipe.geo_knn_top10),
     }
 
 
@@ -891,4 +911,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
+        # geo: derived points (same integer derivation as pipelines/geo.py);
+        # every pinned constant leaves km-wide decision margins at all sfs,
+        # so numpy-vs-DuckDB ulp noise cannot flip a hit or a rank
+        "geo_box_hits": _GEO_PTS
+        + "SELECT c_custkey FROM pts WHERE lat >= -30.0 AND lat <= 30.0 "
+        "AND (lon >= 100.0 OR lon <= -160.0) ORDER BY c_custkey",
+        "geo_distance_hits": _GEO_PTS
+        + f"SELECT c_custkey FROM pts WHERE {_GEO_DIST} <= 2000000.0 "
+        "ORDER BY c_custkey",
+        "geo_knn_top10": _GEO_PTS
+        + f"SELECT row_number() OVER (ORDER BY d, c_custkey) AS rank, "
+        f"c_custkey FROM (SELECT c_custkey, {_GEO_DIST} AS d FROM pts) "
+        "ORDER BY d, c_custkey LIMIT 10",
     }

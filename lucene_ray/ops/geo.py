@@ -1,0 +1,150 @@
+"""Geo-spatial operators over lat/lon doc-values columns.
+
+The Lucene counterparts are LatLonPoint.newBoxQuery / newDistanceQuery
+(lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java) and the
+distance sort of LatLonDocValuesField.newDistanceSort; the distance kernel
+follows SloppyMath.haversinMeters (lucene/core/src/java/org/apache/lucene/
+util/SloppyMath.java) using the mean earth radius. Here a "point field" is
+simply two float64 columns, so:
+
+- ``geo_box``        — streaming bounding-box filter (dateline-aware),
+  pure comparisons, zero-copy Arrow batches;
+- ``geo_distance``   — streaming radius filter: cheap bounding-box prune
+  first (the BKD-tree outer rectangle analog), exact haversine on the
+  survivors;
+- ``geo_knn``        — k nearest docs to a point: per-batch partial top-k
+  (boundary ties kept), tiny driver merge — the same shape as the BM25
+  top-k merge and ``ann.knn_brute``.
+
+All kernels are vectorized float64 numpy; nothing materializes the dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Mean earth radius in meters (IUGG; the constant Lucene's SloppyMath uses
+# for haversinMeters).
+EARTH_RADIUS_M = 6371008.7714
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in meters between (lat1, lon1) and
+    (lat2, lon2), degrees in, vectorized float64 (SloppyMath.haversinMeters
+    formula shape: sin^2 half-deltas, asin of the clamped sqrt)."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dphi = p2 - p1
+    dlam = np.radians(np.asarray(lon2, dtype=np.float64) -
+                      np.asarray(lon1, dtype=np.float64))
+    h = (np.sin(dphi / 2.0) ** 2 +
+         np.cos(p1) * np.cos(p2) * np.sin(dlam / 2.0) ** 2)
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def distance_bbox(lat: float, lon: float, radius_m: float):
+    """Outer bounding box of a distance circle: (min_lat, max_lat, min_lon,
+    max_lon); longitudes may wrap (min_lon > max_lon) and degenerate to the
+    full range near the poles. Standard small-circle bounding rectangle."""
+    dlat = np.degrees(radius_m / EARTH_RADIUS_M)
+    min_lat, max_lat = lat - dlat, lat + dlat
+    if min_lat <= -90.0 or max_lat >= 90.0:
+        return max(min_lat, -90.0), min(max_lat, 90.0), -180.0, 180.0
+    # max longitude delta occurs at the circle's extreme latitudes
+    coslat = min(np.cos(np.radians(min_lat)), np.cos(np.radians(max_lat)))
+    sin_r = np.sin(radius_m / EARTH_RADIUS_M)
+    if sin_r >= coslat:
+        return min_lat, max_lat, -180.0, 180.0
+    dlon = np.degrees(np.arcsin(sin_r / coslat))
+    min_lon, max_lon = lon - dlon, lon + dlon
+    if min_lon < -180.0:
+        min_lon += 360.0
+    if max_lon > 180.0:
+        max_lon -= 360.0
+    return min_lat, max_lat, min_lon, max_lon
+
+
+def _box_mask(lat: np.ndarray, lon: np.ndarray, min_lat, max_lat,
+              min_lon, max_lon) -> np.ndarray:
+    mask = (lat >= min_lat) & (lat <= max_lat)
+    if min_lon <= max_lon:
+        return mask & (lon >= min_lon) & (lon <= max_lon)
+    # crosses the dateline: two disjoint longitude strips
+    return mask & ((lon >= min_lon) | (lon <= max_lon))
+
+
+def geo_box(ds: ray.data.Dataset, min_lat: float, max_lat: float,
+            min_lon: float, max_lon: float, lat_col: str = "lat",
+            lon_col: str = "lon") -> ray.data.Dataset:
+    """Docs inside the (inclusive) lat/lon box — LatLonPoint.newBoxQuery.
+    ``min_lon > max_lon`` means the box crosses the dateline."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch.column(lat_col), dtype=np.float64)
+        lon = np.asarray(batch.column(lon_col), dtype=np.float64)
+        return batch.filter(pa.array(
+            _box_mask(lat, lon, min_lat, max_lat, min_lon, max_lon)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def geo_distance(ds: ray.data.Dataset, lat: float, lon: float,
+                 radius_m: float, lat_col: str = "lat",
+                 lon_col: str = "lon") -> ray.data.Dataset:
+    """Docs within ``radius_m`` meters of (lat, lon) —
+    LatLonPoint.newDistanceQuery: bbox prune, then exact haversine."""
+    bb = distance_bbox(lat, lon, radius_m)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        blat = np.asarray(batch.column(lat_col), dtype=np.float64)
+        blon = np.asarray(batch.column(lon_col), dtype=np.float64)
+        mask = _box_mask(blat, blon, *bb)
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            d = haversine_m(blat[idx], blon[idx], lat, lon)
+            mask[idx] = d <= radius_m
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def geo_knn(ds: ray.data.Dataset, lat: float, lon: float, k: int = 10,
+            id_col: str = "doc_id", lat_col: str = "lat",
+            lon_col: str = "lon", round_digits: int | None = 3) -> pa.Table:
+    """k nearest docs to (lat, lon) by haversine distance —
+    LatLonDocValuesField.newDistanceSort consumed by a top-k collector.
+    Returns (rank, id, dist_m) with ties broken by id asc; per-batch
+    partial top-k keeps kth-distance ties so the global (dist asc, id asc)
+    order is decided at the merge."""
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        d = haversine_m(np.asarray(batch.column(lat_col), dtype=np.float64),
+                        np.asarray(batch.column(lon_col), dtype=np.float64),
+                        lat, lon)
+        kk = min(k, len(d))
+        if kk == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dist_m": pa.array([], pa.float64())})
+        kth = np.partition(d, kk - 1)[kk - 1]
+        part = np.flatnonzero(d <= kth)
+        return pa.table({id_col: pa.array(ids[part], pa.int64()),
+                         "dist_m": pa.array(d[part], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["dist_m", id_col],
+                              ascending=[True, True]).head(k)
+    dist = pa.array(parts["dist_m"].to_numpy(), pa.float64())
+    if round_digits is not None:
+        # half-away-from-zero to match SQL ROUND (DuckDB) in the oracles
+        dist = pc.round(dist, ndigits=round_digits,
+                        round_mode="half_towards_infinity")
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(parts) + 1), pa.int64()),
+        id_col: pa.array(parts[id_col].to_numpy(), pa.int64()),
+        "dist_m": dist,
+    })

@@ -1,0 +1,81 @@
+"""Geo pipelines over the ``customer`` table with DERIVED deterministic
+coordinates.
+
+The test tables carry no lat/lon, so each customer gets a synthetic point
+from pure integer arithmetic on its key — reproducible bit-for-bit in both
+the Ray kernels and the DuckDB oracles (integer modulus, then one float64
+division):
+
+    lat = ((c_custkey * 7919)   % 18000) / 100.0 -  90.0
+    lon = ((c_custkey * 104729) % 36000) / 100.0 - 180.0
+
+The operators themselves live in :mod:`lucene_ray.ops.geo` (box filter,
+radius filter with bbox prune, haversine k-NN) — the LatLonPoint query
+family (lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java).
+Pinned query constants are chosen so every decision margin (radius vs
+nearest non-hit, kth vs (k+1)th distance) is kilometres wide at every sf —
+float ulp noise between numpy and DuckDB cannot flip a hit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from lucene_ray.ops import geo
+
+# dateline-CROSSING box (min_lon > max_lon) — exercises the wrap path
+BOX = (-30.0, 30.0, 100.0, -160.0)
+CENTER_LAT, CENTER_LON = 48.85, 2.35
+RADIUS_M = 2_000_000.0
+
+
+def customer_points(sf_dir: str) -> ray.data.Dataset:
+    """Customer keys with derived (lat, lon) — column-pruned read, the
+    derivation is one vectorized int64 map."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        lat = ((ck * 7919) % 18000) / 100.0 - 90.0
+        lon = ((ck * 104729) % 36000) / 100.0 - 180.0
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _ids(ds: ray.data.Dataset) -> pa.Table:
+    """Collect the (small, already-filtered) hit set and sort by key."""
+    parts = [
+        np.asarray(b.column("c_custkey"), dtype=np.int64)
+        for b in ds.select_columns(["c_custkey"]).iter_batches(
+            batch_format="pyarrow")
+    ]
+    ids = np.sort(np.concatenate(parts)) if parts else np.array([], np.int64)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
+def geo_box_hits(sf_dir: str) -> pa.Table:
+    """Customers inside the pinned dateline-crossing box, sorted by key."""
+    return _ids(geo.geo_box(customer_points(sf_dir), *BOX))
+
+
+def geo_distance_hits(sf_dir: str) -> pa.Table:
+    """Customers within RADIUS_M of the pinned center, sorted by key."""
+    return _ids(geo.geo_distance(
+        customer_points(sf_dir), CENTER_LAT, CENTER_LON, RADIUS_M))
+
+
+def geo_knn_top10(sf_dir: str) -> pa.Table:
+    """10 nearest customers to the pinned center: (rank, c_custkey)."""
+    t = geo.geo_knn(customer_points(sf_dir), CENTER_LAT, CENTER_LON, k=10,
+                    id_col="c_custkey")
+    return t.select(["rank", "c_custkey"])

@@ -39,6 +39,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisMaxQuery,
+    GeoDistanceQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
@@ -238,6 +239,18 @@ class SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericRangeQuery):
             return self._eval_numeric_range(q)
+        if isinstance(q, GeoDistanceQuery):
+            from lucene_ray.ops.geo import distance_bbox, haversine_m, _box_mask
+
+            lat = np.asarray(self.ctx.docvalues(q.lat_col), dtype=np.float64)
+            lon = np.asarray(self.ctx.docvalues(q.lon_col), dtype=np.float64)
+            mask = _box_mask(lat, lon, *distance_bbox(q.lat, q.lon, q.radius_m))
+            idx = np.flatnonzero(mask)
+            if len(idx):
+                d = haversine_m(lat[idx], lon[idx], q.lat, q.lon)
+                mask[idx] = d <= q.radius_m
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericSetQuery):
             vals = self.ctx.docvalues(q.col)
             docs = np.flatnonzero(

@@ -259,6 +259,21 @@ class NumericSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoDistanceQuery(Query):
+    """Docs whose (lat_col, lon_col) doc-values point lies within
+    ``radius_m`` meters of (lat, lon) — the LatLonPoint.newDistanceQuery
+    analog (document/LatLonPoint.java) over two numeric doc-values
+    columns, haversine per SloppyMath.haversinMeters. Constant score."""
+
+    lat_col: str
+    lon_col: str
+    lat: float = 0.0
+    lon: float = 0.0
+    radius_m: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """Wraps any query: same hit set, every hit scores ``boost``
     (ConstantScoreQuery.java)."""
@@ -359,10 +374,14 @@ def needs_positions(q: Query) -> bool:
 
 
 def collect_dv_cols(q: Query) -> set[str]:
-    """Doc-values columns a query filters on (NumericRangeQuery nodes)."""
+    """Doc-values columns a query filters on (NumericRangeQuery /
+    GeoDistanceQuery nodes)."""
     out: set[str] = set()
     if isinstance(q, (NumericRangeQuery, NumericSetQuery)):
         out.add(q.col)
+    if isinstance(q, GeoDistanceQuery):
+        out.add(q.lat_col)
+        out.add(q.lon_col)
     for c in children(q):
         out |= collect_dv_cols(c)
     return out
