@@ -141,6 +141,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        blocks=2)
         return idx.search(_query_vec(sf_dir), k=10, ef=80).select(["rank", "vec_id"])
 
+    def _ids_table(ds, col="doc_id"):
+        import pyarrow as _pa
+
+        out = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.extend(b.column(col).to_pylist())
+        return _pa.table({col: _pa.array(sorted(out), _pa.int64())})
+
+    def _sample_hash(sf_dir):
+        from lucene_ray.ops.curate import sample_by_hash
+
+        return _ids_table(sample_by_hash(_docs(sf_dir), hex_lt="2a"))
+
+    def _decontaminate(sf_dir):
+        import pyarrow as _pa
+
+        from lucene_ray.ops.curate import benchmark_shingles, decontaminate
+
+        def _is_bench(batch, invert=False):
+            import numpy as _np
+
+            ids = _np.asarray(batch.column("doc_id"))
+            m = (ids % 50 == 0)
+            return batch.filter(_pa.array(~m if invert else m))
+
+        docs = _docs(sf_dir)
+        sh = benchmark_shingles(
+            docs.map_batches(_is_bench, batch_format="pyarrow"))
+        train = docs.map_batches(
+            lambda b: _is_bench(b, invert=True), batch_format="pyarrow")
+        return _ids_table(decontaminate(train, sh, invert=True))
+
     def _percolate(sf_dir):
         import pyarrow.compute as _pc
 
@@ -177,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ft.bool_hits(sf, must=("lang:en", "join"))
         ),
         "ft_regexp_hits": _q(lambda sf: ft.regexp_hits(sf, "jo.*n")),
+        # uax29 (multilingual) grammar build path; == code grammar on the
+        # pure-ASCII test corpus, so the shared-token oracle is exact
+        "ft_uax29_term_hits": _q(lambda sf: ft.uax29_term_hits(sf, "join")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
         # span family (queries/spans): position algebra surfaces
@@ -397,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_orders": _q(rel.grouped_topk_orders),
         "sampled_avg_quantity": _q(rel.sampled_avg_quantity),
         "filter_high_value_orders": _q(rel.filter_high_value_orders),
+        # --- corpus curation (training-data pipeline ops) ---
+        "curate_sample_hash": _q(_sample_hash),
+        "curate_decontaminate": _q(_decontaminate),
         # --- geo (LatLonPoint family over derived customer points) ---
         "geo_box_hits": _q(geo_pipe.geo_box_hits),
         "geo_distance_hits": _q(geo_pipe.geo_distance_hits),
@@ -430,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_regexp_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(tok, 'jo.*n') "
         "ORDER BY doc_id",
+        "ft_uax29_term_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
         "ft_suggest_s": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
@@ -910,6 +950,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # curation: deterministic md5-prefix sampling; shingle contamination
+        # vs the doc_id%50==0 "benchmark" slice (exact string shingles)
+        "curate_sample_hash": (
+            "SELECT doc_id FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a' ORDER BY doc_id"
+        ),
+        "curate_decontaminate": (
+            "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, len(l) - 2), "
+            "i -> array_to_string(l[i:i+2], ' '))) AS s FROM tl "
+            "WHERE len(l) >= 3) "
+            "SELECT DISTINCT doc_id FROM sh WHERE doc_id % 50 <> 0 "
+            "AND s IN (SELECT s FROM sh WHERE doc_id % 50 = 0) "
+            "ORDER BY doc_id"
         ),
         # geo: derived points (same integer derivation as pipelines/geo.py);
         # every pinned constant leaves km-wide decision margins at all sfs,

@@ -103,3 +103,159 @@ class StandardLikeAnalyzer:
 
     def term_freqs(self, text: str) -> Counter:
         return Counter(self.tokens(text))
+
+# ---------------------------------------------------------------------------
+# UAX#29-style multilingual grammar ("uax29")
+#
+# A practical port of StandardTokenizer's *behavior* (StandardTokenizer.java
+# token types ALPHANUM / IDEOGRAPHIC / HIRAGANA / KATAKANA / HANGUL, grammar
+# StandardTokenizerImpl.jflex) without the 38k-line generated scanner:
+#
+# - ALPHANUM: maximal runs of Unicode alphanumerics (str.isalnum) plus '_'
+#   (ExtendNumLet) outside the CJK classes below — covers accented Latin,
+#   Greek, Cyrillic, Arabic, Indic, ... scripts;
+# - IDEOGRAPHIC / HIRAGANA: each character is its OWN token (unigram CJK,
+#   exactly StandardTokenizer's emission);
+# - KATAKANA / HANGUL: maximal same-class runs;
+# - everything else separates; tokens longer than max_token_length split at
+#   max_token_length-char intervals (same over-long rule as the code grammar).
+#
+# Documented divergences from full UAX#29: MidLetter/MidNum joiners are NOT
+# honored ("can't" -> can|t, "3.14" -> 3|14 — identical to the pinned ASCII
+# code grammar, so a uax29 index of pure-ASCII text equals the code-grammar
+# index), and Extend/Format/ZWJ/regional-indicator rules are omitted.
+# On pure-ASCII input the two grammars are token-for-token identical.
+# ---------------------------------------------------------------------------
+
+CLS_SEP, CLS_WORD, CLS_IDEO, CLS_HIRA, CLS_KATA, CLS_HANG = 0, 1, 2, 3, 4, 5
+
+# classes whose tokens are single characters (unigram emission)
+SINGLE_CHAR_CLASSES = (CLS_IDEO, CLS_HIRA)
+
+_SCRIPT_RANGES = (
+    # (lo, hi inclusive, class)
+    (0x3040, 0x309F, CLS_HIRA),   # Hiragana
+    (0x30A0, 0x30FF, CLS_KATA),   # Katakana
+    (0x31F0, 0x31FF, CLS_KATA),   # Katakana phonetic extensions
+    (0xFF66, 0xFF9D, CLS_KATA),   # halfwidth Katakana
+    (0x3400, 0x4DBF, CLS_IDEO),   # CJK ext A
+    (0x4E00, 0x9FFF, CLS_IDEO),   # CJK unified
+    (0xF900, 0xFAFF, CLS_IDEO),   # CJK compatibility
+    (0x20000, 0x3134F, CLS_IDEO),  # CJK ext B..G
+    (0xAC00, 0xD7A3, CLS_HANG),   # Hangul syllables
+)
+
+
+def codepoint_class(cp: int) -> int:
+    """Token class of one codepoint (post-lowercase). Non-alphanumeric
+    chars are separators even inside a script block (e.g. the katakana
+    middle dot U+30FB)."""
+    ch = chr(cp)
+    if not (ch.isalnum() or ch == "_"):
+        return CLS_SEP
+    for lo, hi, cls in _SCRIPT_RANGES:
+        if lo <= cp <= hi:
+            return cls
+    return CLS_WORD
+
+
+def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+    """Vectorized uax29-grammar tokenization of ALREADY-LOWERCASED texts.
+
+    Returns ``(tokens, doc_idx, positions, start_chars, end_chars)`` with
+    numpy int64 arrays; offsets are codepoint offsets within each doc.
+    Classification is one numpy gather over the batch's UNIQUE codepoints
+    (alphabet-sized Python work, corpus-sized numpy work).
+    """
+    import numpy as np
+
+    if not texts:
+        z = np.zeros(0, np.int64)
+        return [], z, z, z, z
+    joined = "\x00".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cp)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return [], z, z, z, z
+    uniq, inv = np.unique(cp, return_inverse=True)
+    cls = np.array([codepoint_class(int(c)) for c in uniq], dtype=np.int8)[inv]
+
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    doc_start = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_start[1:])
+
+    chg = np.empty(n, dtype=bool)
+    chg[0] = True
+    chg[1:] = cls[1:] != cls[:-1]
+    run_s = np.flatnonzero(chg)
+    run_e = np.append(run_s[1:], n)
+    run_cls = cls[run_s]
+
+    single = np.isin(run_cls, SINGLE_CHAR_CLASSES)
+    multi = (run_cls != CLS_SEP) & ~single
+
+    parts_s, parts_e = [], []
+    if single.any():
+        s_r, e_r = run_s[single], run_e[single]
+        counts = e_r - s_r
+        base = np.repeat(s_r, counts)
+        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        idx = base + within
+        parts_s.append(idx)
+        parts_e.append(idx + 1)
+    if multi.any():
+        s_r, e_r = run_s[multi], run_e[multi]
+        lengths = e_r - s_r
+        if lengths.max() > max_token_length:
+            ns, ne = [], []
+            for s0, e0, ln in zip(s_r, e_r, lengths):
+                if ln <= max_token_length:
+                    ns.append(np.array([s0]))
+                    ne.append(np.array([e0]))
+                else:
+                    cs = np.arange(s0, e0, max_token_length, dtype=np.int64)
+                    ns.append(cs)
+                    ne.append(np.minimum(cs + max_token_length, e0))
+            s_r = np.concatenate(ns)
+            e_r = np.concatenate(ne)
+        parts_s.append(s_r)
+        parts_e.append(e_r)
+    if not parts_s:
+        z = np.zeros(0, np.int64)
+        return [], z, z, z, z
+    starts = np.concatenate(parts_s)
+    ends = np.concatenate(parts_e)
+    order = np.argsort(starts, kind="stable")
+    starts, ends = starts[order], ends[order]
+
+    tokens = [joined[s:e] for s, e in zip(starts, ends)]
+    doc_idx = np.searchsorted(doc_start, starts, side="right") - 1
+    total = len(starts)
+    counts = np.bincount(doc_idx, minlength=len(texts))
+    doc_first = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_first[1:])
+    positions = np.arange(total, dtype=np.int64) - doc_first[doc_idx]
+    start_chars = starts - doc_start[doc_idx]
+    end_chars = ends - doc_start[doc_idx]
+    return tokens, doc_idx, positions, start_chars, end_chars
+
+
+class UnicodeTokenizer:
+    """``text -> list[str]`` under the uax29 grammar (lowercased via the
+    SAME utf8proc kernel the column path uses, so build and query sides
+    agree bit-for-bit on every codepoint)."""
+
+    grammar = "uax29"
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.max_token_length = max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(pa.array([text], pa.string()))[0].as_py()
+        return tokenize_uax29([lower], self.max_token_length)[0]

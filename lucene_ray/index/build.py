@@ -85,6 +85,12 @@ class IndexConfig:
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
+    # tokenizer grammar: "code" (pinned ASCII identifier runs) or "uax29"
+    # (multilingual StandardTokenizer behavior — unigram CJK/hiragana,
+    # katakana/hangul runs, Unicode alphanumerics; see analysis/tokenizer.py).
+    # Identical to "code" on pure-ASCII text. Query analysis must use the
+    # matching tokenizer (UnicodeTokenizer for "uax29").
+    grammar: str = "code"
     # analysis chain after the tokenizer (the TokenFilter zoo seam): a tuple
     # of JSON-able specs — ("porter_stem",), ("ascii_fold",),
     # ("synonyms", {term: [syn, ...]}) — instantiated per Stage-A task via
@@ -259,6 +265,7 @@ class _StageA:
                     with_positions=cfg.with_positions,
                     with_offsets=cfg.with_offsets,
                     token_filters=self._filters,
+                    grammar=cfg.grammar,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)

@@ -43,6 +43,7 @@ def tokenize_column(
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
     stopwords: frozenset[str] | None = None,
     with_offsets: bool = False,
+    grammar: str = "code",
 ) -> tuple:
     """Tokenize a string column. Returns (flat_tokens, doc_idx, positions),
     plus (start_chars, end_chars) when ``with_offsets`` — per-token CHARACTER
@@ -61,6 +62,11 @@ def tokenize_column(
     """
     if isinstance(contents, pa.ChunkedArray):
         contents = contents.combine_chunks()
+    if grammar == "uax29":
+        return _tokenize_column_uax29(contents, max_token_length, stopwords,
+                                      with_offsets)
+    if grammar != "code":
+        raise ValueError(f"unknown tokenizer grammar {grammar!r}")
     n_docs = len(contents)
     lower = pc.utf8_lower(contents)
     if isinstance(lower, pa.ChunkedArray):
@@ -182,6 +188,109 @@ def tokenize_column(
     return flat, doc_idx, positions
 
 
+def _tokenize_column_uax29(
+    contents: pa.Array,
+    max_token_length: int,
+    stopwords: frozenset[str] | None,
+    with_offsets: bool,
+) -> tuple:
+    """uax29-grammar column tokenization (UnicodeTokenizer semantics).
+
+    Routing keeps the zero-copy byte-class scan HOT: docs whose bytes are
+    pure ASCII (the normal case for code corpora) go through the existing
+    kernel unchanged — on ASCII input the two grammars are token-for-token
+    identical — and only docs containing non-ASCII bytes take the
+    codepoint-class path (``analysis.tokenizer.tokenize_uax29``), whose
+    Python work is bounded by the batch's unique-codepoint alphabet and its
+    token count, not the corpus size. One stable argsort by doc restores
+    the (doc, position) global order the single-sort inverter relies on.
+    """
+    from lucene_ray.analysis.tokenizer import tokenize_uax29
+
+    n_docs = len(contents)
+    lower = pc.utf8_lower(contents)
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    if n_docs == 0 or len(lower) == 0:
+        empty = pa.array([], pa.string())
+        z = np.zeros(0, np.int64)
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
+    bufs = lower.buffers()
+    doc_offsets = np.frombuffer(
+        bufs[1], dtype=np.int32, count=len(lower) + lower.offset + 1
+    )[lower.offset:].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    base = doc_offsets[0]
+    lo, hi = doc_offsets[0], doc_offsets[-1]
+    if hi - lo == 0:
+        empty = pa.array([], pa.string())
+        z = np.zeros(0, np.int64)
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
+    non_ascii = data[lo:hi] >= 0x80
+    pref = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.cumsum(non_ascii, out=pref[1:])
+    has_uni = (pref[doc_offsets[1:] - base] - pref[doc_offsets[:-1] - base]) > 0
+    if not has_uni.any():
+        return tokenize_column(contents, max_token_length, stopwords,
+                               with_offsets, grammar="code")
+
+    ascii_idx = np.flatnonzero(~has_uni)
+    uni_idx = np.flatnonzero(has_uni)
+    flats, docs, poss, scs, ecs = [], [], [], [], []
+    if len(ascii_idx):
+        sub = contents.take(pa.array(ascii_idx, pa.int64()))
+        out = tokenize_column(sub, max_token_length, None, with_offsets,
+                              grammar="code")
+        flats.append(out[0])
+        docs.append(ascii_idx[np.asarray(out[1], dtype=np.int64)])
+        poss.append(np.asarray(out[2], dtype=np.int64))
+        if with_offsets:
+            scs.append(out[3])
+            ecs.append(out[4])
+    texts = lower.take(pa.array(uni_idx, pa.int64())).to_pylist()
+    toks, d_u, p_u, sc_u, ec_u = tokenize_uax29(texts, max_token_length)
+    flats.append(pa.array(toks, pa.string()))
+    docs.append(uni_idx[d_u])
+    poss.append(p_u)
+    if with_offsets:
+        scs.append(sc_u)
+        ecs.append(ec_u)
+
+    if any(f.type == pa.large_string() for f in flats):
+        flats = [f.cast(pa.large_string()) for f in flats]
+    flats = [
+        f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        for f in flats
+    ]
+    flat = pa.concat_arrays(flats)
+    doc_idx = np.concatenate(docs)
+    positions = np.concatenate(poss)
+    # per-part streams are (doc, position)-ordered and every doc lives in
+    # exactly one part, so a stable doc sort restores the global invariant
+    order = np.argsort(doc_idx, kind="stable")
+    flat = flat.take(pa.array(order, pa.int64()))
+    doc_idx = doc_idx[order].astype(np.int32)
+    positions = positions[order].astype(np.int32)
+    if with_offsets:
+        start_chars = np.concatenate(scs)[order]
+        end_chars = np.concatenate(ecs)[order]
+
+    if stopwords:
+        stop_arr = pa.array(sorted(stopwords), type=pa.string())
+        is_stop = np.asarray(pc.is_in(flat, value_set=stop_arr))
+        keep = ~is_stop
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        positions = positions[keep]
+        if with_offsets:
+            start_chars = start_chars[keep]
+            end_chars = end_chars[keep]
+
+    if with_offsets:
+        return flat, doc_idx, positions, start_chars, end_chars
+    return flat, doc_idx, positions
+
+
 def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
                          start_chars=None, end_chars=None):
     """Run an analysis chain over the partition's interned token stream.
@@ -255,6 +364,7 @@ def invert_partition(
     with_positions: bool = True,
     with_offsets: bool = False,
     token_filters: tuple = (),
+    grammar: str = "code",
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -275,10 +385,13 @@ def invert_partition(
     n_docs = len(contents)
     if with_offsets:
         flat, doc_idx, positions, start_chars, end_chars = tokenize_column(
-            contents, max_token_length, stopwords, with_offsets=True
+            contents, max_token_length, stopwords, with_offsets=True,
+            grammar=grammar,
         )
     else:
-        flat, doc_idx, positions = tokenize_column(contents, max_token_length, stopwords)
+        flat, doc_idx, positions = tokenize_column(
+            contents, max_token_length, stopwords, grammar=grammar
+        )
 
     lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     norm_bytes = int_to_byte4_array(lengths)

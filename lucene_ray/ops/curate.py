@@ -1,0 +1,121 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+content-hash sampling and benchmark decontamination.
+
+These extend the engine's LLM-pipeline family (ops/dedup.py, ops/text.py)
+with two ops every large-scale corpus build needs:
+
+- ``sample_by_hash`` — a reproducible sample keyed by a cryptographic hash
+  of the row key, not an RNG: the same row is in or out of the sample on
+  every run, machine, and worker count (the property random_sample cannot
+  give), and the sample composes with resume/retry for free. Streaming
+  map_batches filter, no shuffle, no driver state.
+- ``decontaminate`` — drop/flag training documents that share any k-token
+  shingle with a benchmark/eval set (the standard eval-contamination
+  guard). The benchmark side is small by definition: its distinct shingle
+  set is collected once and broadcast via ``ray.put``, and the training
+  side is a streaming map_batches membership filter — no all-to-all
+  shuffle. Shingles are compared as exact STRINGS (no hash fold), so the
+  result is exactly SQL-checkable and collision-free.
+
+Lucene kinship: shingles are analysis-common's ShingleFilter output
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/shingle/
+ShingleFilter.java) under the engine's shared tokenizer grammar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from lucene_ray.index.invert import tokenize_column
+
+
+def sample_by_hash(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   hex_lt: str = "2a") -> ray.data.Dataset:
+    """Deterministic sample: keep rows whose ``md5(str(id))`` hex digest
+    prefix is lexicographically below ``hex_lt`` (2 hex chars → rate =
+    int(hex_lt, 16)/256, e.g. "2a" ≈ 16.4%). md5 has no vectorized Arrow
+    kernel; the per-row digest over short key strings is the entire cost
+    and is CPU-trivial next to any downstream transform."""
+    n = len(hex_lt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:n] < hex_lt
+             for i in ids],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _shingle_strings(batch: pa.Table, text_col: str, k: int):
+    """(shingle_string_array, doc_idx) of every k-token shingle in the
+    batch — Arrow-vectorized: tokenize_column's flat token stream, then one
+    ``binary_join_element_wise`` over the k shifted views; windows crossing
+    a document boundary are masked out. Docs with fewer than k tokens
+    contribute nothing (mirroring the SQL oracle)."""
+    flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+    n = len(flat)
+    if n < k:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    views = [flat.slice(j, n - k + 1) for j in range(k)]
+    joined = pc.binary_join_element_wise(*views, " ")
+    valid = doc_idx[: n - k + 1] == doc_idx[k - 1:]
+    sel = np.flatnonzero(valid)
+    return joined.take(pa.array(sel, pa.int64())), doc_idx[sel].astype(np.int64)
+
+
+def benchmark_shingles(bench: ray.data.Dataset, text_col: str = "text",
+                       k: int = 3) -> pa.Array:
+    """Distinct shingle strings of the (small) benchmark set, collected to
+    the driver for broadcast. Size is bounded by the benchmark corpus, not
+    the training corpus."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        s, _ = _shingle_strings(batch, text_col, k)
+        return pa.table({"s": s.unique()})
+
+    parts = [
+        b.column("s").combine_chunks()
+        for b in bench.map_batches(sh, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.array([], pa.string())
+    return pa.concat_arrays(
+        [p.cast(pa.string()) for p in parts]).unique()
+
+
+def decontaminate(ds: ray.data.Dataset, bench_shingles: pa.Array,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, invert: bool = False) -> ray.data.Dataset:
+    """Training docs sharing NO k-shingle with the benchmark set (the clean
+    corpus); ``invert=True`` returns the flagged/contaminated docs instead.
+    The benchmark shingle set ships once per worker via ``ray.put``."""
+    ref = ray.put(bench_shingles)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        s, d_idx = _shingle_strings(batch, text_col, k)
+        if len(s) and len(vs):
+            hit = np.asarray(pc.is_in(s, value_set=vs))
+            dirty_docs = np.unique(d_idx[hit])
+        else:
+            dirty_docs = np.zeros(0, np.int64)
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[dirty_docs] = True
+        if not invert:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

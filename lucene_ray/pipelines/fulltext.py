@@ -72,6 +72,38 @@ def documents_block_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def documents_uax29_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index under the uax29 (multilingual
+    StandardTokenizer-behavior) grammar. The test tables are pure ASCII, on
+    which uax29 is token-for-token identical to the code grammar — so the
+    same DuckDB oracle certifies this build path end-to-end (the non-ASCII
+    behavior is covered by tests/test_unicode.py's exhaustive oracles)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:u29-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-u29-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def uax29_term_hits(sf_dir: str, term: str) -> pa.Table:
+    """Term hit set over the uax29-grammar index."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_uax29_index(sf_dir)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
+
+
 ANALYSIS_FILTERS = (("porter_stem",), ("synonyms", {"slow": ["fast"]}))
 
 

@@ -1,0 +1,88 @@
+"""Curation ops: deterministic hash sampling + shingle decontamination."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from lucene_ray.analysis.tokenizer import CodeTokenizer
+from lucene_ray.ops.curate import (
+    benchmark_shingles,
+    decontaminate,
+    sample_by_hash,
+)
+
+
+def _ids(ds, col="doc_id"):
+    out = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        out.extend(b.column(col).to_pylist())
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    texts = [
+        "alpha beta gamma delta",          # 0: shares "alpha beta gamma"
+        "zeta eta theta",                  # 1: clean
+        "one two",                         # 2: < k tokens -> never flagged
+        "xx alpha beta gamma yy",          # 3: shares
+        "beta gamma delta",                # 4: shares (suffix shingle of 0)
+        "alpha gamma beta",                # 5: same tokens, different order
+        "",                                # 6: empty
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+
+
+def test_sample_by_hash_deterministic(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(2000), pa.int64()),
+    })).repartition(4)
+    got = _ids(sample_by_hash(ds, hex_lt="2a"))
+    want = [i for i in range(2000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "2a"]
+    assert got == want
+    # ~16.4% of 2000 with md5 uniformity; loose band
+    assert 200 < len(got) < 460
+    # rerun is identical (no RNG anywhere)
+    assert _ids(sample_by_hash(ds, hex_lt="2a")) == got
+
+
+def test_benchmark_shingles_and_decontaminate(docs_ds, ray_session):
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["alpha beta gamma one two three"], pa.string()),
+    }))
+    sh = benchmark_shingles(bench, k=3)
+    assert set(sh.to_pylist()) == {
+        "alpha beta gamma", "beta gamma one", "gamma one two",
+        "one two three",
+    }
+    dirty = _ids(decontaminate(docs_ds, sh, k=3, invert=True))
+    assert dirty == [0, 3]  # doc 4's shingle "beta gamma delta" not in bench
+    clean = _ids(decontaminate(docs_ds, sh, k=3))
+    assert clean == [1, 2, 4, 5, 6]
+
+
+def test_decontaminate_respects_tokenizer_grammar(docs_ds, ray_session):
+    # shingles are built over the SHARED grammar: punctuation splits match
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["ALPHA, beta;gamma!"], pa.string()),
+    }))
+    sh = benchmark_shingles(bench, k=3)
+    assert sh.to_pylist() == ["alpha beta gamma"]
+    tok = CodeTokenizer()
+    assert tok("ALPHA, beta;gamma!") == ["alpha", "beta", "gamma"]
+
+
+def test_decontaminate_empty_benchmark(docs_ds, ray_session):
+    sh = pa.array([], pa.string())
+    assert _ids(decontaminate(docs_ds, sh)) == [0, 1, 2, 3, 4, 5, 6]
+    assert _ids(decontaminate(docs_ds, sh, invert=True)) == []
