@@ -386,6 +386,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 frames_per_clip=4,
             )
         ),
+        # REAL pure-numpy codecs: PPM decode/resize/features, WAV features
+        "mm_decode_ppm": _q(
+            lambda sf: mm.decode_images(
+                ray.data.from_arrow(mm.make_ppm_media_table(200))
+            )
+        ),
+        "mm_decode_wav": _q(
+            lambda sf: mm.decode_audio(
+                ray.data.from_arrow(mm.make_wav_media_table(200))
+            )
+        ),
         # --- similarity search ---
         "ann_cosine_top10": _q(_ann),
         "ann_ivf_top10": _q(_ann_ivf),

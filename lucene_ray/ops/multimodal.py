@@ -1,12 +1,19 @@
 """Multimodal columns: binary payloads + typed metadata through actor pools.
 
 The Ray-side plumbing is real — schemas, actor-pool stages with per-actor
-setup, small batch sizes for large binary rows, deterministic outputs — but
-the actual media decoding is STUBBED: this container has no image/audio
-libraries, so ``DecodeImage``/``DecodeAudio`` use a clearly-marked
-deterministic fake decoder (or raise ``NotImplementedError`` in strict mode).
-Swap ``_fake_decode_*`` for PIL/torchaudio in a real deployment; nothing else
-changes.
+setup, small batch sizes for large binary rows, deterministic outputs — and
+so are the codecs for the two formats decodable WITHOUT media libraries:
+
+- **PPM (P6) images**: pure-numpy decode (``decode_ppm``), nearest-neighbor
+  resize (``resize_nearest``), per-channel mean/std features;
+- **WAV (RIFF PCM16) audio**: pure-struct/numpy decode (``decode_wav``),
+  duration / RMS / zero-crossing-rate features.
+
+Compressed formats (JPEG/PNG/MP3/H.264...) would need codec libraries this
+container does not have; for those mimes ``DecodeImage`` falls back to a
+clearly-marked deterministic STUB (or raises ``NotImplementedError`` in
+strict mode). Swap the fallback for PIL/torchaudio in a real deployment;
+nothing else changes.
 
 Design rules encoded here (SURVEY extension / prompt requirements):
 - binary media columns ride as opaque ``binary`` + metadata columns;
@@ -20,6 +27,7 @@ Design rules encoded here (SURVEY extension / prompt requirements):
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -53,6 +61,131 @@ def make_fake_media_table(n: int, seed: int = 42, kind: str = "image") -> pa.Tab
     )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs (no media libraries needed)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM is 3-channel RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (H, W, 3) uint8; handles '#' comments."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array — two fancy indexes."""
+    h, w = arr.shape[:2]
+    return arr[np.arange(th) * h // th][:, np.arange(tw) * w // tw]
+
+
+def encode_wav(pcm: np.ndarray, rate: int) -> bytes:
+    """int16 PCM (n,) or (n, channels) -> RIFF/WAVE bytes."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    ch = pcm.shape[1]
+    data = pcm.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2,
+                                ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes -> ((n, channels) int16, sample_rate); walks
+    the chunk list (fmt before data), padding-aware."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+            fmt = (ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            ch, rate = fmt
+            return np.frombuffer(body, dtype=np.int16).reshape(-1, ch), rate
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def make_ppm_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Synthetic REAL-format image table: deterministic gradient+noise PPMs
+    of varied sizes (the real-decode counterpart of make_fake_media_table)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        h = int(rng.integers(8, 33))
+        w = int(rng.integers(8, 33))
+        grad = (np.arange(h)[:, None, None] * 8 + np.arange(w)[None, :, None] * 4
+                + np.arange(3)[None, None, :] * 16)
+        img = ((grad + rng.integers(0, 32, (h, w, 3))) % 256).astype(np.uint8)
+        payloads.append(encode_ppm(img))
+    return pa.table({
+        "media_id": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/x-portable-pixmap"] * n, pa.string()),
+        "source": pa.array([f"s3://bucket/img/{i}.ppm" for i in range(n)],
+                           pa.string()),
+    })
+
+
+def make_wav_media_table(n: int, seed: int = 42, rate: int = 8000) -> pa.Table:
+    """Synthetic REAL-format audio table: deterministic sine mixes, PCM16."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        dur = int(rng.integers(rate // 4, rate))
+        t = np.arange(dur)
+        f1, f2 = rng.uniform(100, 1500, 2)
+        amp = rng.uniform(0.2, 0.8)
+        sig = amp * 0.5 * (np.sin(2 * np.pi * f1 * t / rate)
+                           + np.sin(2 * np.pi * f2 * t / rate))
+        payloads.append(encode_wav((sig * 32767).astype(np.int16), rate))
+    return pa.table({
+        "media_id": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["audio/wav"] * n, pa.string()),
+        "source": pa.array([f"s3://bucket/audio/{i}.wav" for i in range(n)],
+                           pa.string()),
+    })
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decode: deterministic (width, height, 8-dim feature) from a hash
     of the payload. Replace with a real decoder (PIL) in production."""
@@ -64,38 +197,87 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 class DecodeImage:
-    """Actor-pool stage: decode + feature-extract image payloads.
+    """Actor-pool stage: decode + resize + feature-extract image payloads.
 
-    ``__init__`` is where a real model/codec would load (once per actor);
-    ``__call__`` processes one small Arrow batch."""
+    PPM (P6) payloads take the REAL pure-numpy path: decode, nearest-
+    neighbor resize to ``target_size``², per-channel mean/std features
+    (6 float32). Other mimes fall back to the deterministic stub decoder
+    (or raise in strict mode) — compressed codecs need libraries this
+    container lacks. ``__init__`` is where a real model/codec would load
+    (once per actor); ``__call__`` processes one small Arrow batch."""
 
     def __init__(self, strict: bool = False, target_size: int = 32):
         self.strict = strict
-        self.target_size = target_size  # resize target (stub records it only)
+        self.target_size = target_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decoding requires an image library not present in "
-                "this environment; run with strict=False for the "
-                "deterministic stub decoder"
-            )
         payloads = batch.column("payload").to_pylist()
-        widths, heights, feats = [], [], []
+        widths, heights, feats, real = [], [], [], []
         for p in payloads:
-            w, h, f = _fake_decode_image(p)
+            if p.startswith(b"P6"):
+                img = decode_ppm(p)
+                h, w = img.shape[:2]
+                small = resize_nearest(img, self.target_size, self.target_size)
+                fimg = small.astype(np.float32) / 255.0
+                f = np.concatenate([fimg.mean(axis=(0, 1)),
+                                    fimg.std(axis=(0, 1))])
+                real.append(True)
+            elif self.strict:
+                raise NotImplementedError(
+                    "only PPM (P6) decodes without an image library; run "
+                    "with strict=False for the deterministic stub decoder"
+                )
+            else:
+                w, h, f = _fake_decode_image(p)
+                real.append(False)
             widths.append(w)
             heights.append(h)
-            feats.append(f.tolist())
+            feats.append(np.asarray(f, dtype=np.float32).tolist())
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "resized_to": pa.array([self.target_size] * len(batch), pa.int32()),
+                "real_decode": pa.array(real, pa.bool_()),
                 "features": pa.array(feats, pa.list_(pa.float32())),
             }
         )
+
+
+class DecodeAudio:
+    """Actor-pool stage: REAL RIFF/WAVE PCM16 decode + acoustic features —
+    duration, sample rate, channels, RMS (float PCM in [-1, 1]), and
+    zero-crossing rate of channel 0. All numpy; codec state is per-actor."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "sample_rate": [], "n_channels": [],
+               "duration_s": [], "rms": [], "zcr": []}
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            pcm, rate = decode_wav(p)
+            x = pcm.astype(np.float32) / 32768.0
+            c0 = x[:, 0]
+            out["media_id"].append(mid)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(pcm.shape[1])
+            out["duration_s"].append(pcm.shape[0] / rate)
+            out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            out["zcr"].append(
+                float(np.mean(np.signbit(c0[1:]) != np.signbit(c0[:-1])))
+                if len(c0) > 1 else 0.0
+            )
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+            "n_channels": pa.array(out["n_channels"], pa.int32()),
+            "duration_s": pa.array(out["duration_s"], pa.float64()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "zcr": pa.array(out["zcr"], pa.float64()),
+        })
 
 
 class FrameSample:
@@ -131,6 +313,18 @@ def decode_images(ds: ray.data.Dataset, concurrency=(1, 4),
     pool sized explicitly, zero-copy Arrow in/out."""
     return ds.map_batches(
         DecodeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def decode_audio(ds: ray.data.Dataset, concurrency=(1, 4),
+                 batch_size: int = 64) -> ray.data.Dataset:
+    """Audio decode pipeline (real WAV codec): actor pool, small batches."""
+    return ds.map_batches(
+        DecodeAudio,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

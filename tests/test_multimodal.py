@@ -29,7 +29,7 @@ def test_decode_images_pipeline(ray_session):
     ds = ray.data.from_arrow(make_fake_media_table(50))
     out = decode_images(ds, concurrency=2, batch_size=16).to_pandas()
     assert len(out) == 50
-    assert set(out.columns) == {"media_id", "width", "height", "resized_to", "features"}
+    assert set(out.columns) == {"media_id", "width", "height", "resized_to", "real_decode", "features"}
     assert (out["width"] >= 64).all() and (out["width"] <= 64 + 255).all()
     assert all(len(f) == 8 for f in out["features"])
     # determinism across runs
