@@ -74,6 +74,41 @@ class TermPostings:
     docs: np.ndarray  # int64 segment-local doc ids, ascending
     freqs: np.ndarray  # int64
     pos_chunks: list | None  # [(pos_enc, freqs_slice)] lazily decoded
+    pos_flat: np.ndarray | None = None  # memoized decode of pos_chunks
+
+
+class DecodedPostingsCache:
+    """Bounded FIFO cache of decoded :class:`TermPostings`, shared across
+    searches by a long-lived Searcher / serving actor. Hot terms ("import",
+    "return") appear in most queries; without this every search re-runs the
+    FOR/vbyte decode of the same arrays. Bounded by entries AND approximate
+    bytes; eviction is insertion-order (dict ordering)."""
+
+    def __init__(self, max_entries: int = 2048, max_bytes: int = 256 << 20):
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self._d: dict = {}
+        self._bytes = 0
+
+    @staticmethod
+    def _size(tp: "TermPostings") -> int:
+        n = tp.docs.nbytes + tp.freqs.nbytes
+        if tp.pos_chunks:
+            n += sum(len(enc) for enc, _ in tp.pos_chunks)
+        return n
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, tp: "TermPostings") -> None:
+        if key in self._d:
+            return
+        self._d[key] = tp
+        self._bytes += self._size(tp)
+        while self._d and (len(self._d) > self.max_entries
+                           or self._bytes > self.max_bytes):
+            oldest = next(iter(self._d))
+            self._bytes -= self._size(self._d.pop(oldest))
 
 
 class SegmentContext:
@@ -82,7 +117,7 @@ class SegmentContext:
     def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray,
                  live: np.ndarray | None = None,
                  parents: np.ndarray | None = None,
-                 dv_fetch=None):
+                 dv_fetch=None, decoded_cache=None, cache_key=None):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
@@ -99,6 +134,12 @@ class SegmentContext:
         self.live = live
         self.chunks: dict[str, list[ChunkRec]] = {}
         self._decoded: dict[str, TermPostings] = {}
+        # optional SHARED decode cache (owned by a long-lived Searcher /
+        # serving actor) so hot terms decode once per process, not once per
+        # query — the serving analog of Lucene's reused segment readers.
+        # Keys are (cache_key, term); the owner bounds and evicts.
+        self._shared = decoded_cache
+        self._shared_key = cache_key
         self.with_positions = False
 
     def docvalues(self, col: str) -> np.ndarray:
@@ -114,9 +155,10 @@ class SegmentContext:
     @classmethod
     def from_chunk_table(cls, table, num_docs, norms, global_ids,
                         with_positions=False, live=None, parents=None,
-                        dv_fetch=None):
+                        dv_fetch=None, decoded_cache=None, cache_key=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
-        ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch)
+        ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch,
+                  decoded_cache, cache_key)
         ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
@@ -150,11 +192,18 @@ class SegmentContext:
         tp = self._decoded.get(term)
         if tp is not None:
             return tp
+        if self._shared is not None:
+            tp = self._shared.get((self._shared_key, term))
+            if tp is not None:
+                self._decoded[term] = tp
+                return tp
         recs = self.chunks.get(term)
         if not recs:
             return None
         tp = self._decode_recs(recs)
         self._decoded[term] = tp
+        if self._shared is not None:
+            self._shared.put((self._shared_key, term), tp)
         return tp
 
     def _decode_recs(self, recs: list[ChunkRec]) -> TermPostings:
@@ -516,7 +565,7 @@ class SegmentScorer:
             tps.append(tp)
         cand = tps[0].docs
         for tp in tps[1:]:
-            cand = cand[np.isin(cand, tp.docs, assume_unique=True)]
+            cand = cand[_sorted_isin(cand, tp.docs)]
             if len(cand) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
         # (doc_rep, shifted position) arrays per term, restricted to cand
@@ -525,7 +574,7 @@ class SegmentScorer:
             pos_flat = _decode_all_positions(tp)
             ends = np.cumsum(tp.freqs)
             starts = ends - tp.freqs
-            sel_idx = np.flatnonzero(np.isin(tp.docs, cand, assume_unique=True))
+            sel_idx = np.flatnonzero(_sorted_isin(tp.docs, cand))
             doc_rep = np.repeat(tp.docs[sel_idx], tp.freqs[sel_idx])
             tok_idx = _ranges_concat(starts[sel_idx], ends[sel_idx])
             shifted = pos_flat[tok_idx].astype(np.int64) - i
@@ -538,7 +587,9 @@ class SegmentScorer:
         ]
         common = key_sets[0]
         for ks in key_sets[1:]:
-            common = common[np.isin(common, ks)]
+            # keys ascend (docs ascend; positions ascend within a doc), so
+            # the searchsorted membership kernel applies
+            common = common[_sorted_isin(common, ks)]
             if len(common) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
         match_docs = (common // np.int64(1 << 32)).astype(np.int64)
@@ -861,9 +912,22 @@ def _merge_topk(d1, s1, d2, s2, k) -> tuple[np.ndarray, np.ndarray]:
     return _topk_arrays(d, s, k)
 
 
+def _sorted_isin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of sorted array ``a`` in sorted array ``b`` — one
+    binary search instead of np.isin's sort-based kernel (both inputs are
+    already ascending postings/key arrays)."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return b[idx] == a
+
+
 def _decode_all_positions(tp: TermPostings) -> np.ndarray:
-    parts = [decode_positions(enc, f) for enc, f in tp.pos_chunks]
-    return np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    if tp.pos_flat is None:
+        parts = [decode_positions(enc, f) for enc, f in tp.pos_chunks]
+        tp.pos_flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    return tp.pos_flat
 
 
 def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -58,8 +58,12 @@ class Searcher:
     """
 
     def __init__(self, reader: IndexReader, similarity: BM25Similarity | None = None):
+        from lucene_ray.search.executor import DecodedPostingsCache
+
         self.reader = reader
         self.sim = similarity or BM25Similarity()
+        # decoded hot-term postings survive across searches (bounded)
+        self._decoded_cache = DecodedPostingsCache()
 
     def plan(self, q: Query):
         """Resolve global stats + scorers for a query (Weight creation)."""
@@ -95,6 +99,8 @@ class Searcher:
             live=self.reader.live_mask(seg),
             parents=self.reader.parents(seg),
             dv_fetch=lambda col, _s=seg: self.reader.docvalues(_s, col),
+            decoded_cache=self._decoded_cache,
+            cache_key=(seg, need_positions),
         )
         return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 
