@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_numeric_set_hits": _q(
             lambda sf: ft.numeric_set_hits(sf, "n_chars", [250, 301, 999])
         ),
+        # classic-parser range syntax end-to-end (field:[a TO b])
+        "ft_parsed_range_hits": _q(
+            lambda sf: ft.parsed_hits(sf, "join AND n_chars:[200 TO 400]")
+        ),
         # query-time Sort(SortField(n_chars, reverse)) — exact
         "ft_sort_by_field_top10": _q(
             lambda sf: ft.sort_by_field_topk(sf, "join", "n_chars", 10)
@@ -571,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "ft_term_numeric_filter": _TOKS
+        + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
+        "WHERE t.tok = 'join' AND d.n_chars BETWEEN 200 AND 400 ORDER BY doc_id",
+        "ft_parsed_range_hits": _TOKS
         + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
         "WHERE t.tok = 'join' AND d.n_chars BETWEEN 200 AND 400 ORDER BY doc_id",
         "ft_facet_nchars_ranges": _TOKS

@@ -793,6 +793,14 @@ def numeric_set_hits(sf_dir: str, col: str, values: list) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, NumericSetQuery(col, values)))
 
 
+def parsed_hits(sf_dir: str, query_text: str) -> pa.Table:
+    """Hit set of a classic-parser query string (exercises the parser's
+    extended syntax — ^boost, ~fuzzy, field:[a TO b] ranges — end-to-end)."""
+    from lucene_ray.search.query import parse_query
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, parse_query(query_text)))
+
+
 def filtered_bm25_topk(sf_dir: str, query: str, col: str, lower, upper,
                        k: int = 10) -> pa.Table:
     """BM25 top-k restricted by a scoreless numeric FILTER clause

@@ -449,21 +449,64 @@ def parse_query(s: str, analyzer=None) -> Query:
                 return TermQuery(terms[0])
             return PhraseQuery(terms, slop=slop)
         word = advance()
+        # trailing ^boost (classic parser: term^2, field:v^1.5, joib~1^2)
+        boost = 1.0
+        if "^" in word:
+            word, _, btxt = word.rpartition("^")
+            try:
+                boost = float(btxt)
+            except ValueError:
+                word = f"{word}^{btxt}"
+                boost = 1.0
         if ":" in word:
             # classic field:term syntax; keyword fields are atomic terms
-            # namespaced "field:value" in the shared postings
+            # namespaced "field:value" in the shared postings.
+            # field:[a TO b] / field:{a TO b} = range over the field:
+            # numeric endpoints -> NumericRangeQuery on the doc-values
+            # column (IntPoint.newRangeQuery shape).
             field, _, rest = word.partition(":")
+            if field and rest and rest[0] in "[{":
+                rng = _parse_range(rest, advance, peek)
+                if rng is not None:
+                    lo, hi, inc_lo, inc_hi, rboost = rng
+                    # NumericRangeQuery is inclusive; nudge exclusive
+                    # endpoints inward (next int / next float)
+                    import math
+
+                    if lo is not None and not inc_lo:
+                        lo = lo + 1 if isinstance(lo, int) else math.nextafter(lo, math.inf)
+                    if hi is not None and not inc_hi:
+                        hi = hi - 1 if isinstance(hi, int) else math.nextafter(hi, -math.inf)
+                    return NumericRangeQuery(field, lo, hi,
+                                             boost=boost * rboost)
             if field and rest:
-                return TermQuery(f"{field}:{rest}")
+                return TermQuery(f"{field}:{rest}", boost=boost)
+        if word and word[0] in "[{":
+            # bare [a TO b] = lexicographic term range over the content
+            # dictionary (TermRangeQuery.java:37)
+            rng = _parse_range(word, advance, peek, numeric=False)
+            if rng is not None:
+                lo, hi, inc_lo, inc_hi, rboost = rng
+                return TermRangeQuery(lo, hi, inc_lo, inc_hi,
+                                      boost=boost * rboost)
         if word.endswith("*") and len(word) > 1:
             norm = tk(word[:-1])
-            return PrefixQuery(norm[0] if norm else word[:-1].lower())
+            return PrefixQuery(norm[0] if norm else word[:-1].lower(),
+                               boost=boost)
+        # trailing ~N / ~ = FuzzyQuery (classic parser fuzzy syntax)
+        if "~" in word[1:]:
+            base, _, etxt = word.rpartition("~")
+            if etxt == "" or etxt.isdigit():
+                norm = tk(base)
+                if len(norm) == 1:
+                    return FuzzyQuery(norm[0], int(etxt) if etxt else 2,
+                                      boost=boost)
         norm = tk(word)
         if not norm:
             return MatchAllQuery()
         if len(norm) == 1:
-            return TermQuery(norm[0])
-        return PhraseQuery(norm)
+            return TermQuery(norm[0], boost=boost)
+        return PhraseQuery(norm, boost=boost)
 
     def parse_clause():
         neg = False
@@ -499,6 +542,50 @@ def parse_query(s: str, analyzer=None) -> Query:
         return BooleanQuery(must=must, should=should, must_not=must_not)
 
     return parse_expr()
+
+
+def _parse_range(first: str, advance, peek, numeric: bool = True):
+    """Classic-parser range body: ``first`` is the token starting with
+    '[' or '{' (e.g. "[200"); consumes "TO" and the closing token
+    ("400]" / "400}"). Returns (lower, upper, include_lower, include_upper,
+    boost) or None if the shape doesn't match. ``*`` endpoints are open;
+    boost comes from a trailing ^N on the closing token (1.0 otherwise)."""
+    include_lower = first[0] == "["
+    lo_txt = first[1:]
+    if peek() != "TO":
+        return None
+    advance()
+    closer = peek()
+    if closer is None:
+        return None
+    advance()
+    boost = 1.0
+    if "^" in closer:
+        closer, _, btxt = closer.rpartition("^")
+        try:
+            boost = float(btxt)
+        except ValueError:
+            return None
+    if not closer or closer[-1] not in "]}":
+        return None
+    include_upper = closer[-1] == "]"
+    hi_txt = closer[:-1]
+
+    def endpoint(txt):
+        if txt in ("", "*"):
+            return None
+        if not numeric:
+            return txt.lower()
+        try:
+            return int(txt)
+        except ValueError:
+            return float(txt)
+
+    try:
+        return (endpoint(lo_txt), endpoint(hi_txt), include_lower,
+                include_upper, boost)
+    except ValueError:
+        return None
 
 
 def _lex(s: str) -> list[str]:
