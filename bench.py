@@ -92,7 +92,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                     pass
                 q = query_to_ast(spec)
                 t0 = time.time()
-                searcher.search(q, 10)
+                # Lucene's default totalHitsThreshold=1000
+                # (IndexSearcher.java:100): block-max pruning + the
+                # cross-segment accumulator engage exactly as in the
+                # reference; ranks/scores are identical either way (tested)
+                searcher.search(q, 10, total_hits_threshold=1000)
                 lat.setdefault(f"q{spec['qid']}_{spec['type']}", []).append(time.time() - t0)
         query_p50 = {k: round(statistics.median(v), 4) for k, v in lat.items()}
         overall_p50 = round(statistics.median([x for v in lat.values() for x in v]), 4)

@@ -188,6 +188,16 @@ class SegmentContext:
 
     # ---- decode ----
 
+    def peek(self, term: str) -> TermPostings | None:
+        """Already-decoded postings if available (local or shared cache),
+        WITHOUT decoding. Lets the pruned-path planner skip chunk-at-a-time
+        pruning when the full vectorized arrays are already in memory —
+        whole-array scoring is cheaper than incremental skipping then."""
+        tp = self._decoded.get(term)
+        if tp is None and self._shared is not None:
+            tp = self._shared.get((self._shared_key, term))
+        return tp
+
     def postings(self, term: str) -> TermPostings | None:
         tp = self._decoded.get(term)
         if tp is not None:
@@ -698,16 +708,27 @@ class SegmentScorer:
 
     def top_k(self, q: Query, k: int,
               total_hits_threshold: int | None = None,
-              after: tuple[float, int] | None = None) -> tuple[np.ndarray, np.ndarray, int, bool]:
+              after: tuple[float, int] | None = None,
+              prior: tuple[float, int] | None = None) -> tuple[np.ndarray, np.ndarray, int, bool]:
         """(global_doc_ids, scores, total_hits, exact_total), sorted by
         (-score, local doc id). With a threshold, pruned paths may report a
         lower-bound total (exact_total=False) but ranks/scores stay identical.
         ``after`` = (score, global_doc_id) cursor for deep paging
         (IndexSearcher.searchAfter, IndexSearcher.java:576-591): only hits
-        strictly after the cursor in (-score, doc) order are returned."""
+        strictly after the cursor in (-score, doc) order are returned.
+
+        ``prior`` = (kth_score, hits_counted) from segments already searched
+        — the MaxScoreAccumulator analog (MaxScoreAccumulator.java:23,
+        TopScoreDocCollector.java:168): later segments start pruning at the
+        global-so-far kth score. Safe for rank identity because segments are
+        searched in ascending global-doc-id order and the merge tie-break is
+        (score desc, doc id asc): a later-segment hit scoring exactly the
+        prior kth always loses the tie, so only strictly-greater scores can
+        enter the global top-k — and pruning only ever skips bounds
+        STRICTLY BELOW the kth."""
         res = None
         if total_hits_threshold is not None and after is None:
-            res = self._top_k_pruned(q, k, total_hits_threshold)
+            res = self._top_k_pruned(q, k, total_hits_threshold, prior)
         if res is None:
             docs, scores = self.evaluate(q)
             total = len(docs)
@@ -721,24 +742,33 @@ class SegmentScorer:
             res = _topk_from_sparse(docs, scores, k, total, True)
         return self.ctx.global_ids[res.docs], res.scores, res.total, res.exact_total
 
-    def _top_k_pruned(self, q: Query, k: int, threshold: int) -> SegTopK | None:
+    def _top_k_pruned(self, q: Query, k: int, threshold: int,
+                      prior: tuple[float, int] | None = None) -> SegTopK | None:
         if isinstance(q, TermQuery) and q.boost == 1.0 and q.term in self.scorers:
-            return self._topk_term_impact_ordered(q.term, k, threshold)
+            if self.ctx.peek(q.term) is not None:
+                return None  # already decoded: whole-array scoring is cheaper
+            return self._topk_term_impact_ordered(q.term, k, threshold, prior)
         if isinstance(q, BooleanQuery) and not q.must_not and not q.must \
                 and not q.filter and q.should \
                 and q.effective_msm <= 1 \
                 and all(isinstance(c, TermQuery) and c.boost == 1.0 and c.term in self.scorers
                         for c in q.should):
-            return self._topk_or_maxscore([c.term for c in q.should], k, threshold)
+            if all(self.ctx.peek(c.term) is not None for c in q.should):
+                return None
+            return self._topk_or_maxscore([c.term for c in q.should], k,
+                                          threshold, prior)
         if isinstance(q, BooleanQuery) and not q.must_not and not q.should \
                 and not q.filter and q.must \
                 and all(isinstance(c, TermQuery) and c.boost == 1.0 for c in q.must):
             if not all(c.term in self.scorers for c in q.must):
                 return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
+            if all(self.ctx.peek(c.term) is not None for c in q.must):
+                return None
             return self._topk_and_skipping([c.term for c in q.must], k)
         return None  # fall back to exhaustive
 
-    def _topk_term_impact_ordered(self, term: str, k: int, threshold: int) -> SegTopK:
+    def _topk_term_impact_ordered(self, term: str, k: int, threshold: int,
+                                  prior: tuple[float, int] | None = None) -> SegTopK:
         recs = self.ctx.chunks.get(term)
         if not recs:
             return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
@@ -747,10 +777,18 @@ class SegmentScorer:
         order = np.argsort(-bounds.astype(np.float64), kind="stable")
         best_docs = np.zeros(0, np.int64)
         best_scores = np.zeros(0, np.float32)
+        prior_kth = np.float32(prior[0]) if prior is not None else None
+        prior_hits = prior[1] if prior is not None else 0
         total = 0
         pruned = False
         for oi, ci in enumerate(order):
-            if len(best_docs) >= k and total >= threshold and bounds[ci] < best_scores[-1]:
+            have_k = len(best_docs) >= k or prior_kth is not None
+            kth = np.float32("-inf")
+            if len(best_docs) >= k:
+                kth = best_scores[-1]
+            if prior_kth is not None and prior_kth > kth:
+                kth = prior_kth
+            if have_k and total + prior_hits >= threshold and bounds[ci] < kth:
                 pruned = True  # all remaining bounds are <= this one
                 break
             r = recs[ci]
@@ -764,9 +802,11 @@ class SegmentScorer:
             best_docs, best_scores = _merge_topk(best_docs, best_scores, d, s, k)
         return SegTopK(best_docs, best_scores, total, not pruned)
 
-    def _topk_or_maxscore(self, terms: list[str], k: int, threshold: int) -> SegTopK:
+    def _topk_or_maxscore(self, terms: list[str], k: int, threshold: int,
+                          prior: tuple[float, int] | None = None) -> SegTopK:
         """MAXSCORE: essential terms generate candidates; non-essential terms
-        only contribute at candidate docs (decoded with chunk skipping)."""
+        only contribute at candidate docs (decoded with chunk skipping).
+        ``prior`` raises the bootstrap theta (cross-segment accumulator)."""
         recs_by_term = {t: self.ctx.chunks.get(t, []) for t in terms}
         terms = [t for t in terms if recs_by_term[t]]
         if not terms:
@@ -792,6 +832,10 @@ class SegmentScorer:
             theta = float(np.partition(s0, -k)[-k])
         else:
             theta = float("-inf")
+        if prior is not None and float(prior[0]) > theta:
+            # global-so-far kth from earlier segments; later-segment ties
+            # lose the (score, doc) tie-break, so theta may start here
+            theta = float(prior[0])
 
         # partition: longest prefix of `order` with cumulative bound < theta
         cum = 0.0
@@ -820,7 +864,7 @@ class SegmentScorer:
             if t in ness:
                 d, f = self._decode_at(t, cand)  # chunk-range skipping
                 if len(d):
-                    sel = np.isin(d, cand, assume_unique=True)
+                    sel = _sorted_isin(d, cand)
                     d, f = d[sel], f[sel]
             else:
                 tp = self.ctx.postings(t)  # essential: all docs are candidates
@@ -847,11 +891,11 @@ class SegmentScorer:
         cand_freqs = {lead: lead_freqs}
         for t in order[1:]:
             d, f = self._decode_at(t, cand)
-            keep = np.isin(cand, d, assume_unique=True)
+            keep = _sorted_isin(cand, d)
             cand = cand[keep]
             for t2 in cand_freqs:
                 cand_freqs[t2] = cand_freqs[t2][keep]
-            sel = np.isin(d, cand, assume_unique=True)
+            sel = _sorted_isin(d, cand)
             cand_freqs[t] = f[sel]
             if len(cand) == 0:
                 return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
@@ -875,6 +919,13 @@ class SegmentScorer:
         needed = np.flatnonzero(hi > lo)
         if len(needed) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if len(needed) * 2 >= len(recs) or self.ctx.peek(term) is not None:
+            # the candidate range touches most chunks (or the full arrays
+            # are already decoded): a full decode through the shared cache
+            # costs about the same now and makes every later query on this
+            # term whole-array fast
+            tp = self.ctx.postings(term)
+            return tp.docs, tp.freqs
         ds, fs = [], []
         for ci in needed:
             r = recs[ci]

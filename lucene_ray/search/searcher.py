@@ -118,15 +118,21 @@ class Searcher:
         need_pos = needs_positions(q)
         doc_parts, score_parts, total = [], [], 0
         exact = True
+        prior = None  # (global kth score, hits counted) — MaxScoreAccumulator
         for seg in self.reader.segs:
             ss = self.segment_scorer(
                 seg, all_terms, scorers, phrase_scorers, expansions, need_pos
             )
-            gids, scores, t, ex = ss.top_k(q, k, total_hits_threshold, after)
+            gids, scores, t, ex = ss.top_k(q, k, total_hits_threshold, after,
+                                           prior)
             doc_parts.append(gids)
             score_parts.append(scores)
             total += t
             exact = exact and ex
+            if total_hits_threshold is not None and after is None and k > 0:
+                have = np.concatenate(score_parts) if len(score_parts) > 1 else score_parts[0]
+                if len(have) >= k:
+                    prior = (float(np.partition(have, -k)[-k]), total)
         return merge_topk(doc_parts, score_parts, total, k, exact)
 
     def explain(self, query: Query | str, global_doc_id: int) -> dict:
