@@ -114,7 +114,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ann_cosine_top10", "agg_lineitem_pricing",
                      "events_tumbling_daily", "join_orders_per_nation",
                      "join_order_revenue", "pipeline_prepare_corpus",
-                     "events_value_quantiles", "dedup_ngram_clusters"]:
+                     "events_value_quantiles", "dedup_ngram_clusters",
+                     "geo_knn_top10", "curate_sample_hash",
+                     "curate_decontaminate", "ft_uax29_term_hits"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
