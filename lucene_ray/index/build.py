@@ -183,6 +183,25 @@ def _atomic_write_table(table: pa.Table, path: str, compression: str) -> None:
             os.unlink(tmp)
 
 
+# golden-ratio mixer separating a hot term's salted sub-groups across
+# buckets (shared by the Stage-C shuffle key and the reader's lookup)
+_SALT_MIX = 0x9E3779B1
+
+
+def term_buckets(terms, n_salts: int, merge_buckets: int) -> set[int]:
+    """Candidate hash buckets whose files can hold chunk rows of ``terms``
+    (one bucket per possible salt). The reader uses this to open only the
+    matching ``bucket=`` directories — the term-index (.tip) analog."""
+    import zlib
+
+    out: set[int] = set()
+    for t in terms:
+        h = zlib.crc32(t.encode())
+        for s in range(max(1, n_salts)):
+            out.add((h + s * _SALT_MIX) % merge_buckets)
+    return out
+
+
 def partials_path(index_dir: str, pid: int) -> str:
     return os.path.join(index_dir, "partials", f"pid={pid:06d}.parquet")
 
@@ -544,9 +563,11 @@ class _MergeEncode:
                 rows["impact_freqs"].append(imp_f.tolist())
                 rows["impact_norms"].append(imp_n.tolist())
             i = j
+        bucket = int(g.column("bucket")[0].as_py()) if len(g) else 0
         return pa.table(
             {
                 "seg": pa.array(rows["seg"], pa.int32()),
+                "bucket": pa.array([bucket] * len(rows["seg"]), pa.int32()),
                 "term": pa.array(rows["term"], pa.string()),
                 "chunk": pa.array(rows["chunk"], pa.int32()),
                 "count": pa.array(rows["count"], pa.int32()),
@@ -1013,7 +1034,7 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
         # deterministic hash bucket over (term, salt): one map_groups call
         # handles a whole bucket of term groups (amortizes per-group cost);
         # salted sub-groups of a hot term scatter to different buckets
-        bucket = ((term_hash + salt.astype(np.int64) * np.int64(0x9E3779B1)) % merge_buckets).astype(np.int32)
+        bucket = ((term_hash + salt.astype(np.int64) * np.int64(_SALT_MIX)) % merge_buckets).astype(np.int32)
         batch = batch.append_column("seg", pa.array(seg, pa.int32()))
         batch = batch.append_column("salt", pa.array(salt, pa.int32()))
         batch = batch.append_column("chunk_base", pa.array(chunk_base, pa.int32()))
@@ -1039,7 +1060,11 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     )
     tmp = postings_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    postings.write_parquet(tmp, partition_cols=["seg"])
+    # bucket-partitioned layout (seg=N/bucket=M/): a term lookup reads only
+    # its candidate hash-bucket directories — the block-tree term-index
+    # (.tip) analog at file granularity; full-segment scans still work by
+    # opening the seg directory
+    postings.write_parquet(tmp, partition_cols=["seg", "bucket"])
     if append:
         os.makedirs(postings_dir, exist_ok=True)
         for d in os.listdir(tmp):

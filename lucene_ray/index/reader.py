@@ -64,6 +64,11 @@ class IndexReader:
             os.path.join(index_dir, "term_stats"), format="parquet"
         )
         self._seg_ds_cache: dict[int, pads.Dataset] = {}
+        # bucket-partitioned postings layout (seg=N/bucket=M/): term lookups
+        # open only candidate bucket dirs; detected per segment so readers
+        # also serve pre-bucket-layout indexes
+        self._bucket_layout: dict[int, bool] = {}
+        self._bucket_ds_cache: dict[tuple, pads.Dataset] = {}
         # (seg, term) -> pa.Table slice of chunk rows (sorted by min_doc);
         # the LRU-query-cache / OS-page-cache analog for repeated serving
         self._postings_cache: dict[tuple[int, str], pa.Table] = {}
@@ -212,6 +217,54 @@ class IndexReader:
     def seg_dir(self, seg: int) -> str:
         return os.path.join(self.index_dir, "postings", f"seg={seg}")
 
+    def _full_seg_dataset(self, seg: int) -> pads.Dataset:
+        if seg not in self._seg_ds_cache:
+            self._seg_ds_cache[seg] = pads.dataset(self.seg_dir(seg),
+                                                   format="parquet")
+        return self._seg_ds_cache[seg]
+
+    def _lookup_dataset(self, seg: int, terms: list[str]) -> pads.Dataset | None:
+        """Dataset holding all chunk rows the given terms can live in. With
+        the bucket layout this opens only the candidate ``bucket=`` dirs
+        (term-index analog: a point lookup reads ~n_salts/merge_buckets of
+        the segment's bytes); falls back to the whole segment for wide term
+        sets or pre-bucket-layout indexes. None = terms cannot exist."""
+        from lucene_ray.index.build import term_buckets
+
+        d = self.seg_dir(seg)
+        layout = self._bucket_layout.get(seg)
+        if layout is None:
+            layout = any(e.startswith("bucket=") for e in os.listdir(d))
+            self._bucket_layout[seg] = layout
+        cfg = self.manifest.config
+        mb = int(cfg.get("merge_buckets", 64))
+        if not layout:
+            return self._full_seg_dataset(seg)
+        eff_salts = max(1, min(int(cfg.get("n_salts", 8)),
+                               int(cfg.get("partitions_per_segment", 8))))
+        bs = term_buckets(terms, eff_salts, mb)
+        if len(bs) * 2 >= mb:
+            return self._full_seg_dataset(seg)
+        key = (seg, tuple(sorted(bs)))
+        ds = self._bucket_ds_cache.get(key)
+        if ds is None:
+            dirs = [os.path.join(d, f"bucket={b}") for b in sorted(bs)]
+            # pads.dataset() rejects a LIST of directories — expand to files
+            files = [
+                os.path.join(x, f)
+                for x in dirs if os.path.isdir(x)
+                for f in sorted(os.listdir(x)) if f.endswith(".parquet")
+            ]
+            if not files:
+                return None
+            ds = pads.dataset(files, format="parquet")
+            self._bucket_ds_cache[key] = ds
+        return ds
+
+    @staticmethod
+    def _empty_chunk_table() -> pa.Table:
+        return pa.table({"term": pa.array([], pa.string())})
+
     def postings(self, seg: int, terms: list[str]) -> pa.Table:
         """Chunk rows for the given terms in one segment, ordered by
         (term, min_doc) so salted sub-lists concatenate correctly.
@@ -222,10 +275,12 @@ class IndexReader:
         want = sorted(set(terms))
         missing = [t for t in want if (seg, t) not in self._postings_cache]
         if missing:
-            if seg not in self._seg_ds_cache:
-                self._seg_ds_cache[seg] = pads.dataset(d, format="parquet")
-            ds = self._seg_ds_cache[seg]
-            tbl = ds.to_table(filter=pads.field("term").isin(missing))
+            ds = self._lookup_dataset(seg, missing)
+            tbl = (
+                ds.to_table(filter=pads.field("term").isin(missing))
+                if ds is not None
+                else self._empty_chunk_table()
+            )
             if len(tbl):
                 tbl = tbl.sort_by([("term", "ascending"), ("min_doc", "ascending")])
             terms_col = tbl.column("term").to_pylist() if len(tbl) else []

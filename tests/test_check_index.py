@@ -26,7 +26,9 @@ def test_detects_corruption(built_index, tmp_path):
     shutil.copytree(index_dir, corrupted)
     seg0 = os.path.join(corrupted, "postings", "seg=0")
     target = next(
-        os.path.join(seg0, f) for f in os.listdir(seg0) if f.endswith(".parquet")
+        os.path.join(root, f)
+        for root, _, files in sorted(os.walk(seg0))
+        for f in sorted(files) if f.endswith(".parquet")
     )
     # rewrite one chunk row with an out-of-order doc list
     import pyarrow.parquet as pq
