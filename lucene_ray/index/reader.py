@@ -234,7 +234,10 @@ class IndexReader:
         d = self.seg_dir(seg)
         layout = self._bucket_layout.get(seg)
         if layout is None:
-            layout = any(e.startswith("bucket=") for e in os.listdir(d))
+            layout = any(
+                e.startswith("bucket=") and os.path.isdir(os.path.join(d, e))
+                for e in os.listdir(d)
+            )
             self._bucket_layout[seg] = layout
         cfg = self.manifest.config
         mb = int(cfg.get("merge_buckets", 64))

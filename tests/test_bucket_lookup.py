@@ -62,3 +62,35 @@ def test_search_results_unchanged_on_bucket_layout(built_index):
         q = query_to_ast(spec)
         td = s.search(q, 10)
         assert len(td.doc_ids) > 0, spec
+
+
+def test_pre_bucket_layout_still_served(built_index, tmp_path):
+    """Readers must serve indexes written BEFORE the bucket layout: flatten
+    seg=N/bucket=M/* back into seg=N/ and expect identical results."""
+    import shutil
+
+    from lucene_ray.fixtures import query_to_ast, reference_queries
+    from lucene_ray.search.searcher import Searcher
+
+    index_dir, _, _ = built_index
+    flat = str(tmp_path / "flat_idx")
+    shutil.copytree(index_dir, flat)
+    for seg_entry in os.listdir(os.path.join(flat, "postings")):
+        seg_dir = os.path.join(flat, "postings", seg_entry)
+        for entry in list(os.listdir(seg_dir)):
+            sub = os.path.join(seg_dir, entry)
+            if entry.startswith("bucket=") and os.path.isdir(sub):
+                bno = entry.split("=", 1)[1]
+                for f in os.listdir(sub):
+                    os.replace(os.path.join(sub, f),
+                               os.path.join(seg_dir, f"b{bno}-{f}"))
+                os.rmdir(sub)
+    new = Searcher(IndexReader(index_dir))
+    old = Searcher(IndexReader(flat))
+    for spec in reference_queries()[:8]:
+        q = query_to_ast(spec)
+        a = new.search(q, 10)
+        b = old.search(q, 10)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids, err_msg=str(spec))
+        np.testing.assert_array_equal(a.scores, b.scores, err_msg=str(spec))
+        assert a.total_hits == b.total_hits
