@@ -154,6 +154,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ids_table(sample_by_hash(_docs(sf_dir), hex_lt="2a"))
 
+    def _sample_stratified(sf_dir):
+        from lucene_ray.ops.curate import sample_stratified
+
+        return _ids_table(sample_stratified(
+            _docs(sf_dir), {"en": "80", "fr": "40", "de": "20"}))
+
     def _decontaminate(sf_dir):
         import pyarrow as _pa
 
@@ -449,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_high_value_orders": _q(rel.filter_high_value_orders),
         # --- corpus curation (training-data pipeline ops) ---
         "curate_sample_hash": _q(_sample_hash),
+        "curate_sample_stratified": _q(_sample_stratified),
         "curate_decontaminate": _q(_decontaminate),
         # --- geo (LatLonPoint family over derived customer points) ---
         "geo_box_hits": _q(geo_pipe.geo_box_hits),
@@ -974,6 +981,12 @@ def oracle_sql() -> dict[str, str]:
         "curate_sample_hash": (
             "SELECT doc_id FROM documents WHERE "
             "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a' ORDER BY doc_id"
+        ),
+        "curate_sample_stratified": (
+            "SELECT doc_id FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < "
+            "CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40' "
+            "WHEN 'de' THEN '20' ELSE '00' END ORDER BY doc_id"
         ),
         "curate_decontaminate": (
             "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "

@@ -57,6 +57,28 @@ def sample_by_hash(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def sample_stratified(ds: ray.data.Dataset, rates: dict,
+                      group_col: str = "lang",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-group deterministic sampling — the mixture-balancing op of a
+    training-data pipeline (e.g. downsample dominant languages). ``rates``
+    maps a group value to its md5-prefix threshold (2 hex chars; rate =
+    int(v, 16)/256); groups not listed are dropped. Same determinism
+    guarantees as :func:`sample_by_hash`; streaming filter, no shuffle."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2] < rates.get(g, "00")
+             for i, g in zip(ids, groups)],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _shingle_strings(batch: pa.Table, text_col: str, k: int):
     """(shingle_string_array, doc_idx) of every k-token shingle in the
     batch — Arrow-vectorized: tokenize_column's flat token stream, then one

@@ -89,6 +89,12 @@ class Searcher:
 
     def segment_scorer(self, seg: int, all_terms, scorers, phrase_scorers, expansions,
                        need_positions: bool) -> SegmentScorer:
+        # a DOCS_AND_FREQS-level index (with_positions=False) stores no
+        # position streams: positional queries degrade to empty matches
+        # rather than decoding empty streams
+        need_positions = need_positions and bool(
+            self.reader.manifest.config.get("with_positions", True)
+        )
         table = self.reader.postings(seg, sorted(all_terms))
         ctx = SegmentContext.from_chunk_table(
             table,

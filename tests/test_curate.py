@@ -86,3 +86,31 @@ def test_decontaminate_empty_benchmark(docs_ds, ray_session):
     sh = pa.array([], pa.string())
     assert _ids(decontaminate(docs_ds, sh)) == [0, 1, 2, 3, 4, 5, 6]
     assert _ids(decontaminate(docs_ds, sh, invert=True)) == []
+
+
+def test_sample_stratified(ray_session):
+    langs = ["en", "fr", "de", "it"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(4000), pa.int64()),
+        "lang": pa.array([langs[i % 4] for i in range(4000)], pa.string()),
+    })).repartition(4)
+    rates = {"en": "80", "fr": "40", "de": "20"}
+    from lucene_ray.ops.curate import sample_stratified
+
+    rows = [
+        (r["doc_id"], r["lang"])
+        for b in sample_stratified(ds, rates).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    want = [
+        (i, langs[i % 4]) for i in range(4000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:2]
+        < rates.get(langs[i % 4], "00")
+    ]
+    assert sorted(rows) == want
+    # 'it' fully dropped; rate ordering holds (en > fr > de)
+    by_lang = {}
+    for _, g in rows:
+        by_lang[g] = by_lang.get(g, 0) + 1
+    assert "it" not in by_lang
+    assert by_lang["en"] > by_lang["fr"] > by_lang["de"] > 0
