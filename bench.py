@@ -139,6 +139,53 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         ray.shutdown()
 
 
+def run_build_only(num_cpus: int) -> dict:
+    """Index build ONLY (no query battery, no sf pipelines): the minimal
+    timed unit for the interleaved pipeline-vs-microbench scaling proof
+    (scripts/scaling_proof.py). Same corpus, config, warm-up protocol as
+    run_bench so numbers are comparable with the recorded history."""
+    import ray
+
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=8 << 30)
+    try:
+        from lucene_ray.index.build import IndexConfig, build_index
+
+        corpus = ensure_corpus()
+        with open(corpus, "rb") as f:
+            while f.read(1 << 24):
+                pass
+        index_dir = f"/tmp/lucene_ray_bench/idx_{num_cpus}"
+        # BENCH_PARTS partitions (default 128): several task waves at 32
+        # CPUs so one straggler doesn't set the wall time (same plan at
+        # every level, per the BASELINE.md protocol)
+        n_parts = int(os.environ.get("BENCH_PARTS", "128"))
+        cfg = IndexConfig(
+            target_rows_per_partition=max(1000, BENCH_CORPUS_ROWS // n_parts),
+            partitions_per_segment=8,
+            hot_df_threshold=BENCH_CORPUS_ROWS // 4,
+        )
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(corpus, index_dir, cfg, resume=False)  # untimed warm-up
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        manifest = build_index(corpus, index_dir, cfg, resume=False)
+        build_sec = time.time() - t0
+        assert manifest.doc_count == BENCH_CORPUS_ROWS
+        return {
+            "metric": "index_build_sec", "value": round(build_sec, 2),
+            "unit": "sec", "num_cpus": num_cpus,
+            "corpus_rows": BENCH_CORPUS_ROWS,
+            "docs_per_sec": round(BENCH_CORPUS_ROWS / build_sec, 1),
+            "stage_seconds": manifest.stats.get("stage_seconds", {}),
+        }
+    finally:
+        ray.shutdown()
+
+
 def run_scaling() -> None:
     ensure_corpus()  # generate once, outside the timed runs
 
@@ -313,6 +360,9 @@ def _write_baseline_md(result: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--build-only" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_build_only(ncpu)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

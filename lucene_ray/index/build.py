@@ -6,14 +6,25 @@ Shape (SURVEY.md §3.1 Ray restatement):
       -> Stage A  map_batches over partition specs:
            read own row groups (column-pruned) -> vectorized invert
            -> write docmap + partial postings parquet per partition (atomic),
-           emit metrics                      [DWPT flush analog; resumable]
+           PRE-BUCKETED: rows sorted by bucket=crc32(term)%merge_buckets with
+           one parquet row group per bucket  [DWPT flush analog; resumable]
       -> Stage B  groupby(term) over (term, df, ttf) columns only:
            global term stats                 [collectionStatistics analog]
-      -> Stage C  groupby(segment, term, salt).map_groups(merge+encode):
-           remap partition offsets to segment-local doc ids, concatenate in
-           pid order, chunk + compress + impacts -> postings parquet
-                                             [SegmentMerger analog]
+      -> Stage C  map-side shuffle: one task per (segment, bucket) reads ONLY
+           its bucket's row group from each partition file (row-group stats
+           pruning — no all-to-all exchange, no sort; the shuffle "write" is
+           Stage A's bucketed layout, the "read" is pruned), remaps partition
+           offsets to segment-local doc ids, concatenates in pid order,
+           chunk + compress + impacts -> postings parquet written directly
+           (atomic per (seg,bucket) file)    [SegmentMerger analog]
       -> manifest generation bump with global stats
+
+    Stage C used to be a Ray sort-based ``groupby(seg, bucket).map_groups``
+    over the partials dataset. Pre-bucketing at Stage-A write time turns that
+    all-to-all exchange into pruned parallel reads (the classic map-side
+    shuffle): on a multi-node cluster each (seg,bucket) task reads
+    ~1/merge_buckets of its segment's partials from shared storage and
+    nothing ever moves through the object store.
 
 Scale notes:
 - doc IDs are ``(pid << 32) | offset`` — pure function of the input plan,
@@ -82,6 +93,12 @@ class IndexConfig:
     # not analyzed, freq 1, excluded from field length/norms and from the
     # content field's term dictionary scans (per-field term namespaces)
     keyword_cols: tuple = ()
+    # columns holding '/'-separated taxonomy paths (FacetField with
+    # hierarchical dims — facet/taxonomy/TaxonomyReader.java:59): a doc with
+    # "a/b/c" is indexed under EVERY ancestor prefix ("col:a", "col:a/b",
+    # "col:a/b/c"), so drill-down to any depth is a plain keyword TermQuery
+    # and per-level facet counts come from the same postings
+    path_cols: tuple = ()
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
@@ -110,6 +127,7 @@ class IndexConfig:
         d["stopwords"] = list(self.stopwords)
         d["index_sort"] = list(self.index_sort)
         d["keyword_cols"] = list(self.keyword_cols)
+        d["path_cols"] = list(self.path_cols)
         d["token_filters"] = [list(s) for s in self.token_filters]
         return d
 
@@ -188,6 +206,109 @@ def _atomic_write_table(table: pa.Table, path: str, compression: str) -> None:
 _SALT_MIX = 0x9E3779B1
 
 
+def _crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+    return t
+
+
+_CRC32_TABLE = _crc32_table()
+
+
+def _term_crc32(terms: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """crc32 per term (int64) — the shared bucket hash (term_buckets).
+    Vectorized byte-column-at-a-time over the Arrow string buffers (one
+    numpy pass per byte position; zlib-identical, tested): the scalar
+    zlib loop with per-term boxing was a top-3 Stage-A cost at 32-way
+    concurrency."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    bufs = terms.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[terms.offset: terms.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    starts = offs[:-1]
+    max_len = int(lens.max(initial=0))
+    for j in range(max_len):
+        active = lens > j
+        b = data[starts[active] + j]
+        c = crc[active]
+        crc[active] = (c >> np.uint32(8)) ^ _CRC32_TABLE[(c ^ b) & np.uint32(0xFF)]
+    return (crc ^ np.uint32(0xFFFFFFFF)).astype(np.int64)
+
+
+def _atomic_write_bucketed(table: pa.Table, path: str, compression: str) -> None:
+    """Write a partials table sorted by (bucket, term) with ONE parquet row
+    group per bucket, so Stage C's per-(seg,bucket) reads prune to a single
+    row group via the footer's bucket min/max stats (the map-side shuffle
+    file: sorted + indexed by the shuffle key)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        with pq.ParquetWriter(tmp, table.schema, compression=compression) as w:
+            if len(table):
+                b = np.asarray(table.column("bucket"), dtype=np.int64)
+                starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+                ends = np.r_[starts[1:], len(b)]
+                # coalesce consecutive buckets into row groups of >= ~4k
+                # rows: 64 tiny zstd frames per small partition measurably
+                # slowed concurrent Stage-A writes; Stage C's pruned read
+                # filters the extra buckets of a shared row group in memory
+                s0, acc = int(starts[0]), 0
+                for s, e in zip(starts, ends):
+                    acc += e - s
+                    if acc >= 4096 or e == len(b):
+                        w.write_table(table.slice(s0, int(e) - s0))
+                        s0, acc = int(e), 0
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _read_bucket_rows(path: str, bucket: int, merge_buckets: int,
+                      terms: list[str] | None = None) -> pa.Table | None:
+    """Rows of one hash bucket from a partials file: row-group pruned via
+    the bucket column's footer stats. Falls back to a full read + in-memory
+    bucket computation for pre-bucketed-layout (legacy) partials. With
+    ``terms``, additionally filters to those terms (hot-term routing)."""
+    pf = pq.ParquetFile(path)
+    if "bucket" in pf.schema_arrow.names:
+        md = pf.metadata
+        ncols = md.row_group(0).num_columns if md.num_row_groups else 0
+        bidx = next(
+            (j for j in range(ncols)
+             if md.row_group(0).column(j).path_in_schema == "bucket"),
+            None,
+        )
+        rgs = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(bidx).statistics if bidx is not None else None
+            if st is None or (st.min <= bucket <= st.max):
+                rgs.append(i)
+        if not rgs:
+            return None
+        tbl = pf.read_row_groups(rgs)
+        mask = pc.equal(tbl.column("bucket"), bucket)
+        if not pc.all(mask).as_py():
+            tbl = tbl.filter(mask)
+    else:
+        tbl = pf.read()
+        h = _term_crc32(tbl.column("term")) % merge_buckets
+        tbl = tbl.filter(pa.array(h == bucket))
+    if terms is not None:
+        tbl = tbl.filter(
+            pc.is_in(tbl.column("term"), value_set=pa.array(sorted(terms)))
+        )
+    return tbl if len(tbl) else None
+
+
 def term_buckets(terms, n_salts: int, merge_buckets: int) -> set[int]:
     """Candidate hash buckets whose files can hold chunk rows of ``terms``
     (one bucket per possible salt). The reader uses this to open only the
@@ -253,7 +374,7 @@ class _StageA:
             block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
                 [*cfg.id_cols, *block, *cfg.index_sort, *cfg.keyword_cols,
-                 cfg.content_col]
+                 *cfg.path_cols, cfg.content_col]
             ))
             pf = pq.ParquetFile(spec["file"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
@@ -300,6 +421,11 @@ class _StageA:
                     _keyword_partials(tbl, cfg.keyword_cols, norms,
                                       cfg.with_positions, cfg.with_offsets)
                 )
+            if cfg.path_cols:
+                slice_tables.append(
+                    _path_partials(tbl, cfg.path_cols, norms,
+                                   cfg.with_positions, cfg.with_offsets)
+                )
             partials = merge_partials(slice_tables)
             n = len(tbl)
             offsets = np.arange(n, dtype=np.uint32)
@@ -330,10 +456,11 @@ class _StageA:
                 )
             if cfg.compute_sha256:
                 # per-row content sha256 — the integrity invariant carried
-                # through ingest (north rule)
+                # through ingest (north rule). One to_pylist() (bulk
+                # conversion), not per-row scalar boxing.
                 ca = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
                 docmap_cols["sha256"] = pa.array(
-                    [hashlib.sha256(ca[i].as_py().encode()).hexdigest() for i in range(n)],
+                    [hashlib.sha256(s.encode()).hexdigest() for s in ca.to_pylist()],
                     pa.string(),
                 )
             docmap_cols["length"] = pa.array(lengths.astype(np.uint32), pa.uint32())
@@ -343,7 +470,18 @@ class _StageA:
             partials = partials.append_column(
                 "pid", pa.array(np.full(len(partials), pid, dtype=np.int32), pa.int32())
             )
-            _atomic_write_table(partials, partials_path(self.index_dir, pid), cfg.compression)
+            # map-side shuffle write: bucket = crc32(term) % merge_buckets,
+            # rows sorted by bucket with one row group per bucket so Stage C
+            # reads exactly its bucket's bytes (no all-to-all exchange)
+            bucket = _term_crc32(partials.column("term")) % max(1, cfg.merge_buckets)
+            partials = partials.append_column(
+                "bucket", pa.array(bucket.astype(np.int32), pa.int32())
+            )
+            order = pc.sort_indices(
+                partials, sort_keys=[("bucket", "ascending"), ("term", "ascending")]
+            )
+            _atomic_write_bucketed(partials.take(order),
+                                   partials_path(self.index_dir, pid), cfg.compression)
 
             out["pid"].append(pid)
             out["rows"].append(n)
@@ -405,6 +543,53 @@ def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
     )
 
 
+def _path_partials(tbl: pa.Table, path_cols: tuple, norms: np.ndarray,
+                   with_positions: bool, with_offsets: bool) -> pa.Table:
+    """Partial-postings rows for taxonomy path fields: a doc whose ``col``
+    value is ``a/b/c`` yields keyword terms ``col:a``, ``col:a/b`` and
+    ``col:a/b/c`` (one per ancestor level — the ordinal-per-ancestor
+    encoding of Lucene's taxonomy facets, facet/taxonomy/
+    TaxonomyReader.java:59 / FacetField), each freq 1, outside field
+    length/norms like plain keyword fields."""
+    parts = {"term": [], "df": [], "ttf": [], "doc_offsets": [], "freqs": [],
+             "norms": [], "pos_enc": [], "off_enc": []}
+    n = len(tbl)
+    for col in path_cols:
+        vals = tbl.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        by_term: dict[str, list[int]] = {}
+        for i, v in enumerate(vals.to_pylist()):
+            if v is None:
+                continue
+            segs = str(v).split("/")
+            for L in range(1, len(segs) + 1):
+                by_term.setdefault(f"{col}:{'/'.join(segs[:L])}", []).append(i)
+        for term in sorted(by_term):
+            docs = np.asarray(by_term[term], dtype=np.uint32)  # ascending
+            cnt = len(docs)
+            parts["term"].append(term)
+            parts["df"].append(cnt)
+            parts["ttf"].append(cnt)
+            parts["doc_offsets"].append(docs.tolist())
+            parts["freqs"].append([1] * cnt)
+            parts["norms"].append(norms[docs].tolist())
+            parts["pos_enc"].append(b"\x00" * cnt if with_positions else b"")
+            parts["off_enc"].append(b"\x00\x00" * cnt if with_offsets else b"")
+    return pa.table(
+        {
+            "term": pa.array(parts["term"], pa.string()),
+            "df": pa.array(parts["df"], pa.int64()),
+            "ttf": pa.array(parts["ttf"], pa.int64()),
+            "doc_offsets": pa.array(parts["doc_offsets"], pa.list_(pa.uint32())),
+            "freqs": pa.array(parts["freqs"], pa.list_(pa.uint32())),
+            "norms": pa.array(parts["norms"], pa.list_(pa.uint8())),
+            "pos_enc": pa.array(parts["pos_enc"], pa.binary()),
+            "off_enc": pa.array(parts["off_enc"], pa.binary()),
+        }
+    )
+
+
 class _MergeEncode:
     """Bucket-level merge + chunk encode (map_groups body).
 
@@ -435,7 +620,8 @@ class _MergeEncode:
     @property
     def doc_base(self) -> np.ndarray:
         if self._doc_base is None:
-            self._doc_base = ray.get(self.doc_base_ref)
+            r = self.doc_base_ref
+            self._doc_base = r if isinstance(r, np.ndarray) else ray.get(r)
         return self._doc_base
 
     @property
@@ -443,7 +629,8 @@ class _MergeEncode:
         if self.deleted_ref is None:
             return {}
         if self._deleted is None:
-            self._deleted = ray.get(self.deleted_ref)
+            r = self.deleted_ref
+            self._deleted = r if isinstance(r, dict) else ray.get(r)
         return self._deleted
 
     def _row_arrays(self, r, pids, doc_off_col, freqs_col, norms_col, pos_col,
@@ -647,7 +834,10 @@ def build_index(
     _t0 = _time.time()
     todo = [p for p in manifest.partitions if str(p["pid"]) not in manifest.partials_done]
     if todo:
-        ds = ray.data.from_items(todo)
+        # one block per partition: task count == partition count, so the
+        # scheduler balances waves instead of fusing several partitions
+        # into one long task (from_items defaults to ~num_cpus blocks)
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         metrics = ds.map_batches(
             _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
         )
@@ -749,7 +939,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
     # Stage A for new + previously-registered-but-incomplete partitions
     todo_parts = stale_parts + new_parts
     if todo_parts:
-        ds = ray.data.from_items(todo_parts)
+        ds = ray.data.from_items(todo_parts, override_num_blocks=len(todo_parts))
         metrics = ds.map_batches(
             _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
         )
@@ -980,91 +1170,182 @@ def _run_stage_b(index_dir: str, manifest: Manifest) -> None:
     manifest.save()
 
 
+class _StageCTask:
+    """Map-side shuffle reducer: one call per (segment, bucket) spec.
+
+    Reads ONLY its bucket's row group from each of the segment's partial
+    files (footer-stats pruning — the shuffle fetch), routes hot terms by
+    their salted buckets (each salt covers a contiguous pid range, so the
+    fetch is pid-pruned too), merge+encodes via the shared _MergeEncode
+    kernel, and writes its ``seg=N/bucket=M/part-0.parquet`` directly
+    (atomic). Nothing but the tiny spec and metric rows crosses the object
+    store — the SegmentMerger analog without an all-to-all exchange."""
+
+    def __init__(self, cfg: IndexConfig, index_dir: str, out_root: str, ctx_ref):
+        self.cfg = cfg
+        self.index_dir = index_dir
+        self.out_root = out_root
+        self.ctx_ref = ctx_ref
+        self._ctx = None
+        self._merger = None
+        self._hot_set = None
+
+    @property
+    def ctx(self) -> dict:
+        if self._ctx is None:
+            c = self.ctx_ref
+            self._ctx = c if isinstance(c, dict) else ray.get(c)
+            self._merger = _MergeEncode(
+                self.cfg, self._ctx["doc_base"], self.index_dir,
+                self._ctx["deleted"] or None,
+            )
+            if self._ctx["hot"]:
+                self._hot_set = pa.array(sorted(t for t, _ in self._ctx["hot"]))
+        return self._ctx
+
+    def _with_keys(self, t: pa.Table, seg: int, salt: int, b: int) -> pa.Table:
+        n = len(t)
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        cb = salt * self.ctx["max_chunks_per_salt"]
+        t = t.append_column("seg", pa.array(np.full(n, seg, np.int32), pa.int32()))
+        t = t.append_column("salt", pa.array(np.full(n, salt, np.int32), pa.int32()))
+        t = t.append_column("chunk_base", pa.array(np.full(n, cb, np.int32), pa.int32()))
+        t = t.append_column("bucket", pa.array(np.full(n, b, np.int32), pa.int32()))
+        return t
+
+    def _one(self, seg: int, b: int) -> int:
+        ctx = self.ctx
+        B = ctx["merge_buckets"]
+        n_salts = ctx["n_salts"]
+        pid_pos, pps = ctx["pid_pos"], ctx["parts_per_seg"]
+        pids = ctx["seg_pids"][seg]
+        parts: list[pa.Table] = []
+        for pid in pids:
+            t = _read_bucket_rows(partials_path(self.index_dir, pid), b, B)
+            if t is None:
+                continue
+            if self._hot_set is not None:
+                # hot terms are routed by their SALTED bucket below; their
+                # home-bucket rows are excluded here so each (term, pid)
+                # posting is encoded exactly once
+                mask = pc.is_in(t.column("term"), value_set=self._hot_set)
+                if pc.any(mask).as_py():
+                    t = t.filter(pc.invert(mask))
+            if len(t):
+                parts.append(self._with_keys(t, seg, 0, b))
+        if ctx["hot"]:
+            routes: dict[tuple[int, int], list[str]] = {}
+            for term, h in ctx["hot"]:
+                for s in range(n_salts):
+                    if (h + s * _SALT_MIX) % B == b:
+                        routes.setdefault((h % B, s), []).append(term)
+            for (home, s), terms in sorted(routes.items()):
+                for pid in pids:
+                    if (pid_pos[pid] * n_salts) // max(1, pps[pid]) != s:
+                        continue
+                    t = _read_bucket_rows(
+                        partials_path(self.index_dir, pid), home, B, terms=terms
+                    )
+                    if t is not None:
+                        parts.append(self._with_keys(t, seg, s, b))
+        if not parts:
+            return 0
+        enc = self._merger(pa.concat_tables(parts))
+        if not len(enc):
+            return 0
+        # hive layout: seg/bucket live in the path, not the file (matches
+        # the write_parquet(partition_cols=...) layout readers expect)
+        enc = enc.drop_columns(["seg", "bucket"])
+        _atomic_write_table(
+            enc,
+            os.path.join(self.out_root, f"seg={seg}", f"bucket={b}",
+                         "part-0.parquet"),
+            self.cfg.compression,
+        )
+        return len(enc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"seg": [], "bucket": [], "chunks": []}
+        for spec in batch.to_pylist():
+            n = self._one(int(spec["seg"]), int(spec["bucket"]))
+            out["seg"].append(int(spec["seg"]))
+            out["bucket"].append(int(spec["bucket"]))
+            out["chunks"].append(n)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
 def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
                  only_pids: list[int] | None = None, append: bool = False,
                  deleted: dict | None = None) -> None:
-    """The merge-shuffle stage, parameterized so incremental builds and
-    compaction reuse it over a subset of partitions."""
+    """The merge stage, parameterized so incremental builds and compaction
+    reuse it over a subset of partitions. A map-side shuffle (module
+    docstring): Stage A already wrote partials pre-bucketed by
+    crc32(term) % merge_buckets, so this stage is one pruned-read +
+    merge+encode + direct-write task per (segment, bucket) — no all-to-all
+    exchange, no sort, no postings bytes through the object store."""
+    import zlib
+
     postings_dir = os.path.join(index_dir, "postings")
     n_pids = len(manifest.partitions)
     doc_base_arr = np.zeros(n_pids, dtype=np.int64)
-    seg_arr = np.zeros(n_pids, dtype=np.int32)
     pid_pos_arr = np.zeros(n_pids, dtype=np.int32)
     parts_per_seg = np.zeros(n_pids, dtype=np.int32)
+    seg_pids: dict[int, list[int]] = {}
     for seg in manifest.segments:
         acc = 0
+        seg_pids[seg["seg"]] = list(seg["pids"])
         for j, pid in enumerate(seg["pids"]):
             doc_base_arr[pid] = acc
-            seg_arr[pid] = seg["seg"]
             pid_pos_arr[pid] = j
             parts_per_seg[pid] = len(seg["pids"])
             acc += manifest.partitions[pid]["num_rows"]
+    if only_pids is not None:
+        # callers always pass whole segments (new segments, repaired
+        # segments, or a compaction's merged segment)
+        want = set(only_pids)
+        seg_pids = {s: ps for s, ps in seg_pids.items() if want & set(ps)}
 
     term_stats_dir = os.path.join(index_dir, "term_stats")
     hot_terms = _load_hot_terms(term_stats_dir, cfg.hot_df_threshold)
-    doc_base_ref = ray.put(doc_base_arr)
     n_salts = max(1, min(cfg.n_salts, cfg.partitions_per_segment))
-    max_chunks_per_salt = (
+    max_chunks_per_salt = int(
         cfg.partitions_per_segment
         * max(p["num_rows"] for p in manifest.partitions)
         // cfg.chunk_size
         + 2
     )
-
     merge_buckets = max(1, cfg.merge_buckets)
 
-    def add_shuffle_keys(batch: pa.Table) -> pa.Table:
-        import zlib
+    ctx = {
+        "doc_base": doc_base_arr,
+        "pid_pos": pid_pos_arr,
+        "parts_per_seg": parts_per_seg,
+        "seg_pids": seg_pids,
+        "hot": [(t, zlib.crc32(t.encode())) for t in sorted(hot_terms)],
+        "n_salts": n_salts,
+        "max_chunks_per_salt": max_chunks_per_salt,
+        "merge_buckets": merge_buckets,
+        "deleted": deleted or {},
+    }
+    ctx_ref = ray.put(ctx)
 
-        pids = np.asarray(batch.column("pid"), dtype=np.int64)
-        seg = seg_arr[pids]
-        term_dict = batch.column("term").combine_chunks().dictionary_encode()
-        vocab = term_dict.dictionary.to_pylist()
-        vhash = np.array([zlib.crc32(t.encode()) for t in vocab], dtype=np.int64)
-        term_hash = vhash[np.asarray(term_dict.indices, dtype=np.int64)]
-        if hot_terms:
-            is_hot = np.asarray(
-                pc.is_in(batch.column("term"), value_set=pa.array(sorted(hot_terms)))
-            )
-        else:
-            is_hot = np.zeros(len(batch), dtype=bool)
-        pps = np.maximum(parts_per_seg[pids], 1)
-        salt = np.where(is_hot, (pid_pos_arr[pids] * n_salts) // pps, 0).astype(np.int32)
-        chunk_base = (salt * max_chunks_per_salt).astype(np.int32)
-        # deterministic hash bucket over (term, salt): one map_groups call
-        # handles a whole bucket of term groups (amortizes per-group cost);
-        # salted sub-groups of a hot term scatter to different buckets
-        bucket = ((term_hash + salt.astype(np.int64) * np.int64(_SALT_MIX)) % merge_buckets).astype(np.int32)
-        batch = batch.append_column("seg", pa.array(seg, pa.int32()))
-        batch = batch.append_column("salt", pa.array(salt, pa.int32()))
-        batch = batch.append_column("chunk_base", pa.array(chunk_base, pa.int32()))
-        batch = batch.append_column("bucket", pa.array(bucket, pa.int32()))
-        return batch
-
-    if only_pids is None:
-        src = os.path.join(index_dir, "partials")
-        reader = ray.data.read_parquet(src)
-    else:
-        reader = ray.data.read_parquet([partials_path(index_dir, p) for p in only_pids])
-
-    deleted_ref = ray.put(deleted) if deleted else None
-    merger = _MergeEncode(cfg, doc_base_ref, index_dir, deleted_ref)
-
-    def merge_encode(group: pa.Table) -> pa.Table:
-        return merger(group)
-
-    postings = (
-        reader.map_batches(add_shuffle_keys, batch_format="pyarrow")
-        .groupby(["seg", "bucket"])
-        .map_groups(merge_encode, batch_format="pyarrow")
-    )
     tmp = postings_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    # bucket-partitioned layout (seg=N/bucket=M/): a term lookup reads only
-    # its candidate hash-bucket directories — the block-tree term-index
-    # (.tip) analog at file granularity; full-segment scans still work by
-    # opening the seg directory
-    postings.write_parquet(tmp, partition_cols=["seg", "bucket"])
+    os.makedirs(tmp, exist_ok=True)
+    specs = [
+        {"seg": s, "bucket": b}
+        for s in sorted(seg_pids)
+        for b in range(merge_buckets)
+    ]
+    metrics = ray.data.from_items(
+        specs, override_num_blocks=len(specs)
+    ).map_batches(
+        _StageCTask(cfg, index_dir, tmp, ctx_ref),
+        batch_format="pyarrow", batch_size=1, num_cpus=1,
+    )
+    for _ in metrics.iter_batches(batch_format="pyarrow"):
+        pass
     if append:
         os.makedirs(postings_dir, exist_ok=True)
         for d in os.listdir(tmp):

@@ -200,14 +200,60 @@ class _HnswGraph:
         return g
 
 
+def _load_block(index_dir: str, name: str, vec_col: str, id_col: str):
+    bdir = os.path.join(index_dir, name)
+    t = pq.read_table(os.path.join(bdir, "vectors.parquet"))
+    ids = np.asarray(t.column(id_col), dtype=np.int64)
+    mat = _normalize(_list_matrix(t.column(vec_col)))
+    arrays = dict(np.load(os.path.join(bdir, "graph.npz")))
+    return ids, mat, _HnswGraph.from_arrays(mat, arrays)
+
+
+@ray.remote(num_cpus=0)
+class HnswShardActor:
+    """Serving actor owning a fixed subset of blocks — vectors + graphs
+    loaded ONCE in __init__ and reused across every search (the
+    HnswGraphSearcher-behind-an-IndexSearcher pattern; same actor shape as
+    pipelines.bulk_search.QueryShardActor). num_cpus=0 for the same reason
+    documented there: long-lived serving actors must not hold CPU
+    reservations that deadlock co-running Dataset pipelines."""
+
+    def __init__(self, index_dir: str, names: list[str], vec_col: str,
+                 id_col: str):
+        self.blocks = [
+            _load_block(index_dir, n, vec_col, id_col) for n in names
+        ]
+
+    def search(self, q: np.ndarray, k: int, ef: int) -> list[list[tuple[float, int]]]:
+        """Per query: top-k (sim, global id) across this actor's blocks,
+        ties (sim desc, id asc) — a partial for the driver's k-way merge."""
+        out = []
+        for qi in range(len(q)):
+            merged: list[tuple[float, int]] = []
+            for ids, _mat, g in self.blocks:
+                loc, sims = g.search(q[qi], k, ef)
+                merged.extend(
+                    (float(s), int(ids[l])) for l, s in zip(loc, sims)
+                )
+            merged.sort(key=lambda t: (-t[0], t[1]))
+            out.append(merged[:k])
+        return out
+
+
 class HnswIndex:
-    """Block-partitioned persisted HNSW (one graph per block)."""
+    """Block-partitioned persisted HNSW (one graph per block).
+
+    Serving is DISTRIBUTED: ``search`` fans queries over an actor pool in
+    which each actor owns a disjoint block subset (graphs+vectors loaded in
+    its ``__init__``, never on the driver) and the driver merges tiny
+    per-actor top-k partials — at 100 TB the index lives on the serving
+    actors' nodes, the driver holds only actor handles."""
 
     def __init__(self, index_dir: str, vec_col: str, id_col: str):
         self.index_dir = index_dir
         self.vec_col = vec_col
         self.id_col = id_col
-        self._cache: dict[str, tuple[np.ndarray, np.ndarray, _HnswGraph]] = {}
+        self._actors: list | None = None
 
     @classmethod
     def build(cls, ds: ray.data.Dataset, index_dir: str, m: int = 16,
@@ -253,39 +299,44 @@ class HnswIndex:
             meta = json.load(f)
         return cls(index_dir, meta["vec_col"], meta["id_col"])
 
-    def _block(self, name: str):
-        if name not in self._cache:
-            bdir = os.path.join(self.index_dir, name)
-            t = pq.read_table(os.path.join(bdir, "vectors.parquet"))
-            ids = np.asarray(t.column(self.id_col), dtype=np.int64)
-            mat = _normalize(_list_matrix(t.column(self.vec_col)))
-            arrays = dict(np.load(os.path.join(bdir, "graph.npz")))
-            self._cache[name] = (ids, mat, _HnswGraph.from_arrays(mat, arrays))
-        return self._cache[name]
-
     def blocks(self) -> list[str]:
         import json
 
         with open(os.path.join(self.index_dir, "hnsw_meta.json")) as f:
             return json.load(f)["blocks"]
 
-    def search(self, queries: np.ndarray, k: int = 10, ef: int = 64) -> pa.Table:
-        """(query_id, rank, id, cosine): per-block graph search + merge
-        (ties: cosine desc, id asc — same contract as knn_brute)."""
+    def _pool(self, concurrency: int) -> list:
+        if self._actors is None:
+            names = self.blocks()
+            n = min(concurrency, max(1, len(names)))
+            self._actors = [
+                HnswShardActor.remote(
+                    self.index_dir, names[i::n], self.vec_col, self.id_col
+                )
+                for i in range(n)
+            ]
+        return self._actors
+
+    def search(self, queries: np.ndarray, k: int = 10, ef: int = 64,
+               concurrency: int = 4) -> pa.Table:
+        """(query_id, rank, id, cosine): distributed per-block graph search
+        + driver merge of per-actor top-k partials (ties: cosine desc, id
+        asc — same contract as knn_brute). Block data never touches the
+        driver."""
         q = _normalize(np.asarray(queries, dtype=np.float64))
         rows = {"query_id": [], "rank": [], self.id_col: [], "cosine": []}
-        names = self.blocks()
+        actors = self._pool(concurrency)
+        qref = ray.put(q)
+        parts = ray.get([a.search.remote(qref, k, ef) for a in actors])
         for qi in range(len(q)):
             merged: list[tuple[float, int]] = []
-            for name in names:
-                ids, mat, g = self._block(name)
-                loc, sims = g.search(q[qi], k, ef)
-                merged.extend((float(s), int(ids[l])) for l, s in zip(loc, sims))
+            for p in parts:
+                merged.extend(tuple(x) for x in p[qi])
             merged.sort(key=lambda t: (-t[0], t[1]))
             for r, (s, gid) in enumerate(merged[:k], 1):
                 rows["query_id"].append(qi)
                 rows["rank"].append(r)
-                rows[self.id_col].append(gid)
+                rows[self.id_col].append(int(gid))
                 rows["cosine"].append(s)
         return pa.table(
             {

@@ -509,6 +509,132 @@ def span_not_hits(sf_dir: str, include: str, follow: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, q))
 
 
+def documents_taxonomy_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with a HIERARCHICAL taxonomy
+    dimension (facet/taxonomy/TaxonomyReader.java:59 / FacetField):
+    a deterministic, SQL-derivable path column
+    ``cat = source/lang/(long|short by n_chars >= 800)`` is added in a
+    map_batches stage, and ``IndexConfig.path_cols`` indexes every ancestor
+    prefix as a keyword term — drill-down at any depth is one TermQuery."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:tax-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-tax-{key}")
+    if index_dir not in _readers:
+        derived_dir = index_dir + "-src"
+        if not os.path.isdir(derived_dir):
+            def add_cat(batch: pa.Table) -> pa.Table:
+                size = pc.if_else(
+                    pc.greater_equal(batch.column("n_chars"), 800),
+                    pa.scalar("long"), pa.scalar("short"),
+                )
+                cat = pc.binary_join_element_wise(
+                    batch.column("source").cast(pa.string()),
+                    batch.column("lang").cast(pa.string()),
+                    size, "/",
+                )
+                return batch.append_column("cat", cat)
+
+            tmp = derived_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ray.data.read_parquet(src).map_batches(
+                add_cat, batch_format="pyarrow"
+            ).write_parquet(tmp)
+            os.replace(tmp, derived_dir)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "cat"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            path_cols=("cat",),
+        )
+        manifest = build_index(derived_dir, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def facet_path_counts(sf_dir: str, term: str) -> pa.Table:
+    """Taxonomy facet counts over a term's hit set at EVERY path level —
+    the getTopChildren-at-each-ancestor shape (TaxonomyFacetCounts):
+    (path, n_docs) rows for every ancestor prefix, sorted by path."""
+    from collections import Counter
+
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_taxonomy_index(sf_dir)
+    gids = _all_matches(sf_dir, TermQuery(term), reader)
+    counts: Counter = Counter()
+    if len(gids):
+        rows = reader.lookup_docs(gids, columns=["doc_id", "cat"])
+        for v in rows.column("cat").to_pylist():
+            segs = v.split("/")
+            for L in range(1, len(segs) + 1):
+                counts["/".join(segs[:L])] += 1
+    paths = sorted(counts)
+    return pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "n_docs": pa.array([counts[p] for p in paths], pa.int64()),
+        }
+    )
+
+
+def drilldown_path_hits(sf_dir: str, term: str, path: str) -> pa.Table:
+    """Drill-down to a taxonomy subtree at ANY depth: the base TermQuery
+    plus one scoreless keyword FILTER on the path prefix (DrillDownQuery
+    with a hierarchical dim) — matches every doc whose path starts with
+    ``path`` because ancestors are indexed as their own terms."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    reader = documents_taxonomy_index(sf_dir)
+    q = BooleanQuery(must=[TermQuery(term)],
+                     filter=[TermQuery(f"cat:{path}")])
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
+def interval_ordered_hits(sf_dir: str, terms: list[str],
+                          max_gaps: int = -1) -> pa.Table:
+    """Docs with a minimal ordered interval over ``terms`` (total
+    inter-term gap <= max_gaps when >= 0) — IntervalQuery over
+    Intervals.ordered/maxgaps (intervals/IntervalQuery.java:59)."""
+    from lucene_ray.search.query import IntervalQuery, IOrdered, ITerm
+
+    q = IntervalQuery(IOrdered([ITerm(t) for t in terms], max_gaps=max_gaps))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def interval_unordered_hits(sf_dir: str, terms: list[str],
+                            max_gaps: int = -1) -> pa.Table:
+    """Docs with a minimal unordered window over ``terms`` whose gap count
+    is <= max_gaps (Intervals.unordered + maxgaps)."""
+    from lucene_ray.search.query import IntervalQuery, ITerm, IUnordered
+
+    q = IntervalQuery(IUnordered([ITerm(t) for t in terms], max_gaps=max_gaps))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
+def interval_containing_hits(sf_dir: str, big: list[str], small: str,
+                             max_gaps: int = -1) -> pa.Table:
+    """Docs where some minimal ordered interval over ``big`` CONTAINS an
+    occurrence of ``small`` (Intervals.containing)."""
+    from lucene_ray.search.query import (
+        IContaining,
+        IntervalQuery,
+        IOrdered,
+        ITerm,
+    )
+
+    src = IContaining(IOrdered([ITerm(t) for t in big], max_gaps=max_gaps),
+                      ITerm(small))
+    return _orig_ids(sf_dir, _all_matches(sf_dir, IntervalQuery(src)))
+
+
 def dismax_hits(sf_dir: str, terms: list[str], tie_breaker: float = 0.0) -> pa.Table:
     """Hit set of a DisjunctionMaxQuery over TermQuerys (= the union; the
     tie_breaker only affects scores)."""

@@ -78,8 +78,89 @@ def _expand_against_vocab(q, vocab: list[str]) -> list[str]:
     raise TypeError(q)
 
 
+def query_anchors(q: "Query") -> set[str] | None:
+    """Presearcher term extraction — a set S such that every matching doc
+    must contain at least one term of S (the TermFilteredPresearcher
+    invariant, lucene/monitor/src/java/org/apache/lucene/monitor/
+    Presearcher.java:33, TermFilteredPresearcher.java:63). ``None`` means
+    the query cannot be term-bounded (match-all, multi-term wildcards,
+    numeric/geo, pure negation) and must always be evaluated.
+
+    Rules: a required (MUST/FILTER / phrase / ordered-near) composite is
+    anchored by its SMALLEST anchorable child (all children are necessary,
+    one suffices for the invariant); a disjunction (SHOULD with msm>=1,
+    DisMax, SpanOr) needs the UNION of its children's anchors and degrades
+    to None if any child is unbounded."""
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        ConstantScoreQuery,
+        DisMaxQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+        TermQuery,
+    )
+
+    if isinstance(q, (TermQuery, SpanTermQuery)):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return {q.terms[0]} if q.terms else None
+    if isinstance(q, MultiPhraseQuery):
+        return set(q.positions[0]) if q.positions else None
+    if isinstance(q, SpanFirstQuery):
+        return query_anchors(q.match)
+    if isinstance(q, SpanNotQuery):
+        return query_anchors(q.include)
+    if isinstance(q, ConstantScoreQuery):
+        return query_anchors(q.query)
+    if isinstance(q, SpanNearQuery):
+        best = None
+        for c in q.clauses:
+            a = query_anchors(c)
+            if a is not None and (best is None or len(a) < len(best)):
+                best = a
+        return best
+    if isinstance(q, (SpanOrQuery, DisMaxQuery)):
+        children = q.clauses if isinstance(q, SpanOrQuery) else q.disjuncts
+        out: set[str] = set()
+        for c in children:
+            a = query_anchors(c)
+            if a is None:
+                return None
+            out |= a
+        return out or None
+    if isinstance(q, BooleanQuery):
+        best = None
+        for c in (*q.must, *q.filter):
+            a = query_anchors(c)
+            if a is not None and (best is None or len(a) < len(best)):
+                best = a
+        if best is not None:
+            return best
+        if q.effective_msm >= 1 and q.should:
+            out = set()
+            for c in q.should:
+                a = query_anchors(c)
+                if a is None:
+                    return None
+                out |= a
+            return out or None
+        return None
+    return None
+
+
 class Percolator:
-    """Actor-pool stage: registered queries compiled once per actor."""
+    """Actor-pool stage: registered queries compiled once per actor.
+
+    A presearcher index (anchor term -> query ids, built once in
+    ``__init__``) prunes the per-batch candidate set to queries whose
+    anchor terms intersect the batch vocabulary — per-batch cost is
+    O(batch vocab + candidates), not O(all registered queries)
+    (Monitor.java:42 match path; QueryIndex term filtering)."""
 
     def __init__(self, queries: list[tuple[str, "Query | str"]],
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -90,6 +171,17 @@ class Percolator:
         self.text_col = text_col
         self.id_col = id_col
         self.need_pos = any(self._has_phrase(q) for _, q in self.queries)
+        # presearcher: anchor-term inverted index over the registered queries
+        self._term_to_qids: dict[str, list[int]] = {}
+        self._always: list[int] = []
+        for i, (_, q) in enumerate(self.queries):
+            a = query_anchors(q)
+            if a is None:
+                self._always.append(i)
+            else:
+                for t in a:
+                    self._term_to_qids.setdefault(t, []).append(i)
+        self.last_evaluated = 0  # evaluated-query count of the last batch
 
     @staticmethod
     def _has_phrase(q) -> bool:
@@ -117,9 +209,18 @@ class Percolator:
         # vbyte pos stream is exactly what decode_positions expects
         vocab = partials.column("term").to_pylist()
         row_of = {t: i for i, t in enumerate(vocab)}
+        # presearcher pruning: only queries with an anchor term in THIS
+        # batch's vocabulary (plus the unbounded ones) are evaluated
+        cand = set(self._always)
+        for t in vocab:
+            ids = self._term_to_qids.get(t)
+            if ids:
+                cand.update(ids)
+        active = [(self.queries[i][0], self.queries[i][1]) for i in sorted(cand)]
+        self.last_evaluated = len(active)
         all_expansions: dict = {}
         needed: set[str] = set()
-        for _, q in self.queries:
+        for _, q in active:
             needed |= collect_terms(q)
             for m in collect_multi_term(q):
                 if m not in all_expansions:
@@ -140,7 +241,7 @@ class Percolator:
 
         out_id, out_q = [], []
         ids_np = np.asarray(batch.column(self.id_col), dtype=np.int64)
-        for name, q in self.queries:
+        for name, q in active:
             terms = collect_terms(q)
             scorers = {t: _ConstScorer() for t in terms if t in ctx._decoded}
             expansions = {m: all_expansions[m] for m in collect_multi_term(q)}

@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     ConstantScoreQuery,
     DisMaxQuery,
     GeoDistanceQuery,
+    IntervalQuery,
     MatchAllQuery,
     MultiPhraseQuery,
     NumericRangeQuery,
@@ -296,6 +297,10 @@ class SegmentScorer:
             d, _s, _e = self._spans(q)
             docs = np.unique(d)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, IntervalQuery):
+            d, _s, _e = self._intervals(q.source)
+            docs = np.unique(d)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericRangeQuery):
             return self._eval_numeric_range(q)
         if isinstance(q, GeoDistanceQuery):
@@ -461,6 +466,112 @@ class SegmentScorer:
         overlap[has_prior] = cummax_end[idx[has_prior]] > di[has_prior] * M + si[has_prior]
         keep = ~overlap
         return di[keep], si[keep], ei[keep]
+
+    # ---- intervals family: minimal-interval algebra ----
+    # (lucene/queries/src/java/org/apache/lucene/queries/intervals/; the
+    # minimal-interval semantics of Clarke, Cormack & Burkowski 1995 that
+    # Lucene's IntervalsSource implementations follow). All kernels are
+    # vectorized over every doc of the segment at once: intervals are
+    # (doc, start, end) int64 arrays, end-exclusive, sorted (doc, start,
+    # end) and MINIMAL (within a doc, starts and ends strictly increase).
+
+    def _intervals(self, src) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        from lucene_ray.search.query import (
+            IContainedBy,
+            IContaining,
+            INotContainedBy,
+            INotContaining,
+            IOr,
+            IOrdered,
+            ITerm,
+            IUnordered,
+        )
+
+        if isinstance(src, ITerm):
+            tp = self.ctx.postings(src.term)
+            if tp is None or tp.pos_chunks is None:
+                return _EMPTY_SPANS
+            pos = _decode_all_positions(tp).astype(np.int64)
+            return np.repeat(tp.docs, tp.freqs), pos, pos + 1
+        if isinstance(src, IOr):
+            parts = [self._intervals(c) for c in src.sources]
+            d = np.concatenate([p[0] for p in parts])
+            s = np.concatenate([p[1] for p in parts])
+            e = np.concatenate([p[2] for p in parts])
+            return _minimal_intervals(d, s, e)
+        if isinstance(src, IOrdered):
+            return self._intervals_ordered(src)
+        if isinstance(src, IUnordered):
+            return self._intervals_unordered(src)
+        if isinstance(src, (IContaining, INotContaining)):
+            db, sb, eb = self._intervals(src.big)
+            ds, ss, es = self._intervals(src.small)
+            has = _contains_some(db, sb, eb, ds, ss, es)
+            keep = has if isinstance(src, IContaining) else ~has
+            return db[keep], sb[keep], eb[keep]
+        if isinstance(src, (IContainedBy, INotContainedBy)):
+            ds, ss, es = self._intervals(src.small)
+            db, sb, eb = self._intervals(src.big)
+            has = _contained_by_some(ds, ss, es, db, sb, eb)
+            keep = has if isinstance(src, IContainedBy) else ~has
+            return ds[keep], ss[keep], es[keep]
+        raise TypeError(f"not an intervals source: {src!r}")
+
+    def _intervals_ordered(self, src) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Ordered combinator (Intervals.ordered + maxgaps): per anchor
+        interval of source 0, greedily chain each later source's FIRST
+        interval starting at/after the previous end (minimal next — exact
+        because child intervals are minimal, so starts and ends co-sort);
+        filter by total gap, then minimalize."""
+        parts = [self._intervals(c) for c in src.sources]
+        d0, s0, e0 = parts[0]
+        if len(d0) == 0 or any(len(p[0]) == 0 for p in parts):
+            return _EMPTY_SPANS
+        M = np.int64(1) << 32
+        cur_end = e0.copy()
+        gap = np.zeros(len(d0), dtype=np.int64)
+        valid = np.ones(len(d0), dtype=bool)
+        for dk, sk, ek in parts[1:]:
+            keys = dk * M + sk
+            idx = np.searchsorted(keys, d0 * M + cur_end, side="left")
+            idx_c = np.minimum(idx, len(keys) - 1)
+            ok = (idx < len(keys)) & (dk[idx_c] == d0)
+            gap = np.where(ok, gap + sk[idx_c] - cur_end, gap)
+            cur_end = np.where(ok, ek[idx_c], cur_end)
+            valid &= ok
+        if src.max_gaps >= 0:
+            valid &= gap <= src.max_gaps
+        return _minimal_intervals(d0[valid], s0[valid], cur_end[valid])
+
+    def _intervals_unordered(self, src) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Unordered combinator: every child interval END is a candidate
+        window end E; per child pick its LAST interval with end <= E (max
+        start — minimal window, exact since minimal child intervals co-sort
+        by start and end); window start = min of chosen starts. gaps =
+        window width - sum of chosen child widths."""
+        parts = [self._intervals(c) for c in src.sources]
+        for p in parts:
+            if len(p[0]) == 0:
+                return _EMPTY_SPANS
+        M = np.int64(1) << 32
+        alld = np.concatenate([p[0] for p in parts])
+        alle = np.concatenate([p[2] for p in parts])
+        order = np.argsort(alld * M + alle, kind="stable")
+        alld, alle = alld[order], alle[order]
+        min_start = np.full(len(alld), np.iinfo(np.int64).max, dtype=np.int64)
+        width_sum = np.zeros(len(alld), dtype=np.int64)
+        valid = np.ones(len(alld), dtype=bool)
+        for dc, sc, ec in parts:
+            kc = dc * M + ec
+            idx = np.searchsorted(kc, alld * M + alle, side="right") - 1
+            idx_c = np.maximum(idx, 0)
+            ok = (idx >= 0) & (dc[idx_c] == alld)
+            valid &= ok
+            min_start = np.where(ok, np.minimum(min_start, sc[idx_c]), min_start)
+            width_sum = np.where(ok, width_sum + ec[idx_c] - sc[idx_c], width_sum)
+        if src.max_gaps >= 0:
+            valid &= (alle - min_start) - width_sum <= src.max_gaps
+        return _minimal_intervals(alld[valid], min_start[valid], alle[valid])
 
     def _eval_blockjoin(self, q: ToParentBlockJoinQuery) -> tuple[np.ndarray, np.ndarray]:
         """Map child matches to their block's parent doc and aggregate
@@ -935,6 +1046,61 @@ class SegmentScorer:
 
 
 _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+def _minimal_intervals(d: np.ndarray, s: np.ndarray, e: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reduce (doc, start, end) intervals to the minimal set: drop
+    duplicates and any interval containing another. Sorted (doc, start asc,
+    end asc), an interval is non-minimal iff some LATER interval of the
+    same doc has end <= its end — checked with a doc-offset suffix-min."""
+    if len(d) == 0:
+        return d, s, e
+    M = np.int64(1) << 32
+    order = np.lexsort((e, s, d))
+    d, s, e = d[order], s[order], e[order]
+    uniq = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1]) | (e[1:] != e[:-1])]
+    d, s, e = d[uniq], s[uniq], e[uniq]
+    ke = d * M + e
+    suf_next = np.empty(len(ke), dtype=np.int64)
+    suf_next[-1] = np.iinfo(np.int64).max
+    if len(ke) > 1:
+        suf_next[:-1] = np.minimum.accumulate(ke[::-1])[::-1][1:]
+    keep = ke < suf_next
+    return d[keep], s[keep], e[keep]
+
+
+def _contains_some(db, sb, eb, ds, ss, es) -> np.ndarray:
+    """For each big interval: does some small interval lie fully inside it?
+    Smalls are minimal/sorted, so among smalls with start >= sb the minimum
+    end is a doc-offset suffix-min; contained iff that min end <= eb."""
+    if len(db) == 0:
+        return np.zeros(0, dtype=bool)
+    if len(ds) == 0:
+        return np.zeros(len(db), dtype=bool)
+    M = np.int64(1) << 32
+    ke = ds * M + es
+    sufmin = np.minimum.accumulate(ke[::-1])[::-1]
+    idx = np.searchsorted(ds * M + ss, db * M + sb, side="left")
+    idx_c = np.minimum(idx, len(ke) - 1)
+    return (idx < len(ke)) & (sufmin[idx_c] <= db * M + eb)
+
+
+def _contained_by_some(ds, ss, es, db, sb, eb) -> np.ndarray:
+    """For each small interval: does some big interval fully contain it?
+    Bigs sorted by start; among bigs with start <= ss the max end is a
+    doc-offset prefix-max; contained iff that max end >= es."""
+    if len(ds) == 0:
+        return np.zeros(0, dtype=bool)
+    if len(db) == 0:
+        return np.zeros(len(ds), dtype=bool)
+    M = np.int64(1) << 32
+    cummax_end = np.maximum.accumulate(db * M + eb)
+    idx = np.searchsorted(db * M + sb, ds * M + ss, side="right") - 1
+    has = idx >= 0
+    out = np.zeros(len(ds), dtype=bool)
+    out[has] = cummax_end[idx[has]] >= ds[has] * M + es[has]
+    return out
+
+
 _EMPTY_SPANS = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
                 np.zeros(0, dtype=np.int64))
 

@@ -229,6 +229,119 @@ class SpanNotQuery(Query):
 SPAN_TYPES = (SpanTermQuery, SpanFirstQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery)
 
 
+class IntervalsSource:
+    """Base of the intervals algebra — the IntervalsSource analog
+    (lucene/queries/src/java/org/apache/lucene/queries/intervals/
+    IntervalsSource.java). Every source yields the MINIMAL intervals per
+    doc (no yielded interval contains another — Clarke/Cormack/Burkowski
+    minimal-interval semantics, as Lucene's intervals package implements)."""
+
+
+@dataclass(frozen=True)
+class ITerm(IntervalsSource):
+    """Intervals.term: each occurrence is a unit interval."""
+
+    term: str
+
+
+@dataclass(frozen=True)
+class IOrdered(IntervalsSource):
+    """Intervals.ordered (+ folded-in Intervals.maxgaps filter): minimal
+    intervals containing one interval of each source, in order,
+    non-overlapping; ``max_gaps`` >= 0 keeps only chains whose total
+    inter-source gap sum is <= max_gaps (Intervals.java ordered/maxgaps;
+    max_gaps=0 == Intervals.phrase)."""
+
+    sources: tuple
+    max_gaps: int = -1
+
+    def __init__(self, sources, max_gaps: int = -1):
+        object.__setattr__(self, "sources", tuple(sources))
+        object.__setattr__(self, "max_gaps", int(max_gaps))
+
+
+@dataclass(frozen=True)
+class IUnordered(IntervalsSource):
+    """Intervals.unordered (+ maxgaps): minimal windows containing one
+    interval of each source in any order; gaps = window width - sum of the
+    chosen child widths."""
+
+    sources: tuple
+    max_gaps: int = -1
+
+    def __init__(self, sources, max_gaps: int = -1):
+        object.__setattr__(self, "sources", tuple(sources))
+        object.__setattr__(self, "max_gaps", int(max_gaps))
+
+
+@dataclass(frozen=True)
+class IOr(IntervalsSource):
+    """Intervals.or: minimalized union."""
+
+    sources: tuple
+
+    def __init__(self, sources):
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+@dataclass(frozen=True)
+class IContaining(IntervalsSource):
+    """Intervals.containing: intervals of ``big`` containing >=1 ``small``."""
+
+    big: IntervalsSource
+    small: IntervalsSource
+
+
+@dataclass(frozen=True)
+class INotContaining(IntervalsSource):
+    """Intervals.notContaining: ``big`` intervals containing no ``small``."""
+
+    big: IntervalsSource
+    small: IntervalsSource
+
+
+@dataclass(frozen=True)
+class IContainedBy(IntervalsSource):
+    """Intervals.containedBy: ``small`` intervals inside >=1 ``big``."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+
+@dataclass(frozen=True)
+class INotContainedBy(IntervalsSource):
+    """Intervals.notContainedBy."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+
+def interval_terms(src: IntervalsSource) -> set[str]:
+    if isinstance(src, ITerm):
+        return {src.term}
+    out: set[str] = set()
+    for f in ("sources",):
+        for c in getattr(src, f, ()):
+            out |= interval_terms(c)
+    for f in ("big", "small"):
+        c = getattr(src, f, None)
+        if c is not None:
+            out |= interval_terms(c)
+    return out
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Minimal-interval query over the content field — the IntervalQuery
+    analog (lucene/queries/src/java/org/apache/lucene/queries/intervals/
+    IntervalQuery.java:59). v1 scores every hit a constant ``boost``
+    (Lucene's IntervalScorer saturates interval freq into the score — a
+    documented divergence; hit sets are identical)."""
+
+    source: IntervalsSource
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class NumericRangeQuery(Query):
     """Inclusive numeric doc-values range over a stored numeric column —
@@ -344,6 +457,8 @@ def _collect(q: Query, out: set[str]) -> None:
     elif isinstance(q, SpanNotQuery):
         _collect(q.include, out)
         _collect(q.exclude, out)
+    elif isinstance(q, IntervalQuery):
+        out.update(interval_terms(q.source))
 
 
 def children(q: Query) -> tuple:
@@ -366,9 +481,9 @@ def children(q: Query) -> tuple:
 
 
 def needs_positions(q: Query) -> bool:
-    """True when evaluating ``q`` requires positional postings (phrases and
-    the span family)."""
-    if isinstance(q, (PhraseQuery, MultiPhraseQuery, *SPAN_TYPES)):
+    """True when evaluating ``q`` requires positional postings (phrases,
+    the span family, intervals)."""
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, IntervalQuery, *SPAN_TYPES)):
         return True
     return any(needs_positions(c) for c in children(q))
 

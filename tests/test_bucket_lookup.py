@@ -94,3 +94,38 @@ def test_pre_bucket_layout_still_served(built_index, tmp_path):
         np.testing.assert_array_equal(a.doc_ids, b.doc_ids, err_msg=str(spec))
         np.testing.assert_array_equal(a.scores, b.scores, err_msg=str(spec))
         assert a.total_hits == b.total_hits
+
+
+def test_legacy_unbucketed_partials_merge(built_index, tmp_path):
+    """Stage C must still merge partials written BEFORE the pre-bucketed
+    layout (no 'bucket' column, single row group): strip the column from
+    every partial, rebuild postings, and expect identical search results."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.fixtures import query_to_ast, reference_queries
+    from lucene_ray.index.build import IndexConfig, _run_stage_c
+    from lucene_ray.index.manifest import Manifest
+    from lucene_ray.search.searcher import Searcher
+
+    index_dir, _, _ = built_index
+    legacy = str(tmp_path / "legacy_idx")
+    shutil.copytree(index_dir, legacy)
+    pdir = os.path.join(legacy, "partials")
+    for f in os.listdir(pdir):
+        p = os.path.join(pdir, f)
+        t = pq.read_table(p)
+        pq.write_table(t.drop_columns(["bucket"]), p)
+    manifest = Manifest.load(legacy)
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in manifest.config.items()})
+    _run_stage_c(legacy, manifest, cfg)
+    new = Searcher(IndexReader(index_dir))
+    old = Searcher(IndexReader(legacy))
+    for spec in reference_queries()[:8]:
+        q = query_to_ast(spec)
+        a = new.search(q, 10)
+        b = old.search(q, 10)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids, err_msg=str(spec))
+        np.testing.assert_array_equal(a.scores, b.scores, err_msg=str(spec))

@@ -74,3 +74,22 @@ def test_hnsw_open_round_trip(ray_session, vectors, tmp_path):
     a = built.search(q, k=5).to_pandas()
     b = reopened.search(q, k=5).to_pandas()
     assert a.equals(b)
+
+
+def test_hnsw_search_is_distributed(ray_session, vectors, tmp_path):
+    """Serving must not pull block data onto the driver: blocks live in the
+    actor pool (loaded once per actor in __init__); the driver handle holds
+    only actor references and merges tiny top-k partials."""
+    tbl, m = vectors
+    ds = ray.data.from_arrow(tbl)
+    idx_dir = str(tmp_path / "hnsw_dist")
+    idx = hnsw.HnswIndex.build(ds, idx_dir, m=8, ef_construction=60, blocks=3)
+    out = idx.search(m[[3, 42]], k=5, concurrency=2)
+    assert len(out) == 10
+    # no driver-side block cache exists at all
+    assert not hasattr(idx, "_cache")
+    assert not any(
+        isinstance(v, (np.ndarray, hnsw._HnswGraph)) for v in vars(idx).values()
+    )
+    # the pool owns the blocks: actors exist and cover all blocks
+    assert idx._actors and len(idx._actors) == 2

@@ -62,3 +62,61 @@ def test_percolate_matches_oracle(ray_session):
     assert (0, "q_phrase") in got
     assert (1, "q_not") in got and (6, "q_not") not in got
     assert (2, "q_wild") in got
+
+
+def test_presearcher_prunes_registered_queries():
+    """With 1,000 registered queries, a batch only evaluates the ones whose
+    anchor terms appear in the batch (plus unbounded ones) — the Monitor
+    presearcher contract (Presearcher.java:33). Results must equal
+    evaluating everything."""
+    from lucene_ray.pipelines.percolate import Percolator, query_anchors
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+    })
+    # 992 queries over terms the batch never contains + the 8 real ones
+    many = [(f"q_absent_{i}", TermQuery(f"absentterm{i}")) for i in range(992)]
+    many += QUERIES
+    p = Percolator(many)
+    out = p(batch)
+    # pruning engaged: only the 8 real queries could be candidates, and the
+    # two multi-term ones (prefix/wildcard) are unbounded -> always run
+    assert p.last_evaluated <= len(QUERIES)
+    assert p.last_evaluated >= 2
+    # matches identical to a percolator registered with ONLY the real queries
+    baseline = Percolator(list(QUERIES))(batch)
+    got = set(zip(out["doc_id"].to_pylist(), out["query"].to_pylist()))
+    want = set(zip(baseline["doc_id"].to_pylist(), baseline["query"].to_pylist()))
+    assert got == want
+
+
+def test_query_anchors_invariant():
+    from lucene_ray.pipelines.percolate import query_anchors
+    from lucene_ray.search.query import (
+        ConstantScoreQuery,
+        DisMaxQuery,
+        MatchAllQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    assert query_anchors(TermQuery("x")) == {"x"}
+    assert query_anchors(PhraseQuery(("a", "b"))) == {"a"}
+    assert query_anchors(BooleanQuery(must=[TermQuery("a"), TermQuery("b")])) in ({"a"}, {"b"})
+    assert query_anchors(
+        BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+    ) == {"a", "b"}
+    # a disjunction containing an unbounded clause is unbounded
+    assert query_anchors(
+        BooleanQuery(should=[TermQuery("a"), PrefixQuery("p")])
+    ) is None
+    # must_not alone can't bound
+    assert query_anchors(BooleanQuery(must_not=[TermQuery("a")])) is None
+    assert query_anchors(MatchAllQuery()) is None
+    assert query_anchors(WildcardQuery("a*")) is None
+    assert query_anchors(DisMaxQuery([TermQuery("a"), TermQuery("b")])) == {"a", "b"}
+    assert query_anchors(
+        SpanNearQuery([SpanTermQuery("a"), SpanTermQuery("b")], slop=1)
+    ) in ({"a"}, {"b"})
+    assert query_anchors(ConstantScoreQuery(TermQuery("a"))) == {"a"}
