@@ -29,6 +29,53 @@ _TOKS = (
 _TOKLIST = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 )
+# (doc_id, tok, pos) token-position CTE — the aligned-unnest zip used by the
+# positional oracles (spans / intervals / passages)
+_PT = (
+    "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+    "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos "
+    "FROM tl) "
+)
+
+# SmallFloat byte4 length quantization (SmallFloat.java:103-165) as shift
+# arithmetic: values < 24 exact; above, keep 4 significant bits of (dl-24)
+_LOSSY_DL = (
+    "CASE WHEN dl < 24 THEN dl ELSE 24 + "
+    "(((dl - 24) >> (CASE WHEN dl - 24 < 8 THEN 0 "
+    "ELSE CAST(floor(log2(dl - 24)) AS INT) - 3 END)) "
+    "<< (CASE WHEN dl - 24 < 8 THEN 0 "
+    "ELSE CAST(floor(log2(dl - 24)) AS INT) - 3 END)) END"
+)
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    """CTEs ending in ``sc(doc_id, tok, s)``: the engine's float32-exact
+    BM25 per (doc, query term). DuckDB's FLOAT arithmetic is true float32
+    (verified bit-identical against the numpy scorer on every doc at every
+    sf), idf/avgdl take the same double-then-single-cast path as
+    BM25Similarity.java:101-117, and document length goes through the
+    byte4 quantization exactly as the norm byte does. This makes the scored
+    top-k entries fully SQL-checkable: ranks AND round(score, 6) values."""
+    toks = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+        "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
+        "stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sttf, "
+        "CAST(sum(dl)::DOUBLE / count(*) AS FLOAT) AS avgdl FROM d), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+        f"tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks "
+        f"WHERE tok IN ({toks}) GROUP BY doc_id, tok), "
+        "dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), "
+        "idfs AS (SELECT tok, CAST(ln(1 + ((SELECT n FROM stats) - df + 0.5) "
+        "/ (df + 0.5)) AS FLOAT) AS idf FROM dfs), "
+        f"ninv AS (SELECT doc_id, CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * "
+        f"((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT)) + CAST(0.75 AS FLOAT) * "
+        f"CAST({_LOSSY_DL} AS FLOAT) / (SELECT avgdl FROM stats))) AS ninv "
+        "FROM d), "
+        "sc AS (SELECT tf.doc_id, tf.tok, "
+        "idfs.idf - idfs.idf / (CAST(1.0 AS FLOAT) + CAST(tf AS FLOAT) * "
+        "ninv.ninv) AS s FROM tf JOIN idfs USING (tok) JOIN ninv USING (doc_id)) "
+    )
 
 # shared n-gram-Jaccard CTE chain (3-shingles, exact set Jaccard)
 _NGRAM_CTES = (
@@ -87,7 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import relational as rel
     from lucene_ray.pipelines.drilldown import drill_down, drill_sideways
     from lucene_ray.pipelines.prepare import prepare_corpus
-    from lucene_ray.pipelines.highlight import highlight_first
+    from lucene_ray.pipelines.highlight import highlight_first, passages_top
     from lucene_ray.pipelines.joins import block_join, join_to_parent
     from lucene_ray.pipelines.percolate import percolate
     from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
@@ -126,6 +173,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         else:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
+
+    def _ann_ivf_quantized(sf_dir):
+        import hashlib
+        import os
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:q8-v1".encode()).hexdigest()[:16]
+        ivf_dir = f"/tmp/lucene_ray_cache/ivfq-{key}"
+        if os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+            idx = ann.IvfIndex.open(ivf_dir)
+        else:
+            idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
+        return idx.search_quantized(
+            _query_vec(sf_dir), k=10, nprobe=4
+        ).select(["rank", "vec_id"])
 
     def _ann_hnsw(sf_dir):
         import hashlib
@@ -179,10 +241,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: _is_bench(b, invert=True), batch_format="pyarrow")
         return _ids_table(decontaminate(train, sh, invert=True))
 
-    def _percolate(sf_dir):
+    def _score_r6(t):
+        import pyarrow as _pa
         import pyarrow.compute as _pc
 
+        s = _pc.round(_pc.cast(t.column("score"), _pa.float64()),
+                      ndigits=6, round_mode="half_towards_infinity")
+        return t.drop_columns(["score"]).append_column("score_r6", s)
+
+    def _percolate(sf_dir):
         regs = [
+            ("has_join", "join"),
+            ("join_and_hash", "join AND hash"),
+            ("phrase_batch_window", '"batch window"'),
+            ("gamma_or_scan_not_join", "scan NOT join"),
+        ]
+        t = percolate(_docs(sf_dir), regs).to_pandas()
+        t = t.sort_values(["doc_id", "query"]).reset_index(drop=True)
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(t, preserve_index=False)
+
+    def _percolate_1k(sf_dir):
+        """Presearcher scale surface: 1,000 registered queries, of which
+        only the handful whose anchor terms occur in a batch are evaluated
+        (Monitor/Presearcher.java:33). Matches == _percolate's 4 real
+        queries, so the same DuckDB oracle certifies it."""
+        from lucene_ray.search.query import TermQuery
+
+        regs = [(f"absent_{i}", TermQuery(f"zzzabsentterm{i}"))
+                for i in range(996)]
+        regs += [
             ("has_join", "join"),
             ("join_and_hash", "join AND hash"),
             ("phrase_batch_window", '"batch window"'),
@@ -232,7 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
         # DisjunctionMaxQuery: union hit set (exact), scored top-k rows-only
         "ft_dismax_hits": _q(lambda sf: ft.dismax_hits(sf, ["join", "hash"], 0.3)),
-        "ft_dismax_top10": _q(lambda sf: ft.dismax_topk(sf, ["join", "hash"], 0.1)),
+        "ft_dismax_top10": _q(
+            lambda sf: _score_r6(ft.dismax_topk(sf, ["join", "hash"], 0.1))
+        ),
         # numeric doc-values: range query, range+term filter, range facets
         "ft_numeric_range_hits": _q(
             lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400)
@@ -258,12 +349,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_count_join_or_hash": _q(lambda sf: ft.hit_count(sf, "join OR hash")),
         # grouping module: top-2 per lang by BM25 (rows-only, float32 scores)
         "ft_grouped_bm25_by_lang": _q(
-            lambda sf: ft.grouped_bm25_topk(sf, "join", "lang", 2)
+            lambda sf: _score_r6(ft.grouped_bm25_topk(sf, "join", "lang", 2))
         ),
         # scoreless FILTER clause (Occur.FILTER): ranking from the scoring
         # clause only — rows-only scored surface
         "ft_filtered_bm25_top10": _q(
-            lambda sf: ft.filtered_bm25_topk(sf, "customer", "n_chars", 200, 500)
+            lambda sf: _score_r6(
+                ft.filtered_bm25_topk(sf, "customer", "n_chars", 200, 500))
         ),
         # term vectors (IndexReader.getTermVector)
         "ft_term_vector_doc7": _q(lambda sf: ft.term_vector(sf, 7)),
@@ -291,8 +383,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_hits": _q(lambda sf: ft.range_hits(sf, "filter", "hash")),
         "ft_doc_freq_top20": _q(lambda sf: ft.doc_freq_topk(sf, 20)),
         "ft_collection_stats": _q(ft.collection_stats),
-        "ft_bm25_top10_customer": _q(lambda sf: ft.bm25_topk(sf, "customer", 10)),
-        "ft_bm25_top10_bool": _q(lambda sf: ft.bm25_topk(sf, "join AND vector", 10)),
+        "ft_bm25_top10_customer": _q(
+            lambda sf: _score_r6(ft.bm25_topk(sf, "customer", 10))
+        ),
+        "ft_bm25_top10_bool": _q(
+            lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
+        ),
         # --- dedup family ---
         "dedup_exact": _q(lambda sf: dedup.exact_dedup(_docs(sf))),
         "dedup_minhash_pairs": _q(
@@ -381,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # percolator: standing queries vs the document stream
         "percolate_matches": _q(_percolate),
+        "percolate_1k_queries": _q(_percolate_1k),
         # shingle/ngram analysis family
         "text_shingle_top20": _q(lambda sf: shingles.shingle_counts(_docs(sf), 2, 20)),
         "text_shingle_profile": _q(lambda sf: shingles.doc_shingle_sets(_docs(sf), 2)),
@@ -461,11 +558,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_hits": _q(geo_pipe.geo_box_hits),
         "geo_distance_hits": _q(geo_pipe.geo_distance_hits),
         "geo_knn_top10": _q(geo_pipe.geo_knn_top10),
+        # --- intervals (minimal-interval queries, intervals/IntervalQuery) ---
+        "ft_interval_ordered_hits": _q(
+            lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"])
+        ),
+        "ft_interval_maxgaps": _q(
+            lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"],
+                                                max_gaps=2)
+        ),
+        "ft_interval_unordered_hits": _q(
+            lambda sf: ft.interval_unordered_hits(sf, ["window", "batch"],
+                                                  max_gaps=1)
+        ),
+        "ft_interval_containing_hits": _q(
+            lambda sf: ft.interval_containing_hits(sf, ["table", "filter"], "row")
+        ),
+        # --- hierarchical taxonomy facets (facet/taxonomy) ---
+        "ft_facet_path_top": _q(lambda sf: ft.facet_path_counts(sf, "join")),
+        "ft_drilldown_path_hits": _q(
+            lambda sf: ft.drilldown_path_hits(sf, "join", "src3/en")
+        ),
+        # --- passage highlighter (uhighlight.UnifiedHighlighter shape) ---
+        "ft_passages_top": _q(
+            lambda sf: passages_top(sf, ["join", "hash"], window=32, n_passages=2)
+        ),
+        # --- fuzzy suggester (suggest/analyzing.FuzzySuggester shape) ---
+        "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
+        # --- scalar-quantized ANN (int8 scan + float rescore; rows-only:
+        # recall>=0.9 + exact-rescore parity live in tests/test_ann.py) ---
+        "ann_ivf_quantized_top10": _q(_ann_ivf_quantized),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "ft_term_hits_join": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
         "ft_term_hits_after_delete": _TOKS
@@ -1011,4 +1137,115 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT row_number() OVER (ORDER BY d, c_custkey) AS rank, "
         f"c_custkey FROM (SELECT c_custkey, {_GEO_DIST} AS d FROM pts) "
         "ORDER BY d, c_custkey LIMIT 10",
+        # intervals: for UNIT terms an ordered chain's total gap depends
+        # only on its ends (p_last - p_first - (k-1)), so doc-hit level
+        # minimal-interval semantics reduce to an increasing-positions join
+        "ft_interval_ordered_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "JOIN pt c USING (doc_id) WHERE a.tok = 'table' AND b.tok = 'row' "
+        "AND c.tok = 'filter' AND b.pos > a.pos AND c.pos > b.pos "
+        "ORDER BY doc_id",
+        "ft_interval_maxgaps": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "JOIN pt c USING (doc_id) WHERE a.tok = 'table' AND b.tok = 'row' "
+        "AND c.tok = 'filter' AND b.pos > a.pos AND c.pos > b.pos "
+        "AND c.pos - a.pos - 2 <= 2 ORDER BY doc_id",
+        "ft_interval_unordered_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok = 'window' AND b.tok = 'batch' "
+        "AND abs(a.pos - b.pos) - 1 <= 1 ORDER BY doc_id",
+        # containing: MINIMAL ordered (table, filter) pairs = first 'filter'
+        # after each 'table', keeping per end only the LATEST start; hit iff
+        # some 'row' position lies inside [start, end]
+        "ft_interval_containing_hits": _PT
+        + ", pairs AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e "
+        "FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok = 'table' AND b.tok = 'filter' AND b.pos > a.pos "
+        "GROUP BY a.doc_id, a.pos), "
+        "minimal AS (SELECT doc_id, max(s) AS s, e FROM pairs "
+        "GROUP BY doc_id, e) "
+        "SELECT DISTINCT m.doc_id FROM minimal m JOIN pt r USING (doc_id) "
+        "WHERE r.tok = 'row' AND r.pos >= m.s AND r.pos <= m.e "
+        "ORDER BY doc_id",
+        # hierarchical taxonomy facets over the derived path
+        # cat = source/lang/(long|short by n_chars >= 300)
+        "ft_facet_path_top": _TOKS
+        + ", cat AS (SELECT doc_id, source || '/' || lang || '/' || "
+        "CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS c "
+        "FROM documents), "
+        "hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join'), "
+        "lv AS (SELECT doc_id, unnest([split_part(c, '/', 1), "
+        "split_part(c, '/', 1) || '/' || split_part(c, '/', 2), c]) AS path "
+        "FROM cat JOIN hits USING (doc_id)) "
+        "SELECT path, count(*)::BIGINT AS n_docs FROM lv "
+        "GROUP BY path ORDER BY path",
+        "ft_drilldown_path_hits": _TOKS
+        + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
+        "WHERE t.tok = 'join' AND d.source = 'src3' AND d.lang = 'en' "
+        "ORDER BY doc_id",
+        # passage highlighter: fixed 32-token windows, score = query-term
+        # occurrences, rank (n desc, passage asc), top 2 per doc
+        "ft_passages_top": _PT
+        + ", pc AS (SELECT doc_id, (pos // 32)::BIGINT AS passage, "
+        "count(*)::BIGINT AS n_matches FROM pt "
+        "WHERE tok IN ('join', 'hash') GROUP BY doc_id, pos // 32), "
+        "rk AS (SELECT doc_id, passage, n_matches, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY n_matches DESC, passage ASC)::BIGINT "
+        "AS rank FROM pc) "
+        "SELECT doc_id, passage, n_matches, rank FROM rk WHERE rank <= 2 "
+        "ORDER BY doc_id, rank",
+        # fuzzy suggester: dictionary terms whose first-4-chars prefix is
+        # within 1 edit of the (analyzed) typed text, by doc_freq desc
+        "ft_suggest_fuzzy": _TOKS
+        + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        "FROM toks WHERE tok <> '' GROUP BY tok "
+        "HAVING levenshtein('hach', substr(tok, 1, 4)) <= 1 "
+        "ORDER BY doc_freq DESC, term LIMIT 10",
     }
+    # 996 absent-term standing queries prune to zero evaluations per batch;
+    # the 4 real ones match exactly as in percolate_matches
+    out["percolate_1k_queries"] = out["percolate_matches"]
+    # scored BM25 top-k: float32-exact in SQL (_bm25_cte) — ranks AND
+    # round(score, 6) both verified against DuckDB
+    out["ft_bm25_top10_customer"] = _bm25_cte(["customer"]) + (
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    out["ft_bm25_top10_bool"] = _bm25_cte(["join", "vector"]) + (
+        ", pairs AS (SELECT a.doc_id, a.s + b.s AS s FROM sc a "
+        "JOIN sc b USING (doc_id) WHERE a.tok = 'join' AND b.tok = 'vector') "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM pairs) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    out["ft_dismax_top10"] = _bm25_cte(["join", "hash"]) + (
+        ", ds AS (SELECT doc_id, "
+        "coalesce(max(CASE WHEN tok = 'join' THEN s END), CAST(0.0 AS FLOAT)) AS sj, "
+        "coalesce(max(CASE WHEN tok = 'hash' THEN s END), CAST(0.0 AS FLOAT)) AS sh "
+        "FROM sc GROUP BY doc_id), "
+        "dm AS (SELECT doc_id, greatest(sj, sh) + CAST(0.1 AS FLOAT) * "
+        "((sj + sh) - greatest(sj, sh)) AS s FROM ds) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM dm) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    out["ft_filtered_bm25_top10"] = _bm25_cte(["customer"]) + (
+        "SELECT * FROM (SELECT sc.doc_id, row_number() OVER "
+        "(ORDER BY s DESC, sc.doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc "
+        "JOIN documents dd ON sc.doc_id = dd.doc_id "
+        "WHERE dd.n_chars >= 200 AND dd.n_chars <= 500) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    out["ft_grouped_bm25_by_lang"] = _bm25_cte(["join"]) + (
+        "SELECT * FROM (SELECT dd.lang, sc.doc_id, row_number() OVER "
+        "(PARTITION BY dd.lang ORDER BY s DESC, sc.doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc "
+        "JOIN documents dd ON sc.doc_id = dd.doc_id) "
+        "WHERE rank <= 2 ORDER BY lang, rank"
+    )
+    return out

@@ -111,6 +111,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_phrase_slop_hits", "ft_snippet_join", "dedup_exact",
                      "dedup_minhash_pairs", "text_token_stats",
                      "text_shingle_top20", "percolate_matches",
+                     "percolate_1k_queries", "ft_interval_ordered_hits",
+                     "ft_passages_top", "ft_facet_path_top",
+                     "ann_ivf_quantized_top10", "ann_hnsw_top10",
                      "ann_cosine_top10", "agg_lineitem_pricing",
                      "events_tumbling_daily", "join_orders_per_nation",
                      "join_order_revenue", "pipeline_prepare_corpus",
@@ -159,10 +162,10 @@ def run_build_only(num_cpus: int) -> dict:
             while f.read(1 << 24):
                 pass
         index_dir = f"/tmp/lucene_ray_bench/idx_{num_cpus}"
-        # BENCH_PARTS partitions (default 128): several task waves at 32
-        # CPUs so one straggler doesn't set the wall time (same plan at
-        # every level, per the BASELINE.md protocol)
-        n_parts = int(os.environ.get("BENCH_PARTS", "128"))
+        # BENCH_PARTS partitions (default 32; same plan at every level per
+        # the BASELINE.md protocol). 128 was tried and made Stage C worse
+        # (smaller per-bucket row groups -> more read amplification).
+        n_parts = int(os.environ.get("BENCH_PARTS", "32"))
         cfg = IndexConfig(
             target_rows_per_partition=max(1000, BENCH_CORPUS_ROWS // n_parts),
             partitions_per_segment=8,

@@ -189,12 +189,14 @@ def plan_segments(partitions: list[dict], cfg: IndexConfig) -> list[dict]:
     return segs
 
 
-def _atomic_write_table(table: pa.Table, path: str, compression: str) -> None:
+def _atomic_write_table(table: pa.Table, path: str, compression: str,
+                        row_group_size: int | None = None) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
     os.close(fd)
     try:
-        pq.write_table(table, tmp, compression=compression)
+        pq.write_table(table, tmp, compression=compression,
+                       row_group_size=row_group_size)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -256,14 +258,15 @@ def _atomic_write_bucketed(table: pa.Table, path: str, compression: str) -> None
                 b = np.asarray(table.column("bucket"), dtype=np.int64)
                 starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
                 ends = np.r_[starts[1:], len(b)]
-                # coalesce consecutive buckets into row groups of >= ~4k
-                # rows: 64 tiny zstd frames per small partition measurably
-                # slowed concurrent Stage-A writes; Stage C's pruned read
-                # filters the extra buckets of a shared row group in memory
+                # one row group per bucket, except that very small buckets
+                # coalesce to >= ~512 rows: tiny zstd frames slow concurrent
+                # Stage-A writes, but a LOW floor matters — a high floor
+                # makes every Stage-C pruned read decode many buckets to
+                # use one (measured 4x Stage-C regression at 4096)
                 s0, acc = int(starts[0]), 0
                 for s, e in zip(starts, ends):
                     acc += e - s
-                    if acc >= 4096 or e == len(b):
+                    if acc >= 512 or e == len(b):
                         w.write_table(table.slice(s0, int(e) - s0))
                         s0, acc = int(e), 0
         os.replace(tmp, path)
@@ -465,7 +468,12 @@ class _StageA:
                 )
             docmap_cols["length"] = pa.array(lengths.astype(np.uint32), pa.uint32())
             docmap_cols["norm"] = pa.array(norms, pa.uint8())
-            _atomic_write_table(pa.table(docmap_cols), docmap_path(self.index_dir, pid), cfg.compression)
+            # bounded row groups: the per-row-group min/max stats are the
+            # numeric ZONE MAPS NumericRangeQuery prunes with (the
+            # chunk-granularity BKD analog, util/bkd/BKDWriter.java:83)
+            _atomic_write_table(pa.table(docmap_cols),
+                                docmap_path(self.index_dir, pid),
+                                cfg.compression, row_group_size=8192)
 
             partials = partials.append_column(
                 "pid", pa.array(np.full(len(partials), pid, dtype=np.int32), pa.int32())

@@ -365,6 +365,56 @@ class IndexReader:
             )
         return self._dv_cache[key]
 
+    def numeric_range_docs(self, seg: int, col: str, lower, upper,
+                           stats: dict | None = None) -> np.ndarray:
+        """Segment-local doc ids with ``lower <= col <= upper``, pruned by
+        the docmap's per-row-group min/max statistics — zone maps, the
+        chunk-granularity analog of Lucene's BKD point tree
+        (lucene/core/src/java/org/apache/lucene/util/bkd/BKDWriter.java:83):
+        row groups whose [min, max] lies outside the range are never
+        decoded. ``stats`` (optional) receives {"chunks": N, "read": M}."""
+        base = 0
+        out: list[np.ndarray] = []
+        n_chunks = n_read = 0
+        for pid in self._seg_info[seg]["pids"]:
+            pf = pq.ParquetFile(docmap_path(self.index_dir, pid))
+            md = pf.metadata
+            ncols = md.row_group(0).num_columns if md.num_row_groups else 0
+            cidx = next(
+                (j for j in range(ncols)
+                 if md.row_group(0).column(j).path_in_schema == col),
+                None,
+            )
+            for rg in range(md.num_row_groups):
+                nrows = md.row_group(rg).num_rows
+                st = (md.row_group(rg).column(cidx).statistics
+                      if cidx is not None else None)
+                n_chunks += 1
+                if st is not None and st.has_min_max:
+                    if (upper is not None and st.min > upper) or (
+                            lower is not None and st.max < lower):
+                        base += nrows
+                        continue
+                n_read += 1
+                vals = np.asarray(
+                    pf.read_row_groups([rg], columns=[col]).column(0)
+                )
+                mask = np.ones(nrows, dtype=bool)
+                if lower is not None:
+                    mask &= vals >= lower
+                if upper is not None:
+                    mask &= vals <= upper
+                hit = np.flatnonzero(mask)
+                if len(hit):
+                    out.append(base + hit)
+                base += nrows
+        if stats is not None:
+            stats["chunks"] = n_chunks
+            stats["read"] = n_read
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(out).astype(np.int64)
+
     def tombstones(self) -> np.ndarray:
         if self._tombstones is None:
             from lucene_ray.index.build import load_tombstones

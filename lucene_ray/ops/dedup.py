@@ -50,7 +50,11 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     def add_hash(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
-        h = [hashlib.sha256(col[i].as_py().encode()).hexdigest() for i in range(len(batch))]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # one bulk to_pylist (the sha256 per row is inherent; per-element
+        # .as_py() scalar boxing in the hot map stage was not)
+        h = [hashlib.sha256(s.encode()).hexdigest() for s in col.to_pylist()]
         return pa.table({id_col: batch.column(id_col), "h": pa.array(h, pa.string())})
 
     from ray.data.aggregate import Min

@@ -201,11 +201,28 @@ class _HnswGraph:
 
 
 def _load_block(index_dir: str, name: str, vec_col: str, id_col: str):
-    bdir = os.path.join(index_dir, name)
-    t = pq.read_table(os.path.join(bdir, "vectors.parquet"))
+    """Load a block's (ids, normalized matrix, graph). When the block was
+    written with the scalar-quantized columns (q8/qmin/qscale — the
+    Lucene99ScalarQuantizedVectorsFormat analog), ONLY those are read
+    (column pruning, ~4x fewer vector bytes than the float column) and the
+    matrix is dequantized at load; legacy float-only blocks still load."""
+    path = os.path.join(index_dir, name, "vectors.parquet")
+    pf = pq.ParquetFile(path)
+    if "q8" in pf.schema_arrow.names:
+        t = pf.read(columns=[id_col, "q8", "qmin", "qscale"])
+        from lucene_ray.ops.ann import dequantize_rows
+
+        raw = dequantize_rows(
+            _list_matrix(t.column("q8"), dtype=np.float64),
+            np.asarray(t.column("qmin"), dtype=np.float64),
+            np.asarray(t.column("qscale"), dtype=np.float64),
+        )
+    else:
+        t = pf.read(columns=[id_col, vec_col])
+        raw = _list_matrix(t.column(vec_col))
     ids = np.asarray(t.column(id_col), dtype=np.int64)
-    mat = _normalize(_list_matrix(t.column(vec_col)))
-    arrays = dict(np.load(os.path.join(bdir, "graph.npz")))
+    mat = _normalize(raw)
+    arrays = dict(np.load(os.path.join(index_dir, name, "graph.npz")))
     return ids, mat, _HnswGraph.from_arrays(mat, arrays)
 
 
@@ -267,15 +284,27 @@ class HnswIndex:
             if len(ids) == 0:
                 return pa.table({"block": pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})
-            mat = _normalize(_list_matrix(batch.column(vec_col)))
+            raw = _list_matrix(batch.column(vec_col))
+            mat = _normalize(raw)
+            # graph built on EXACT floats; serving scans the quantized copy
             g = _HnswGraph(mat, m=m, ef_construction=ef_construction, seed=seed)
             # deterministic block name from its id range
             name = f"block-{ids.min():012d}-{ids.max():012d}-{len(ids)}"
             bdir = os.path.join(index_dir, name)
             os.makedirs(bdir, exist_ok=True)
-            pq.write_table(
-                batch.select([id_col, vec_col]), os.path.join(bdir, "vectors.parquet")
+            from lucene_ray.ops.ann import quantize_rows
+
+            q, mn, sc = quantize_rows(raw)
+            d = q.shape[1] if len(q) else 0
+            q8 = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(q) + 1) * d, d, dtype=np.int32)),
+                pa.array(q.ravel(), pa.uint8()),
             )
+            out = batch.select([id_col, vec_col])
+            out = out.append_column("q8", q8)
+            out = out.append_column("qmin", pa.array(mn, pa.float64()))
+            out = out.append_column("qscale", pa.array(sc, pa.float64()))
+            pq.write_table(out, os.path.join(bdir, "vectors.parquet"))
             np.savez(os.path.join(bdir, "graph.npz"), **g.to_arrays())
             return pa.table({"block": pa.array([name]),
                              "n": pa.array([len(ids)], pa.int64())})

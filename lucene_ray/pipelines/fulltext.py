@@ -335,6 +335,37 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def suggest_fuzzy(sf_dir: str, typed: str, k: int = 10,
+                  max_edits: int = 1) -> pa.Table:
+    """Fuzzy completion — the AnalyzingSuggester/FuzzySuggester shape
+    (lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+    AnalyzingSuggester.java:100, FuzzySuggester.java): the typed text is
+    ANALYZED first (code grammar, lowercase), candidates are dictionary
+    terms whose first-|typed|-chars prefix is within ``max_edits`` edits of
+    it, ranked by doc_freq desc then term asc. Lucene intersects a
+    Levenshtein automaton with the suggest FST; here the banded
+    edit-distance check scans the sorted term dictionary (documented
+    divergence — same candidate set)."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+    from lucene_ray.index.reader import _levenshtein_within
+
+    reader = documents_index(sf_dir)
+    toks = CodeTokenizer()(typed)
+    typed_t = toks[0] if toks else typed.lower()
+    tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
+    df = tbl.to_pandas()
+    df = df[~df["term"].str.contains(":")]
+    L = len(typed_t)
+    keep = np.fromiter(
+        (_levenshtein_within(typed_t, t[:L], max_edits) for t in df["term"]),
+        dtype=bool, count=len(df),
+    )
+    df = df[keep]
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    df = df.sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def phrase_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
     from lucene_ray.search.query import PhraseQuery
 
@@ -432,48 +463,88 @@ def spell_correct(sf_dir: str, term: str, max_edits: int = 2, k: int = 5) -> pa.
     )
 
 
+def _map_orig_ids(reader: IndexReader, gids: np.ndarray) -> np.ndarray:
+    """Vectorized gid -> source doc_id mapping (sorted searchsorted join,
+    no per-hit Python dict)."""
+    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
+    ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+    orig = np.asarray(t.column("doc_id_orig"), dtype=np.int64)
+    o = np.argsort(ids)
+    return orig[o][np.searchsorted(ids[o], gids)]
+
+
+class _SnippetTask:
+    """Actor: per-segment first-occurrence offset extraction — decode AND
+    gid->source-id mapping run in the task, so the driver only gathers the
+    final rows (fixes the round-2 driver-side segment loop; segments fan
+    out across the pool like every other serving stage)."""
+
+    def __init__(self, index_dir: str, term: str):
+        self.reader = IndexReader(index_dir)
+        self.term = term
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_offsets
+
+        reader = self.reader
+        doc_parts, s_parts, e_parts = [], [], []
+        for seg in batch.column("seg").to_pylist():
+            tbl = reader.postings(seg, [self.term])
+            if tbl is None or len(tbl) == 0:
+                continue
+            gids = reader.global_doc_ids(seg)
+            live = reader.live_mask(seg)
+            for row in tbl.to_pylist():
+                d = decode_docs(row["docs_enc"], row["count"]).astype(np.int64)
+                f = decode_freqs(row["freqs_enc"], row["count"]).astype(np.int64)
+                s, e = decode_offsets(row["off_enc"], f)
+                first = np.cumsum(f) - f  # first-occurrence index per doc
+                if live is not None:
+                    keep = live[d]
+                    d, first = d[keep], first[keep]
+                if len(d) == 0:
+                    continue
+                doc_parts.append(_map_orig_ids(reader, gids[d]))
+                s_parts.append(s[first].astype(np.int64))
+                e_parts.append(e[first].astype(np.int64))
+        if not doc_parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "start_offset": pa.array([], pa.int64()),
+                             "end_offset": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
+                "start_offset": pa.array(np.concatenate(s_parts), pa.int64()),
+                "end_offset": pa.array(np.concatenate(e_parts), pa.int64()),
+            }
+        )
+
+
 def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
     """(doc_id, start_offset, end_offset) of the FIRST occurrence of a term
     per matching doc — the offsets-consuming highlight primitive (offsets
     read straight from the off_enc postings stream; char offsets into the
-    lowercased text)."""
-    from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_offsets
+    lowercased text). Distributed: one _SnippetTask actor pool over the
+    segments; the driver only sorts the gathered rows."""
+    import ray.data
 
     reader = documents_index(sf_dir)
-    out_gids, out_s, out_e = [], [], []
-    for seg in reader.segs:
-        tbl = reader.postings(seg, [term])
-        if tbl is None or len(tbl) == 0:
-            continue
-        gids = reader.global_doc_ids(seg)
-        live = reader.live_mask(seg)
-        for row in tbl.to_pylist():
-            d = decode_docs(row["docs_enc"], row["count"]).astype(np.int64)
-            f = decode_freqs(row["freqs_enc"], row["count"]).astype(np.int64)
-            s, e = decode_offsets(row["off_enc"], f)
-            first = np.cumsum(f) - f  # first-occurrence index per doc
-            if live is not None:
-                keep = live[d]
-                d, first = d[keep], first[keep]
-            out_gids.append(gids[d])
-            out_s.append(s[first].astype(np.int64))
-            out_e.append(e[first].astype(np.int64))
-    if not out_gids:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "start_offset": pa.array([], pa.int64()),
-                         "end_offset": pa.array([], pa.int64())})
-    gids = np.concatenate(out_gids)
-    starts = np.concatenate(out_s)
-    ends = np.concatenate(out_e)
-    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
-    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
-    orig = np.array([m[int(g)] for g in gids], dtype=np.int64)
-    order = np.argsort(orig, kind="stable")
+    segs = ray.data.from_items(
+        [{"seg": s} for s in reader.segs],
+        override_num_blocks=max(1, len(reader.segs)),
+    )
+    df = segs.map_batches(
+        _SnippetTask,
+        fn_constructor_args=(reader.index_dir, term),
+        batch_format="pyarrow", batch_size=1,
+        concurrency=(1, 4), num_cpus=1,
+    ).to_pandas()
+    df = df.sort_values("doc_id", kind="stable").reset_index(drop=True)
     return pa.table(
         {
-            "doc_id": pa.array(orig[order], pa.int64()),
-            "start_offset": pa.array(starts[order], pa.int64()),
-            "end_offset": pa.array(ends[order], pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "start_offset": pa.array(df["start_offset"].to_numpy(np.int64), pa.int64()),
+            "end_offset": pa.array(df["end_offset"].to_numpy(np.int64), pa.int64()),
         }
     )
 
@@ -513,7 +584,7 @@ def documents_taxonomy_index(sf_dir: str) -> IndexReader:
     """Build-or-open a documents index with a HIERARCHICAL taxonomy
     dimension (facet/taxonomy/TaxonomyReader.java:59 / FacetField):
     a deterministic, SQL-derivable path column
-    ``cat = source/lang/(long|short by n_chars >= 800)`` is added in a
+    ``cat = source/lang/(long|short by n_chars >= 300)`` is added in a
     map_batches stage, and ``IndexConfig.path_cols`` indexes every ancestor
     prefix as a keyword term — drill-down at any depth is one TermQuery."""
     import shutil
@@ -522,14 +593,14 @@ def documents_taxonomy_index(sf_dir: str) -> IndexReader:
     import ray.data
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:tax-v1".encode()).hexdigest()[:16]
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:tax-v2".encode()).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"documents-tax-{key}")
     if index_dir not in _readers:
         derived_dir = index_dir + "-src"
         if not os.path.isdir(derived_dir):
             def add_cat(batch: pa.Table) -> pa.Table:
                 size = pc.if_else(
-                    pc.greater_equal(batch.column("n_chars"), 800),
+                    pc.greater_equal(batch.column("n_chars"), 300),
                     pa.scalar("long"), pa.scalar("short"),
                 )
                 cat = pc.binary_join_element_wise(

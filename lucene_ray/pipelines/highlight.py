@@ -37,3 +37,116 @@ def highlight_first(sf_dir: str, term: str, width: int = 20) -> pa.Table:
         t = texts[d].lower()
         frags.append(t[max(0, s - width): e + width])
     return snips.append_column("fragment", pa.array(frags, pa.string()))
+
+
+class _PassageTask:
+    """Actor: per-segment passage scoring straight from the POSITIONS
+    postings (no re-analysis of text — the UnifiedHighlighter offsets-from-
+    index contract, uhighlight/UnifiedHighlighter.java:97). Passages are
+    fixed token windows (pos // window — the fragListBuilder fallback for
+    unstructured text); a passage's score is its query-term occurrence
+    count (integer, so ordering has an exact SQL oracle; Lucene's
+    BM25-weighted passage scoring is a documented divergence)."""
+
+    def __init__(self, index_dir: str, terms: tuple, window: int):
+        from lucene_ray.index.reader import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        self.terms = list(terms)
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_positions
+        from lucene_ray.pipelines.fulltext import _map_orig_ids
+
+        reader = self.reader
+        out_doc, out_pass, out_n = [], [], []
+        for seg in batch.column("seg").to_pylist():
+            tbl = reader.postings(seg, self.terms)
+            if tbl is None or len(tbl) == 0:
+                continue
+            gids = reader.global_doc_ids(seg)
+            live = reader.live_mask(seg)
+            d_parts, p_parts = [], []
+            for row in tbl.to_pylist():
+                d = decode_docs(row["docs_enc"], row["count"]).astype(np.int64)
+                f = decode_freqs(row["freqs_enc"], row["count"]).astype(np.int64)
+                pos = decode_positions(row["pos_enc"], f).astype(np.int64)
+                dd = np.repeat(d, f)
+                if live is not None:
+                    keep = live[dd]
+                    dd, pos = dd[keep], pos[keep]
+                d_parts.append(dd)
+                p_parts.append(pos // self.window)
+            if not d_parts:
+                continue
+            dd = np.concatenate(d_parts)
+            pp = np.concatenate(p_parts)
+            # occurrence count per (doc, passage): docs < 2^31, passages
+            # < 2^26 (positions < 2^31, window >= 32) -> 57-bit keys
+            key = (dd << np.int64(26)) | pp
+            uk, counts = np.unique(key, return_counts=True)
+            docs_u = (uk >> np.int64(26)).astype(np.int64)
+            pass_u = (uk & np.int64((1 << 26) - 1)).astype(np.int64)
+            out_doc.append(_map_orig_ids(reader, gids[docs_u]))
+            out_pass.append(pass_u)
+            out_n.append(counts.astype(np.int64))
+        if not out_doc:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "passage": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "passage": pa.array(np.concatenate(out_pass), pa.int64()),
+                "n_matches": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+
+def passages_top(sf_dir: str, terms: list[str], window: int = 32,
+                 n_passages: int = 2) -> pa.Table:
+    """Top-N passages per matching doc for a multi-term query —
+    (doc_id, passage, n_matches, rank), rank by (n_matches desc, passage
+    asc) within each doc, rows sorted (doc_id, rank). Passage scoring runs
+    in a segment actor pool (_PassageTask); the driver ranks the small
+    per-(doc, passage) count table vectorized."""
+    import ray.data
+
+    from lucene_ray.pipelines.fulltext import documents_index
+
+    reader = documents_index(sf_dir)
+    segs = ray.data.from_items(
+        [{"seg": s} for s in reader.segs],
+        override_num_blocks=max(1, len(reader.segs)),
+    )
+    df = segs.map_batches(
+        _PassageTask,
+        fn_constructor_args=(reader.index_dir, tuple(terms), window),
+        batch_format="pyarrow", batch_size=1,
+        concurrency=(1, 4), num_cpus=1,
+    ).to_pandas()
+    if len(df) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "passage": pa.array([], pa.int64()),
+                         "n_matches": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    doc = df["doc_id"].to_numpy(np.int64)
+    pas = df["passage"].to_numpy(np.int64)
+    n = df["n_matches"].to_numpy(np.int64)
+    order = np.lexsort((pas, -n, doc))
+    doc, pas, n = doc[order], pas[order], n[order]
+    # rank within doc runs (docs are grouped after the lexsort)
+    newdoc = np.r_[True, doc[1:] != doc[:-1]]
+    idx = np.arange(len(doc))
+    start = np.maximum.accumulate(np.where(newdoc, idx, 0))
+    rank = idx - start + 1
+    keep = rank <= n_passages
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "passage": pa.array(pas[keep], pa.int64()),
+            "n_matches": pa.array(n[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        }
+    )

@@ -118,13 +118,18 @@ class SegmentContext:
     def __init__(self, num_docs: int, norms: np.ndarray, global_ids: np.ndarray,
                  live: np.ndarray | None = None,
                  parents: np.ndarray | None = None,
-                 dv_fetch=None, decoded_cache=None, cache_key=None):
+                 dv_fetch=None, decoded_cache=None, cache_key=None,
+                 dv_range=None):
         self.num_docs = num_docs
         self.norms = norms
         self.global_ids = global_ids
         # col -> np.ndarray[num_docs] numeric doc-values, fetched lazily via
         # dv_fetch (the reader's column-pruned docmap read) and cached
         self.dv_fetch = dv_fetch
+        # optional zone-map-pruned range scan (reader.numeric_range_docs):
+        # (col, lower, upper) -> local doc ids, skipping row groups whose
+        # min/max stats exclude the range (the BKD-pruning analog)
+        self.dv_range = dv_range
         self._dv: dict[str, np.ndarray] = {}
         # ascending local ids of block-last docs (index-time doc blocks);
         # None when the index was built without block_col
@@ -156,10 +161,11 @@ class SegmentContext:
     @classmethod
     def from_chunk_table(cls, table, num_docs, norms, global_ids,
                         with_positions=False, live=None, parents=None,
-                        dv_fetch=None, decoded_cache=None, cache_key=None):
+                        dv_fetch=None, decoded_cache=None, cache_key=None,
+                        dv_range=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
         ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch,
-                  decoded_cache, cache_key)
+                  decoded_cache, cache_key, dv_range)
         ctx.with_positions = with_positions
         if table is None or len(table) == 0:
             return ctx
@@ -344,6 +350,11 @@ class SegmentScorer:
         return docs, scores
 
     def _eval_numeric_range(self, q: NumericRangeQuery) -> tuple[np.ndarray, np.ndarray]:
+        if self.ctx.dv_range is not None and q.col not in self.ctx._dv:
+            # zone-map path: row groups outside [lower, upper] never decode
+            docs = np.asarray(self.ctx.dv_range(q.col, q.lower, q.upper),
+                              dtype=np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         vals = self.ctx.docvalues(q.col)
         mask = np.ones(self.ctx.num_docs, dtype=bool)
         if q.lower is not None:

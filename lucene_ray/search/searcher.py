@@ -105,6 +105,8 @@ class Searcher:
             live=self.reader.live_mask(seg),
             parents=self.reader.parents(seg),
             dv_fetch=lambda col, _s=seg: self.reader.docvalues(_s, col),
+            dv_range=lambda col, lo, hi, _s=seg: self.reader.numeric_range_docs(
+                _s, col, lo, hi),
             decoded_cache=self._decoded_cache,
             cache_key=(seg, need_positions),
         )

@@ -96,3 +96,40 @@ def test_ivf_open_round_trip(ray_session, vectors, tmp_path):
     a = built.search(q, k=5, nprobe=2).to_pandas()
     b = reopened.search(q, k=5, nprobe=2).to_pandas()
     assert a.equals(b)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((50, 24)) * 3
+    q, mn, sc = ann.quantize_rows(m)
+    back = ann.dequantize_rows(q, mn, sc)
+    # each component reconstructs within half a quantization step
+    assert np.all(np.abs(back - m) <= sc[:, None] / 2 + 1e-9)
+
+
+def test_ivf_quantized_search_recall_and_bytes(ray_session, vectors, tmp_path):
+    """search_quantized: int8 scan + float rescore must (a) reach
+    recall@10 >= 0.9 vs brute force, (b) return EXACT float cosines for
+    the docs it ranks, and (c) scan ~4x fewer vector bytes."""
+    tbl, m = vectors
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    idx_dir = str(tmp_path / "ivfq")
+    idx = ann.IvfIndex.build(ds, idx_dir, n_clusters=8, iters=3)
+    rng = np.random.default_rng(11)
+    q = m[rng.choice(len(m), 12, replace=False)] + 0.02 * rng.standard_normal((12, 24))
+
+    brute = ann.knn_brute(ds, q, k=10).to_pandas()
+    got = idx.search_quantized(q, k=10, nprobe=4, oversample=3).to_pandas()
+    recalls = []
+    for qi in range(12):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        a = set(got[got["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.9
+    # exact cosines: every (query, id) pair in the result matches brute's
+    # float cosine when present there
+    merged = got.merge(brute, on=["query_id", "vec_id"], suffixes=("_q", "_b"))
+    assert len(merged) > 0
+    assert np.allclose(merged["cosine_q"], merged["cosine_b"], atol=1e-12)
+    qb, fb = idx.quantized_scan_bytes()
+    assert qb > 0 and fb > 0 and qb < 0.45 * fb, (qb, fb)

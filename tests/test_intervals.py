@@ -70,7 +70,7 @@ def _unordered_oracle(toks, terms, max_gaps=-1):
     return _minimalize(out)
 
 
-TERMS3 = ["select", "from", "where"]
+TERMS3 = ["table", "row", "filter"]
 
 
 @pytest.mark.parametrize("gaps", [-1, 0, 2, 8])
@@ -97,7 +97,7 @@ def test_interval_unordered(docs, gaps):
 def test_interval_containing(docs):
     from lucene_ray.pipelines.fulltext import interval_containing_hits
 
-    big, small = ["select", "where"], "from"
+    big, small = ["table", "filter"], "row"
     got = interval_containing_hits(SF, big, small).column("doc_id").to_pylist()
     want = []
     for d, toks in docs.items():

@@ -85,3 +85,28 @@ def test_grouped_bm25_topk(docs):
     for g in set(langs):
         first = [ids[i] for i, x in enumerate(langs) if x == g][0]
         assert first == best[g]
+
+
+def test_numeric_range_zone_map_pruning(built_index):
+    """numeric_range_docs must skip row groups whose min/max stats exclude
+    the range, and return exactly the full-scan hit set."""
+    import numpy as np
+
+    from lucene_ray.index.reader import IndexReader
+
+    index_dir, _, _ = built_index
+    reader = IndexReader(index_dir)
+    seg = reader.segs[0]
+    # 'doc_id' ((pid<<32)|offset) ascends across the segment's docmap
+    # files, so a range inside the FIRST pid's ids must skip the others
+    full = reader.docvalues(seg, "doc_id").astype(np.uint64)
+    lo, hi = int(full[0]), int(full[min(10, len(full) - 1)])
+    stats: dict = {}
+    got = reader.numeric_range_docs(seg, "doc_id", lo, hi, stats=stats)
+    want = np.flatnonzero((full >= lo) & (full <= hi))
+    np.testing.assert_array_equal(got, want)
+    assert stats["chunks"] >= 2, "fixture segment should span several files"
+    assert stats["read"] < stats["chunks"], (stats, "no chunks were skipped")
+    # unbounded side still exact
+    got2 = reader.numeric_range_docs(seg, "doc_id", None, hi)
+    np.testing.assert_array_equal(got2, np.flatnonzero(full <= hi))

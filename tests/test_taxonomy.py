@@ -21,7 +21,7 @@ def oracle(ray_session):
     rows = []
     for did, text, lang, source, nc in zip(*(t.column(c).to_pylist() for c in
                                              ["doc_id", "text", "lang", "source", "n_chars"])):
-        cat = f"{source}/{lang}/{'long' if nc >= 800 else 'short'}"
+        cat = f"{source}/{lang}/{'long' if nc >= 300 else 'short'}"
         rows.append((did, set(tok(text)), cat))
     return rows
 
