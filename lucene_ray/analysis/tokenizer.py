@@ -259,3 +259,88 @@ class UnicodeTokenizer:
 
         lower = pc.utf8_lower(pa.array([text], pa.string()))[0].as_py()
         return tokenize_uax29([lower], self.max_token_length)[0]
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-based CJK segmentation ("dict" grammar)
+#
+# The seam Lucene fills with its morphological analyzers (kuromoji for
+# Japanese, nori for Korean, smartcn for Chinese — each a bundled dictionary
+# + Viterbi lattice). No dictionaries ship in this environment, so the seam
+# takes a USER-SUPPLIED lexicon and applies greedy forward longest match
+# (classical MaxMatch segmentation): adjacent IDEOGRAPHIC unigrams from the
+# uax29 grammar are merged into the longest lexicon word starting at each
+# position; uncovered ideographs remain unigrams (the uax29 fallback), and
+# all non-ideographic tokens are untouched. Positions renumber sequentially
+# after merging. A production pipeline would swap in a lattice segmenter
+# behind the same seam.
+# ---------------------------------------------------------------------------
+
+
+def maxmatch_spans(s: str, lexicon: frozenset, max_word: int) -> list[tuple[int, int]]:
+    """Greedy forward longest-match spans over an ideographic run."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        j = min(n, i + max_word)
+        while j > i + 1 and s[i:j] not in lexicon:
+            j -= 1
+        out.append((i, j))
+        i = j
+    return out
+
+
+def merge_ideo_tokens(toks: list[str], starts: list[int], ends: list[int],
+                      lexicon: frozenset, max_word: int):
+    """Merge adjacent ideographic unigrams (contiguous char offsets) of ONE
+    document by MaxMatch. Returns (tokens, start_chars, end_chars)."""
+    out_t: list[str] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    n = len(toks)
+    i = 0
+    while i < n:
+        t = toks[i]
+        if len(t) != 1 or codepoint_class(ord(t)) != CLS_IDEO:
+            out_t.append(t)
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+            i += 1
+            continue
+        j = i + 1
+        while (j < n and len(toks[j]) == 1
+               and codepoint_class(ord(toks[j])) == CLS_IDEO
+               and starts[j] == ends[j - 1]):
+            j += 1
+        run = "".join(toks[i:j])
+        for a, b in maxmatch_spans(run, lexicon, max_word):
+            out_t.append(run[a:b])
+            out_s.append(starts[i + a])
+            out_e.append(ends[i + b - 1])
+        i = j
+    return out_t, out_s, out_e
+
+
+class DictTokenizer:
+    """``text -> list[str]`` under the dict grammar: uax29 + MaxMatch
+    merging of ideographic runs against the lexicon. The SAME lexicon must
+    be used on the build side (IndexConfig.dict_lexicon)."""
+
+    grammar = "dict"
+
+    def __init__(self, lexicon, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.lexicon = frozenset(lexicon)
+        self.max_word = max((len(w) for w in self.lexicon), default=1)
+        self.max_token_length = max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(pa.array([text], pa.string()))[0].as_py()
+        toks, _d, _p, sc, ec = tokenize_uax29([lower], self.max_token_length)
+        out, _s, _e = merge_ideo_tokens(
+            list(toks), [int(x) for x in sc], [int(x) for x in ec],
+            self.lexicon, self.max_word,
+        )
+        return out

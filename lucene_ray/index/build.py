@@ -106,8 +106,13 @@ class IndexConfig:
     # (multilingual StandardTokenizer behavior — unigram CJK/hiragana,
     # katakana/hangul runs, Unicode alphanumerics; see analysis/tokenizer.py).
     # Identical to "code" on pure-ASCII text. Query analysis must use the
-    # matching tokenizer (UnicodeTokenizer for "uax29").
+    # matching tokenizer (UnicodeTokenizer for "uax29", DictTokenizer with
+    # the SAME lexicon for "dict").
     grammar: str = "code"
+    # "dict" grammar lexicon: CJK words merged from uax29 unigrams by greedy
+    # longest match (the kuromoji/nori/smartcn dictionary-segmentation seam,
+    # lucene/analysis/{kuromoji,nori,smartcn}; see analysis/tokenizer.py)
+    dict_lexicon: tuple = ()
     # analysis chain after the tokenizer (the TokenFilter zoo seam): a tuple
     # of JSON-able specs — ("porter_stem",), ("ascii_fold",),
     # ("synonyms", {term: [syn, ...]}) — instantiated per Stage-A task via
@@ -129,6 +134,7 @@ class IndexConfig:
         d["keyword_cols"] = list(self.keyword_cols)
         d["path_cols"] = list(self.path_cols)
         d["token_filters"] = [list(s) for s in self.token_filters]
+        d["dict_lexicon"] = list(self.dict_lexicon)
         return d
 
 
@@ -409,6 +415,7 @@ class _StageA:
                     with_offsets=cfg.with_offsets,
                     token_filters=self._filters,
                     grammar=cfg.grammar,
+                    dict_lexicon=cfg.dict_lexicon,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -459,11 +466,19 @@ class _StageA:
                 )
             if cfg.compute_sha256:
                 # per-row content sha256 — the integrity invariant carried
-                # through ingest (north rule). One to_pylist() (bulk
-                # conversion), not per-row scalar boxing.
+                # through ingest (north rule). Hash the Arrow UTF-8 data
+                # buffer slices directly (zero string materialization —
+                # sha256(utf8 bytes) == sha256(s.encode()) by definition);
+                # the sha C work is inherent, the copies were not.
                 ca = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+                bufs = ca.buffers()
+                offs_a = np.frombuffer(bufs[1], dtype=np.int32)[
+                    ca.offset: ca.offset + len(ca) + 1
+                ]
+                mv = memoryview(bufs[2])
                 docmap_cols["sha256"] = pa.array(
-                    [hashlib.sha256(s.encode()).hexdigest() for s in ca.to_pylist()],
+                    [hashlib.sha256(mv[offs_a[i]:offs_a[i + 1]]).hexdigest()
+                     for i in range(n)],
                     pa.string(),
                 )
             docmap_cols["length"] = pa.array(lengths.astype(np.uint32), pa.uint32())

@@ -44,6 +44,7 @@ def tokenize_column(
     stopwords: frozenset[str] | None = None,
     with_offsets: bool = False,
     grammar: str = "code",
+    dict_lexicon: tuple = (),
 ) -> tuple:
     """Tokenize a string column. Returns (flat_tokens, doc_idx, positions),
     plus (start_chars, end_chars) when ``with_offsets`` — per-token CHARACTER
@@ -65,6 +66,9 @@ def tokenize_column(
     if grammar == "uax29":
         return _tokenize_column_uax29(contents, max_token_length, stopwords,
                                       with_offsets)
+    if grammar == "dict":
+        return _tokenize_column_dict(contents, max_token_length, stopwords,
+                                     with_offsets, dict_lexicon)
     if grammar != "code":
         raise ValueError(f"unknown tokenizer grammar {grammar!r}")
     n_docs = len(contents)
@@ -185,6 +189,107 @@ def tokenize_column(
 
     if with_offsets:
         return flat, doc_idx, positions, start_chars, end_chars
+    return flat, doc_idx, positions
+
+
+def _tokenize_column_dict(
+    contents: pa.Array,
+    max_token_length: int,
+    stopwords: frozenset[str] | None,
+    with_offsets: bool,
+    dict_lexicon: tuple,
+) -> tuple:
+    """dict-grammar column tokenization: uax29 first, then MaxMatch merging
+    of ideographic runs against the configured lexicon (the kuromoji/nori/
+    smartcn dictionary-segmentation seam; analysis/tokenizer.py). Docs with
+    no ideographs pass through the vectorized uax29/code kernels untouched;
+    only CJK-bearing docs take the per-run Python merge (work bounded by
+    the corpus's CJK token count)."""
+    from lucene_ray.analysis.tokenizer import (
+        CLS_IDEO,
+        codepoint_class,
+        merge_ideo_tokens,
+    )
+
+    flat, doc_idx, positions, sc, ec = _tokenize_column_uax29(
+        contents, max_token_length, None, True
+    )
+    n = len(flat)
+    if n:
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vocab = d.dictionary.to_pylist()
+        v_ideo = np.array(
+            [len(t) == 1 and codepoint_class(ord(t)) == CLS_IDEO for t in vocab],
+            dtype=bool,
+        )
+        ideo = v_ideo[np.asarray(d.indices, dtype=np.int64)]
+    else:
+        ideo = np.zeros(0, dtype=bool)
+    if ideo.any():
+        lex = frozenset(dict_lexicon)
+        max_word = max((len(w) for w in lex), default=1)
+        doc64 = np.asarray(doc_idx, dtype=np.int64)
+        sc64 = np.asarray(sc, dtype=np.int64)
+        ec64 = np.asarray(ec, dtype=np.int64)
+        cjk_docs = np.unique(doc64[ideo])
+        in_cjk = np.isin(doc64, cjk_docs)
+        keep = ~in_cjk
+        toks_all = flat.to_pylist()
+        new_t: list[str] = []
+        new_doc: list[int] = []
+        new_s: list[int] = []
+        new_e: list[int] = []
+        idxs = np.flatnonzero(in_cjk)
+        i = 0
+        while i < len(idxs):
+            j = i
+            doc = doc64[idxs[i]]
+            while j < len(idxs) and doc64[idxs[j]] == doc:
+                j += 1
+            sel = idxs[i:j]
+            t, s, e = merge_ideo_tokens(
+                [toks_all[k] for k in sel],
+                [int(sc64[k]) for k in sel],
+                [int(ec64[k]) for k in sel],
+                lex, max_word,
+            )
+            new_t.extend(t)
+            new_doc.extend([int(doc)] * len(t))
+            new_s.extend(s)
+            new_e.extend(e)
+            i = j
+        flat = pa.concat_arrays([
+            flat.filter(pa.array(keep)).cast(pa.string()),
+            pa.array(new_t, pa.string()),
+        ])
+        doc_idx = np.concatenate([doc64[keep], np.asarray(new_doc, np.int64)])
+        sc64 = np.concatenate([sc64[keep], np.asarray(new_s, np.int64)])
+        ec64 = np.concatenate([ec64[keep], np.asarray(new_e, np.int64)])
+        # restore (doc, char-start) global order, renumber positions per doc
+        order = np.lexsort((sc64, doc_idx))
+        flat = flat.take(pa.array(order, pa.int64()))
+        doc_idx = doc_idx[order].astype(np.int32)
+        sc, ec = sc64[order], ec64[order]
+        n_docs = len(contents)
+        counts = np.bincount(doc_idx, minlength=n_docs)
+        doc_first = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=doc_first[1:])
+        positions = (
+            np.arange(len(doc_idx), dtype=np.int64) - doc_first[doc_idx]
+        ).astype(np.int32)
+    if stopwords:
+        stop_arr = pa.array(sorted(stopwords), type=pa.string())
+        is_stop = np.asarray(pc.is_in(flat, value_set=stop_arr))
+        keep2 = ~is_stop
+        flat = flat.filter(pa.array(keep2))
+        doc_idx = np.asarray(doc_idx)[keep2]
+        positions = np.asarray(positions)[keep2]
+        sc = np.asarray(sc)[keep2]
+        ec = np.asarray(ec)[keep2]
+    if with_offsets:
+        return flat, doc_idx, positions, sc, ec
     return flat, doc_idx, positions
 
 
@@ -365,6 +470,7 @@ def invert_partition(
     with_offsets: bool = False,
     token_filters: tuple = (),
     grammar: str = "code",
+    dict_lexicon: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -386,11 +492,12 @@ def invert_partition(
     if with_offsets:
         flat, doc_idx, positions, start_chars, end_chars = tokenize_column(
             contents, max_token_length, stopwords, with_offsets=True,
-            grammar=grammar,
+            grammar=grammar, dict_lexicon=dict_lexicon,
         )
     else:
         flat, doc_idx, positions = tokenize_column(
-            contents, max_token_length, stopwords, grammar=grammar
+            contents, max_token_length, stopwords, grammar=grammar,
+            dict_lexicon=dict_lexicon,
         )
 
     lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)

@@ -448,8 +448,16 @@ class IndexReader:
         """Materialize docmap rows for specific global doc ids (point gets:
         read only the pids involved, then filter)."""
         ids = np.asarray(global_ids, dtype=np.uint64)
-        pids = np.unique((ids >> np.uint64(32)).astype(np.int64))
         cols = columns if columns is None else list(dict.fromkeys(["doc_id", *columns]))
+        if len(ids) == 0:
+            schema = pq.ParquetFile(
+                docmap_path(self.index_dir, self.manifest.partitions[0]["pid"])
+            ).schema_arrow
+            want = cols if cols is not None else schema.names
+            return pa.table({
+                c: pa.array([], schema.field(c).type) for c in want
+            })
+        pids = np.unique((ids >> np.uint64(32)).astype(np.int64))
         parts = [
             pq.read_table(docmap_path(self.index_dir, int(pid)), columns=cols)
             for pid in pids

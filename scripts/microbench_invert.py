@@ -66,14 +66,92 @@ def run_level(n_procs: int, rows: int, reps: int, slice_docs: int) -> float:
     return n_procs * rows * reps / wall  # aggregate docs/sec
 
 
+def _body_worker(specs, out_root, barrier, outq) -> None:
+    """Full Stage-A body (read + invert + sha + bucket + write) on disjoint
+    partitions, NO Ray — the exact per-task work of the pipeline's ingest
+    stage. If the pipeline's Stage A matches this level-for-level, Ray adds
+    zero overhead and any efficiency shortfall is the host's memory path
+    on the body's (IO + allocation) profile, which is heavier than the
+    cache-friendly pure-invert kernel above."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    import pyarrow as pa
+
+    from lucene_ray.index.build import IndexConfig, _StageA
+
+    cfg = IndexConfig(partitions_per_segment=8)
+    sa = _StageA(cfg, out_root)
+    batch = pa.Table.from_pylist(specs)
+    sa(batch)  # untimed warm-up pass (pages, code paths)
+    barrier.wait()
+    t0 = time.time()
+    sa(batch)
+    outq.put((sum(s["num_rows"] for s in specs), time.time() - t0))
+
+
+def run_body_level(n_procs: int, corpus: str) -> float:
+    import shutil
+
+    from lucene_ray.index.build import IndexConfig, plan_partitions
+
+    import pyarrow.parquet as pq
+
+    total_rows = pq.ParquetFile(corpus).metadata.num_rows
+    n_parts = int(os.environ.get("BENCH_PARTS", "32"))
+    cfg = IndexConfig(
+        target_rows_per_partition=max(1000, total_rows // n_parts),
+        partitions_per_segment=8,
+    )
+    specs = plan_partitions([corpus], cfg)
+    out_root = f"/tmp/lucene_ray_bench/microbody_{n_procs}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    chunks = [specs[i::n_procs] for i in range(n_procs)]
+    chunks = [c for c in chunks if c]
+    barrier = mp.Barrier(len(chunks))
+    out_q = mp.Queue()
+    procs = [
+        mp.Process(target=_body_worker, args=(c, out_root, barrier, out_q))
+        for c in chunks
+    ]
+    for p in procs:
+        p.start()
+    res = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    rows_total = sum(r[0] for r in res)
+    wall = max(r[1] for r in res)
+    return rows_total / wall
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--slice", type=int, default=1024)
     ap.add_argument("--levels", type=str, default="2,8,32")
+    ap.add_argument("--body", action="store_true",
+                    help="run the full Stage-A body over the bench corpus "
+                         "instead of the pure invert kernel")
+    ap.add_argument("--corpus", type=str, default="")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+
+    if args.body:
+        corpus = args.corpus
+        if not corpus:
+            rows = int(os.environ.get("BENCH_CORPUS_ROWS", "300000"))
+            corpus = f"/tmp/lucene_ray_bench/corpus_{rows}.parquet"
+        results = {str(n): round(run_body_level(n, corpus), 1) for n in levels}
+        out = {
+            "metric": "stage_a_body_docs_per_sec_multiprocessing",
+            "note": "full Stage-A body (read+invert+sha+bucket+write), no Ray",
+            "corpus": corpus,
+            "docs_per_sec": results,
+        }
+        if "8" in results and "32" in results:
+            out["eff_8_32"] = round(results["32"] / results["8"] / 4, 3)
+        print(json.dumps(out))
+        return
 
     results: dict[str, float] = {}
     # best-of-2 interleaved, mirroring bench.py --scaling protocol

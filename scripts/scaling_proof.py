@@ -60,28 +60,60 @@ def micro_dps(ncpu: int) -> float:
     return float(r["docs_per_sec"][str(ncpu)])
 
 
+def body_dps(ncpu: int) -> float:
+    """Full Stage-A body under plain multiprocessing — the no-Ray twin of
+    the pipeline's ingest stage (identical per-task work). Pipeline-vs-body
+    is the zero-overhead test; body-vs-kernel shows how much of the
+    efficiency gap is the host's memory path on the body's IO+allocation
+    profile rather than anything the engine does."""
+    env = dict(os.environ, BENCH_CORPUS_ROWS=str(PROOF_ROWS))
+    r = _run_json(
+        [sys.executable, os.path.join(REPO, "scripts", "microbench_invert.py"),
+         "--body", "--levels", str(ncpu)],
+        env,
+    )
+    return float(r["docs_per_sec"][str(ncpu)])
+
+
 def one_round(rnd: int) -> dict:
     levels = [8, 32] if rnd % 2 == 0 else [32, 8]
     pipe: dict[str, float] = {}
     micro: dict[str, float] = {}
+    body: dict[str, float] = {}
+    stage_a: dict[str, float] = {}
     stages: dict[str, dict] = {}
     for n in levels:
         r = pipeline_dps(n)
         pipe[str(n)] = float(r["docs_per_sec"])
         stages[str(n)] = r.get("stage_seconds", {})
+        sa = stages[str(n)].get("A_invert")
+        if sa:
+            stage_a[str(n)] = round(PROOF_ROWS / sa, 1)
         micro[str(n)] = micro_dps(n)
+        body[str(n)] = body_dps(n)
     pipe_eff = pipe["32"] / pipe["8"] / 4
     micro_eff = micro["32"] / micro["8"] / 4
-    return {
+    body_eff = body["32"] / body["8"] / 4
+    out = {
         "metric": "scaling_proof_interleaved",
         "corpus_rows": PROOF_ROWS,
         "pipeline_docs_per_sec": pipe,
         "micro_docs_per_sec": micro,
+        "body_docs_per_sec": body,
+        "stage_a_docs_per_sec": stage_a,
         "pipeline_eff_8_32": round(pipe_eff, 3),
         "micro_eff_8_32": round(micro_eff, 3),
+        "body_eff_8_32": round(body_eff, 3),
         "ratio_pipeline_over_micro": round(pipe_eff / micro_eff, 3) if micro_eff else None,
+        "ratio_pipeline_over_body": round(pipe_eff / body_eff, 3) if body_eff else None,
         "stage_seconds": stages,
     }
+    if stage_a.get("8") and stage_a.get("32"):
+        # Ray Stage A vs the identical no-Ray body: the zero-overhead test
+        a_eff = stage_a["32"] / stage_a["8"] / 4
+        out["stage_a_eff_8_32"] = round(a_eff, 3)
+        out["ratio_stage_a_over_body"] = round(a_eff / body_eff, 3) if body_eff else None
+    return out
 
 
 def main() -> None:
