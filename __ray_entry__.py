@@ -1097,6 +1097,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
             "WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"
         ),
+        # deterministic md5-keyed sample (rate = 0x1a/256): DuckDB's md5()
+        # replicates row membership exactly; l_quantity is integer-valued so
+        # the double mean is order-independent and exact on both sides
+        "sampled_avg_quantity": (
+            "SELECT round(avg(l_quantity), 4) AS avg_qty_sampled FROM lineitem "
+            "WHERE substr(md5(l_orderkey::VARCHAR || '_' || "
+            "l_linenumber::VARCHAR), 1, 2) < '1a'"
+        ),
         "filter_high_value_orders": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 "

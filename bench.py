@@ -178,12 +178,25 @@ def run_build_only(num_cpus: int) -> dict:
         manifest = build_index(corpus, index_dir, cfg, resume=False)
         build_sec = time.time() - t0
         assert manifest.doc_count == BENCH_CORPUS_ROWS
+        # per-partition Stage-A wall ms: separates uniform slowdown (median
+        # shifts) from straggler skew (max >> median) in the scaling proof
+        task_ms = sorted(m.get("ms", 0) for m in manifest.partials_done.values())
+        dist = {}
+        if task_ms:
+            dist = {
+                "p50": task_ms[len(task_ms) // 2],
+                "p90": task_ms[int(len(task_ms) * 0.9)],
+                "max": task_ms[-1],
+                "sum": sum(task_ms),
+                "n": len(task_ms),
+            }
         return {
             "metric": "index_build_sec", "value": round(build_sec, 2),
             "unit": "sec", "num_cpus": num_cpus,
             "corpus_rows": BENCH_CORPUS_ROWS,
             "docs_per_sec": round(BENCH_CORPUS_ROWS / build_sec, 1),
             "stage_seconds": manifest.stats.get("stage_seconds", {}),
+            "stage_a_task_ms": dist,
         }
     finally:
         ray.shutdown()

@@ -47,6 +47,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import asdict, dataclass, field
 
 import numpy as np
@@ -377,8 +378,9 @@ class _StageA:
             _tune_allocators()
             self._tuned = True
         cfg = self.cfg
-        out = {"pid": [], "rows": [], "tokens": [], "terms": []}
+        out = {"pid": [], "rows": [], "tokens": [], "terms": [], "sec": []}
         for spec in batch.to_pylist():
+            _spec_t0 = time.time()
             pid = spec["pid"]
             block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
@@ -510,6 +512,9 @@ class _StageA:
             out["rows"].append(n)
             out["tokens"].append(int(lengths.sum()))
             out["terms"].append(len(partials))
+            # per-partition wall ms: lets the scaling harness separate
+            # "every task slower" (host/memory) from "stragglers" (skew)
+            out["sec"].append(int((time.time() - _spec_t0) * 1000))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
@@ -870,6 +875,7 @@ def build_index(
                     "rows": row["rows"],
                     "tokens": row["tokens"],
                     "terms": row["terms"],
+                    "ms": row.get("sec", 0),
                 }
             manifest.save()
 

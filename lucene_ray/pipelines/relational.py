@@ -227,12 +227,31 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def sampled_avg_quantity(sf_dir: str, fraction: float = 0.1, seed: int = 7) -> pa.Table:
-    """Sampled aggregate (RandomSamplingFacetsCollector analog): mean
-    l_quantity over a seeded random sample. Deterministic for a fixed seed
-    and block layout but not SQL-expressible -> rows-only check."""
-    ds = _read(sf_dir, "lineitem", ["l_quantity"]).random_sample(fraction, seed=seed)
-    mean = ds.mean("l_quantity")
+def sampled_avg_quantity(sf_dir: str, hex_lt: str = "1a") -> pa.Table:
+    """Sampled aggregate (RandomSamplingFacetsCollector analog,
+    facet/sampling): mean l_quantity over a deterministic pseudo-random
+    sample. The sample is keyed by md5 of the row key (l_orderkey,
+    l_linenumber) — hex prefix < ``hex_lt`` (default "1a" ~ 10.2%) — so
+    membership is independent of block layout / worker count / run, and
+    the exact same predicate is expressible in DuckDB (md5()) for a full
+    value-hash oracle. Streaming map_batches filter, no shuffle; l_quantity
+    is integer-valued so the double sum (hence the mean) is exact on both
+    sides."""
+    import hashlib
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_pylist()
+        ln = batch.column("l_linenumber").to_pylist()
+        mask = pa.array(
+            [hashlib.md5(f"{o}_{l}".encode()).hexdigest()[:2] < hex_lt
+             for o, l in zip(ok, ln)],
+            pa.bool_(),
+        )
+        return batch.filter(mask).select(["l_quantity"])
+
+    mean = ds.map_batches(keep, batch_format="pyarrow").mean("l_quantity")
     return pa.table({"avg_qty_sampled": pa.array([round(float(mean), 4)], pa.float64())})
 
 

@@ -85,11 +85,12 @@ def _body_worker(specs, out_root, barrier, outq) -> None:
     sa(batch)  # untimed warm-up pass (pages, code paths)
     barrier.wait()
     t0 = time.time()
-    sa(batch)
-    outq.put((sum(s["num_rows"] for s in specs), time.time() - t0))
+    res = sa(batch)
+    ms = res.column("sec").to_pylist() if "sec" in res.column_names else []
+    outq.put((sum(s["num_rows"] for s in specs), time.time() - t0, ms))
 
 
-def run_body_level(n_procs: int, corpus: str) -> float:
+def run_body_level(n_procs: int, corpus: str) -> tuple:
     import shutil
 
     from lucene_ray.index.build import IndexConfig, plan_partitions
@@ -120,7 +121,13 @@ def run_body_level(n_procs: int, corpus: str) -> float:
         p.join()
     rows_total = sum(r[0] for r in res)
     wall = max(r[1] for r in res)
-    return rows_total / wall
+    all_ms = sorted(m for r in res for m in r[2])
+    dist = {}
+    if all_ms:
+        dist = {"p50": all_ms[len(all_ms) // 2],
+                "p90": all_ms[int(len(all_ms) * 0.9)],
+                "max": all_ms[-1], "sum": sum(all_ms), "n": len(all_ms)}
+    return rows_total / wall, dist
 
 
 def main() -> None:
@@ -141,12 +148,14 @@ def main() -> None:
         if not corpus:
             rows = int(os.environ.get("BENCH_CORPUS_ROWS", "300000"))
             corpus = f"/tmp/lucene_ray_bench/corpus_{rows}.parquet"
-        results = {str(n): round(run_body_level(n, corpus), 1) for n in levels}
+        pairs = {str(n): run_body_level(n, corpus) for n in levels}
+        results = {k: round(v[0], 1) for k, v in pairs.items()}
         out = {
             "metric": "stage_a_body_docs_per_sec_multiprocessing",
             "note": "full Stage-A body (read+invert+sha+bucket+write), no Ray",
             "corpus": corpus,
             "docs_per_sec": results,
+            "task_ms": {k: v[1] for k, v in pairs.items()},
         }
         if "8" in results and "32" in results:
             out["eff_8_32"] = round(results["32"] / results["8"] / 4, 3)

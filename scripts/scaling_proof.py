@@ -60,7 +60,7 @@ def micro_dps(ncpu: int) -> float:
     return float(r["docs_per_sec"][str(ncpu)])
 
 
-def body_dps(ncpu: int) -> float:
+def body_dps(ncpu: int) -> tuple:
     """Full Stage-A body under plain multiprocessing — the no-Ray twin of
     the pipeline's ingest stage (identical per-task work). Pipeline-vs-body
     is the zero-overhead test; body-vs-kernel shows how much of the
@@ -72,7 +72,8 @@ def body_dps(ncpu: int) -> float:
          "--body", "--levels", str(ncpu)],
         env,
     )
-    return float(r["docs_per_sec"][str(ncpu)])
+    return (float(r["docs_per_sec"][str(ncpu)]),
+            r.get("task_ms", {}).get(str(ncpu), {}))
 
 
 def one_round(rnd: int) -> dict:
@@ -82,15 +83,18 @@ def one_round(rnd: int) -> dict:
     body: dict[str, float] = {}
     stage_a: dict[str, float] = {}
     stages: dict[str, dict] = {}
+    task_ms: dict[str, dict] = {}
+    body_ms: dict[str, dict] = {}
     for n in levels:
         r = pipeline_dps(n)
         pipe[str(n)] = float(r["docs_per_sec"])
         stages[str(n)] = r.get("stage_seconds", {})
+        task_ms[str(n)] = r.get("stage_a_task_ms", {})
         sa = stages[str(n)].get("A_invert")
         if sa:
             stage_a[str(n)] = round(PROOF_ROWS / sa, 1)
         micro[str(n)] = micro_dps(n)
-        body[str(n)] = body_dps(n)
+        body[str(n)], body_ms[str(n)] = body_dps(n)
     pipe_eff = pipe["32"] / pipe["8"] / 4
     micro_eff = micro["32"] / micro["8"] / 4
     body_eff = body["32"] / body["8"] / 4
@@ -107,6 +111,8 @@ def one_round(rnd: int) -> dict:
         "ratio_pipeline_over_micro": round(pipe_eff / micro_eff, 3) if micro_eff else None,
         "ratio_pipeline_over_body": round(pipe_eff / body_eff, 3) if body_eff else None,
         "stage_seconds": stages,
+        "stage_a_task_ms": task_ms,
+        "body_task_ms": body_ms,
     }
     if stage_a.get("8") and stage_a.get("32"):
         # Ray Stage A vs the identical no-Ray body: the zero-overhead test
