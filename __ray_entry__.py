@@ -1097,6 +1097,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
             "WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"
         ),
+        # GPT-2-style pretokenization count: DuckDB's RE2 implements the
+        # identical leftmost-first alternation, verified mismatch-free
+        # against Python re on every doc
+        "text_bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+            ")) AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
         # deterministic md5-keyed sample (rate = 0x1a/256): DuckDB's md5()
         # replicates row membership exactly; l_quantity is integer-valued so
         # the double mean is order-independent and exact on both sides

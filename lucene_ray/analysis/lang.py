@@ -3,8 +3,8 @@
 Lucene ships ~40 per-language analyzers in analysis/common
 (``org.apache.lucene.analysis.{en,fr,de,es,it}.*Analyzer``), each a chain of
 tokenizer → lowercase → stopwords → (elision) → stemmer. This module provides
-the same shape for five languages over the engine's pinned ASCII tokenizer
-grammar:
+the same shape for nine languages (en fr de es it pt sv no cs) over the
+engine's pinned ASCII tokenizer grammar:
 
 - **stopword sets** — compact versions of the classic public-domain function-
   word lists the Snowball project distributes (behavioral reference:
@@ -81,6 +81,46 @@ STOPWORDS: dict[str, frozenset] = {
         quella quelle quello questa queste questo qui se sei si sia siamo
         sono sotto su sua sue sugli sui sul sulla suo tra tu tua tue tuo un
         una uno voi vostro d l un qu c s n m t v"""
+        .split()
+    ),
+    "pt": frozenset(
+        """a ao aos as com como da das de dela dele deles demais do dos e ela
+        elas ele eles em entre era essa essas esse esses esta estas este
+        estes eu foi for isso isto ja la mais mas me mesmo meu minha muito na
+        nao nas nem no nos nossa nosso num numa o os ou para pela pelas pelo
+        pelos por qual quando que quem se sem ser seu seus so sua suas tambem
+        te tem teu tu tua tudo um uma voce vos"""
+        .split()
+    ),
+    "sv": frozenset(
+        """alla allt att av blev bli blir da de dem den denna deras dess det
+        detta dig din dina ditt du dar efter ej eller en er era ert ett fran
+        for ha hade han hans har hon honom hur har i icke ingen inom inte jag
+        ju kan kunde man med mellan men mig min mina mitt mot mycket ni nu
+        nar och om oss pa samma sedan sig sin sina sitta sjalv skulle som sa
+        sadan till under upp ut utan vad var vara varfor varit varje vars
+        vart vem vi vid vilken"""
+        .split()
+    ),
+    "no": frozenset(
+        """alle at av bare begge ble da de dem den denne der dere deres det
+        dette du eller en er et etter for fra ha hadde han hans har henne
+        hennes her hun hva hvem hvis hvor i ikke ingen inn jeg kan kun la
+        man med meg mellom men mer mest min mitt mot mye na noen noe og om
+        opp oss over pa sa seg selv sin sitt skal skulle som til ut uten var
+        vi vil ville vore vart"""
+        .split()
+    ),
+    "cs": frozenset(
+        """a aby ale ani az bez bude budem budes by byl byla byli bylo byt co
+        coz cz dalsi do ho i ja jak jake je jeho jej jeji jejich jen jeste ji
+        jine jiz jsem jses jsme jsou jste k kam kde kdo kdyz ke ktera ktere
+        kteri kterou ktery ma mate me mezi mi mit muj muze my na nad nam nas
+        nasi ne nebo nejsou neni nez nic nove novy o od ode on ona oni ono
+        pak po pod podle pokud pouze prave pred pres pri pro proc proto
+        protoze prvni pta s se si sve svych svym ta tak take tato te tedy
+        tema ten tento teto tim timto to tohle toho tomto tomu tu tuto ty
+        tyto u uz v vam vas vase ve vice vsak z za zde ze"""
         .split()
     ),
 }
@@ -171,12 +211,99 @@ def italian_light_stem(t: str) -> str:
     return t
 
 
+def portuguese_minimal_stem(t: str) -> str:
+    """Plural-only Portuguese reduction (PortugueseMinimalStemmer.java
+    shape — RSLP step 1, Orengo & Huyck 2001, folded-ASCII spellings):
+    words >= 4 chars ending in 's'; map the classic plural classes
+    'oes'/'aes' -> 'ao', 'ais' -> 'al', 'eis' -> 'el', 'ois' -> 'ol',
+    'ns' -> 'm' ("limoes"->"limao", "animais"->"animal", "bons"->"bom"),
+    keep '-ss' words, else drop the final 's'."""
+    if len(t) < 4 or t[-1] != "s":
+        return t
+    if len(t) >= 6 and (t.endswith("oes") or t.endswith("aes")):
+        return t[:-3] + "ao"
+    if len(t) >= 5 and t.endswith("ais"):
+        return t[:-3] + "al"
+    if len(t) >= 5 and t.endswith("eis"):
+        return t[:-3] + "el"
+    if len(t) >= 5 and t.endswith("ois"):
+        return t[:-3] + "ol"
+    if t.endswith("ns"):
+        return t[:-2] + "m"
+    if t[-2] == "s":  # "-ss" class kept, like the English s-stemmer
+        return t
+    return t[:-1]
+
+
+def swedish_light_stem(t: str) -> str:
+    """Light Swedish stemmer (SwedishLightStemmer.java shape, from Savoy's
+    CLEF work): strip a final genitive/plural 's' (len > 4), then ONE
+    definite/plural ending by descending length — 4-char 'arna'/'erna'/
+    'orna'/'ande'/'arne'/'aste' (len > 6), 3-char 'are'/'ast'/'het'
+    (len > 5), 2-char 'ar'/'er'/'or'/'en'/'at'/'te'/'et' (len > 4), else a
+    single final 'e'/'n'/'t'/'a' (len > 3). ("flickorna"->"flick",
+    "husen"->"hus", "bilar"->"bil")."""
+    if len(t) > 4 and t[-1] == "s":
+        t = t[:-1]
+    if len(t) > 6 and t[-4:] in ("arna", "erna", "orna", "ande", "arne", "aste"):
+        return t[:-4]
+    if len(t) > 5 and t[-3:] in ("are", "ast", "het"):
+        return t[:-3]
+    if len(t) > 4 and t[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return t[:-2]
+    if len(t) > 3 and t[-1] in "enta":
+        return t[:-1]
+    return t
+
+
+def norwegian_minimal_stem(t: str) -> str:
+    """Minimal Norwegian stemmer (NorwegianMinimalStemmer.java shape):
+    plural/definite reduction only — strip 'ene'/'ane'/'ede' (len > 5),
+    then 'er'/'en'/'et'/'ar' (len > 4), then a final 'a'/'e' (len > 3),
+    one rule applied ("husene"->"hus", "bilen"->"bil", "jenta"->"jent")."""
+    if len(t) > 5 and t[-3:] in ("ene", "ane", "ede"):
+        return t[:-3]
+    if len(t) > 4 and t[-2:] in ("er", "en", "et", "ar"):
+        return t[:-2]
+    if len(t) > 3 and t[-1] in "ae":
+        return t[:-1]
+    return t
+
+
+def czech_light_stem(t: str) -> str:
+    """Light Czech stemmer (CzechStemmer.java shape, Dolamic & Savoy 2009,
+    folded-ASCII spellings): remove ONE case ending by descending length —
+    5-char 'atech' (len > 7); 4-char 'etem'/'atum' (len > 6); 3-char
+    'ech'/'ich'/'ych'/'emi'/'ete'/'eti'/'iho'/'imu'/'aty'/'ama'/'ami'/
+    'ove'/'ovi'/'ymi' (len > 5); 2-char 'em'/'es'/'um'/'uv'/'at'/'am'/
+    'os'/'us'/'ym'/'mi'/'ou'/'ej' (len > 4); 1-char vowel or 'y'/'u'
+    (len > 3). ("zenami"->"zen", "hradem"->"hrad")."""
+    if len(t) > 7 and t.endswith("atech"):
+        return t[:-5]
+    if len(t) > 6 and t[-4:] in ("etem", "atum"):
+        return t[:-4]
+    if len(t) > 5 and t[-3:] in ("ech", "ich", "ych", "emi", "ete", "eti",
+                                 "iho", "imu", "aty", "ama", "ami", "ove",
+                                 "ovi", "ymi"):
+        return t[:-3]
+    if len(t) > 4 and t[-2:] in ("em", "es", "um", "uv", "at", "am", "os",
+                                 "us", "ym", "mi", "ou", "ej"):
+        return t[:-2]
+    if len(t) > 3 and t[-1] in "aeiouy":
+        return t[:-1]
+    return t
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
     "de": german_minimal_stem,
     "es": spanish_light_stem,
     "it": italian_light_stem,
+    "pt": portuguese_minimal_stem,
+    "sv": swedish_light_stem,
+    "no": norwegian_minimal_stem,
+    "cs": czech_light_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))

@@ -113,3 +113,59 @@ def test_invert_with_language_pack():
     assert t.column("df")[i].as_py() == 2
     # stopwords dropped BEFORE counting lengths (position holes kept)
     assert list(lengths) == [2, 1]
+
+
+def test_portuguese_minimal_stem():
+    from lucene_ray.analysis.lang import portuguese_minimal_stem as pt
+
+    assert pt("limoes") == "limao"
+    assert pt("animais") == "animal"
+    assert pt("papeis") == "papel"
+    assert pt("lencois") == "lencol"
+    assert pt("bons") == "bom"
+    assert pt("casas") == "casa"
+    assert pt("atras") == "atra"     # plain -s strip
+    assert pt("mes") == "mes"        # too short
+    assert pt("gato") == "gato"      # no final s
+
+
+def test_swedish_light_stem():
+    from lucene_ray.analysis.lang import swedish_light_stem as sv
+
+    assert sv("flickorna") == "flick"
+    assert sv("husen") == "hus"
+    assert sv("bilar") == "bil"
+    assert sv("pojkens") == "pojk"   # genitive s, then -en
+    assert sv("stolarna") == "stol"
+    assert sv("hus") == "hus"
+
+
+def test_norwegian_minimal_stem():
+    from lucene_ray.analysis.lang import norwegian_minimal_stem as no
+
+    assert no("husene") == "hus"
+    assert no("bilen") == "bil"
+    assert no("jenta") == "jent"
+    assert no("guttane") == "gutt"
+    assert no("bok") == "bok"
+
+
+def test_czech_light_stem():
+    from lucene_ray.analysis.lang import czech_light_stem as cs
+
+    assert cs("zenami") == "zen"
+    assert cs("hradem") == "hrad"
+    assert cs("mestech") == "mest"
+    assert cs("okna") == "okn"
+    assert cs("dum") == "dum"        # len 3 untouched
+
+
+def test_new_packs_round_trip():
+    pt = analyzer_for("pt")
+    assert pt("os limoes e as casas") == ["limao", "casa"]
+    sv = analyzer_for("sv")
+    assert sv("de stora husen och bilar") == ["stor", "hus", "bil"]
+    no = analyzer_for("no")
+    assert no("de fine husene og bilen") == ["fin", "hus", "bil"]
+    cs = analyzer_for("cs")
+    assert cs("ty velke hrady a zenami") == ["velk", "hrad", "zen"]
