@@ -341,6 +341,31 @@ def docmap_path(index_dir: str, pid: int) -> str:
     return os.path.join(index_dir, "docmap", f"pid={pid:06d}.parquet")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_probe_ramp():
+    """Disable Ray Data's per-operator resource reservation around the build
+    stages. The streaming executor's reservation policy holds an operator to
+    ONE task until the first task completes (it needs an observed output
+    size to budget object-store memory). Both build stages emit tiny,
+    statically-known outputs (a metrics row per partition; postings go to
+    storage directly), so the probe buys nothing — and on a single-wave
+    stage (task count == CPU count, the fixed-cluster bench shape) it adds
+    one full task duration of dead ramp (~40% of stage wall measured at 32
+    CPUs). At real scale (many waves per stage) the probe would amortize,
+    but the memory-safety it provides is equally moot here: per-task output
+    is O(KB), not O(block)."""
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
+    try:
+        yield
+    finally:
+        ctx.op_resource_reservation_enabled = saved
+
+
 def _tune_allocators() -> None:
     """Keep freed pages resident in long-lived workers: Arrow's jemalloc
     decay off (pages retained for reuse). Fresh page faults are expensive on
@@ -379,19 +404,32 @@ class _StageA:
             self._tuned = True
         cfg = self.cfg
         out = {"pid": [], "rows": [], "tokens": [], "terms": [], "sec": []}
+        # env-gated sub-phase profile (scripts/diag_stage_a.py): appends one
+        # JSON line per partition to $STAGEA_PROFILE/<pid-of-process>.jsonl
+        _prof_dir = os.environ.get("STAGEA_PROFILE")
         for spec in batch.to_pylist():
-            _spec_t0 = time.time()
+            _prof: dict = {}
+            _pt = time.time()
+            _spec_t0 = _pt
             pid = spec["pid"]
             block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
                 [*cfg.id_cols, *block, *cfg.index_sort, *cfg.keyword_cols,
                  *cfg.path_cols, cfg.content_col]
             ))
+            def _mark(name: str) -> None:
+                nonlocal _pt
+                if _prof_dir is not None:
+                    now = time.time()
+                    _prof[name] = _prof.get(name, 0) + int((now - _pt) * 1000)
+                    _pt = now
+
             pf = pq.ParquetFile(spec["file"])
             tbl = pf.read_row_groups(spec["row_groups"], columns=cols)
             rr = spec.get("row_range")
             if rr:
                 tbl = tbl.slice(rr[0], rr[1] - rr[0])
+            _mark("read")
             sort_cols = [*block, *cfg.index_sort]
             if sort_cols:
                 # stable within-partition sort before doc-id assignment
@@ -422,6 +460,7 @@ class _StageA:
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
                 norm_parts.append(nrms)
+            _mark("invert")
             lengths = (
                 np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64)
             )
@@ -439,6 +478,7 @@ class _StageA:
                                    cfg.with_positions, cfg.with_offsets)
                 )
             partials = merge_partials(slice_tables)
+            _mark("merge")
             n = len(tbl)
             offsets = np.arange(n, dtype=np.uint32)
             doc_ids = (np.uint64(pid) << np.uint64(32)) | offsets.astype(np.uint64)
@@ -483,6 +523,7 @@ class _StageA:
                      for i in range(n)],
                     pa.string(),
                 )
+                _mark("sha")
             docmap_cols["length"] = pa.array(lengths.astype(np.uint32), pa.uint32())
             docmap_cols["norm"] = pa.array(norms, pa.uint8())
             # bounded row groups: the per-row-group min/max stats are the
@@ -491,6 +532,7 @@ class _StageA:
             _atomic_write_table(pa.table(docmap_cols),
                                 docmap_path(self.index_dir, pid),
                                 cfg.compression, row_group_size=8192)
+            _mark("docmap_write")
 
             partials = partials.append_column(
                 "pid", pa.array(np.full(len(partials), pid, dtype=np.int32), pa.int32())
@@ -505,8 +547,19 @@ class _StageA:
             order = pc.sort_indices(
                 partials, sort_keys=[("bucket", "ascending"), ("term", "ascending")]
             )
-            _atomic_write_bucketed(partials.take(order),
+            partials = partials.take(order)
+            _mark("bucket_sort")
+            _atomic_write_bucketed(partials,
                                    partials_path(self.index_dir, pid), cfg.compression)
+            _mark("partials_write")
+            if _prof_dir is not None:
+                _prof["pid"] = pid
+                _prof["t_start"] = round(_spec_t0, 3)
+                _prof["t_end"] = round(time.time(), 3)
+                with open(os.path.join(_prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
+                    import json as _json
+
+                    f.write(_json.dumps(_prof) + "\n")
 
             out["pid"].append(pid)
             out["rows"].append(n)
@@ -865,19 +918,21 @@ def build_index(
         # one block per partition: task count == partition count, so the
         # scheduler balances waves instead of fusing several partitions
         # into one long task (from_items defaults to ~num_cpus blocks)
-        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
-        metrics = ds.map_batches(
-            _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1, num_cpus=1
-        )
-        for batch in metrics.iter_batches(batch_format="pyarrow"):
-            for row in batch.to_pylist():
-                manifest.partials_done[str(row["pid"])] = {
-                    "rows": row["rows"],
-                    "tokens": row["tokens"],
-                    "terms": row["terms"],
-                    "ms": row.get("sec", 0),
-                }
-            manifest.save()
+        with _no_probe_ramp():
+            ds = ray.data.from_items(todo, override_num_blocks=len(todo))
+            metrics = ds.map_batches(
+                _StageA(cfg, index_dir), batch_format="pyarrow", batch_size=1,
+                num_cpus=1,
+            )
+            for batch in metrics.iter_batches(batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    manifest.partials_done[str(row["pid"])] = {
+                        "rows": row["rows"],
+                        "tokens": row["tokens"],
+                        "terms": row["terms"],
+                        "ms": row.get("sec", 0),
+                    }
+                manifest.save()
 
     if todo:
         stage_seconds["A_invert"] = round(_time.time() - _t0, 2)
@@ -1367,14 +1422,15 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
         for s in sorted(seg_pids)
         for b in range(merge_buckets)
     ]
-    metrics = ray.data.from_items(
-        specs, override_num_blocks=len(specs)
-    ).map_batches(
-        _StageCTask(cfg, index_dir, tmp, ctx_ref),
-        batch_format="pyarrow", batch_size=1, num_cpus=1,
-    )
-    for _ in metrics.iter_batches(batch_format="pyarrow"):
-        pass
+    with _no_probe_ramp():
+        metrics = ray.data.from_items(
+            specs, override_num_blocks=len(specs)
+        ).map_batches(
+            _StageCTask(cfg, index_dir, tmp, ctx_ref),
+            batch_format="pyarrow", batch_size=1, num_cpus=1,
+        )
+        for _ in metrics.iter_batches(batch_format="pyarrow"):
+            pass
     if append:
         os.makedirs(postings_dir, exist_ok=True)
         for d in os.listdir(tmp):
