@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- fuzzy suggester (suggest/analyzing.FuzzySuggester shape) ---
         "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
+        # --- did-you-mean (suggest/spell.DirectSpellChecker shape) ---
+        "ft_spellcheck": _q(lambda sf: ft.spellcheck_terms(sf, "par", 5, 2)),
         # --- scalar-quantized ANN (int8 scan + float rescore; rows-only:
         # recall>=0.9 + exact-rescore parity live in tests/test_ann.py) ---
         "ann_ivf_quantized_top10": _q(_ann_ivf_quantized),
@@ -1217,6 +1219,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM toks WHERE tok <> '' GROUP BY tok "
         "HAVING levenshtein('hach', substr(tok, 1, 4)) <= 1 "
         "ORDER BY doc_freq DESC, term LIMIT 10",
+        # DirectSpellChecker: full-term edit distance, dist asc then df desc
+        "ft_spellcheck": _TOKS
+        + "SELECT * FROM (SELECT tok AS term, "
+        "levenshtein('par', tok)::BIGINT AS dist, "
+        "count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        "FROM toks WHERE tok <> '' AND tok <> 'par' GROUP BY tok) "
+        "WHERE dist <= 2 ORDER BY dist, doc_freq DESC, term LIMIT 5",
     }
     # 996 absent-term standing queries prune to zero evaluations per batch;
     # the 4 real ones match exactly as in percolate_matches

@@ -366,6 +366,51 @@ def suggest_fuzzy(sf_dir: str, typed: str, k: int = 10,
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def spellcheck_terms(sf_dir: str, typed: str, k: int = 5,
+                     max_edits: int = 2) -> pa.Table:
+    """Did-you-mean corrections — the DirectSpellChecker analog
+    (lucene/suggest/src/java/org/apache/lucene/search/spell/
+    DirectSpellChecker.java:53): candidate dictionary terms within
+    ``max_edits`` full-term Levenshtein edits of the ANALYZED input
+    (the input itself excluded), ranked by edit distance asc, then
+    doc_freq desc, then term asc — the checker's similarity-then-popularity
+    comparator pinned to unit edit costs. Exactly SQL-checkable via
+    DuckDB's levenshtein(). Scans the (small, pre-aggregated) term
+    dictionary on the driver like every other dictionary op — the postings
+    themselves are never touched."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+    from lucene_ray.index.reader import _levenshtein_within
+
+    reader = documents_index(sf_dir)
+    toks = CodeTokenizer()(typed)
+    typed_t = toks[0] if toks else typed.lower()
+    tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
+    df = tbl.to_pandas()
+    df = df[~df["term"].str.contains(":") & (df["term"] != typed_t)]
+    L = len(typed_t)
+    lens = df["term"].str.len().to_numpy()
+    df = df[abs(lens - L) <= max_edits]
+    dists = []
+    keep = []
+    for t in df["term"]:
+        if _levenshtein_within(typed_t, t, 1):
+            keep.append(True); dists.append(1)
+        elif max_edits >= 2 and _levenshtein_within(typed_t, t, 2):
+            keep.append(True); dists.append(2)
+        else:
+            keep.append(False); dists.append(0)
+    df = df[np.asarray(keep, dtype=bool)]
+    df["dist"] = [d for d, kp in zip(dists, keep) if kp]
+    df["dist"] = df["dist"].astype("int64")
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    df = df.sort_values(["dist", "doc_freq", "term"],
+                        ascending=[True, False, True]).head(k)
+    return pa.Table.from_pandas(
+        df[["term", "dist", "doc_freq"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def phrase_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
     from lucene_ray.search.query import PhraseQuery
 

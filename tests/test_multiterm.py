@@ -96,3 +96,21 @@ def test_count(searcher, oracle):
     for q in [TermQuery("import"), WildcardQuery("uniq_*"),
               BooleanQuery(must=[TermQuery("def"), TermQuery("class")])]:
         assert searcher.count(q) == oracle.search(q, 1)[2]
+
+
+def test_spellcheck_ranking(ray_session):
+    """DirectSpellChecker shape: dist asc, then df desc, then term asc;
+    the typed term itself excluded; max two edits."""
+    from lucene_ray.pipelines.fulltext import spellcheck_terms
+
+    t = spellcheck_terms("/root/testdata/sf0.001", "par", k=5, max_edits=2)
+    terms = t.column("term").to_pylist()
+    dists = t.column("dist").to_pylist()
+    assert terms[0] == "part" and dists[0] == 1
+    assert "par" not in terms
+    assert dists == sorted(dists)
+    # within equal distance, doc_freq non-increasing
+    dfs = t.column("doc_freq").to_pylist()
+    for i in range(1, len(t)):
+        if dists[i] == dists[i - 1]:
+            assert dfs[i] <= dfs[i - 1]
