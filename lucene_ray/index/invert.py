@@ -631,7 +631,8 @@ def shift_doc_offsets(partials: pa.Table, base: int) -> pa.Table:
     )
 
 
-def merge_partials(tables: list[pa.Table]) -> pa.Table:
+def merge_partials(tables: list[pa.Table],
+                   order_by=None) -> pa.Table:
     """Merge per-slice partial-postings tables into one partition table.
 
     Rows for the same term are concatenated in input order (slices are
@@ -642,18 +643,45 @@ def merge_partials(tables: list[pa.Table]) -> pa.Table:
     inverter's working set so worker pages are reused instead of re-faulted
     (crucial on virtualized memory; also the behavior you want under real
     memory pressure at scale).
+
+    ``order_by``: optional callable mapping the unique-term dictionary
+    (a pa.Array of strings) to an integer key per term; output groups are
+    then emitted in ascending (key, term) order instead of first-appearance
+    order. Stage A uses this to fold the map-side shuffle order
+    (crc32-bucket, term) into the ONE take this merge already performs —
+    the standalone (bucket, term) sort+take it replaces was ~15% of Stage-A
+    task time at 32-way concurrency (the take's fresh list-buffer
+    allocations are what saturate the host's memory path).
     """
     tables = [t for t in tables if len(t)]
     if not tables:
         return _empty_partials()
-    if len(tables) == 1:
+    if len(tables) == 1 and order_by is None:
         return tables[0]
     cat = pa.concat_tables(tables).combine_chunks()
     term_dict = cat.column("term").combine_chunks().dictionary_encode()
     tok_ids = np.asarray(term_dict.indices, dtype=np.int64)
-    order = np.argsort(tok_ids, kind="stable")
+    if order_by is not None:
+        d = term_dict.dictionary
+        key = np.asarray(order_by(d), dtype=np.int64)
+        # rank unique terms by (key, term) with the SAME comparator the
+        # old standalone pc.sort_indices used (bytewise UTF-8 ascending)
+        perm = np.asarray(
+            pc.sort_indices(
+                pa.table({"k": pa.array(key), "t": d}),
+                sort_keys=[("k", "ascending"), ("t", "ascending")],
+            ),
+            dtype=np.int64,
+        )
+        rank = np.empty(len(d), dtype=np.int64)
+        rank[perm] = np.arange(len(d), dtype=np.int64)
+        sort_key = rank[tok_ids]
+    else:
+        sort_key = tok_ids
+    order = np.argsort(sort_key, kind="stable")
     cat = cat.take(pa.array(order))
-    t_sorted = tok_ids[order]
+    tok_sorted = tok_ids[order]
+    t_sorted = sort_key[order]
     n = len(t_sorted)
     chg = np.empty(n, dtype=bool)
     chg[0] = True
@@ -704,7 +732,7 @@ def merge_partials(tables: list[pa.Table]) -> pa.Table:
              pa.py_buffer(payload)],
         )
 
-    terms = term_dict.dictionary.take(pa.array(t_sorted[g_starts]))
+    terms = term_dict.dictionary.take(pa.array(tok_sorted[g_starts]))
     return pa.table(
         {
             "term": terms,
