@@ -513,6 +513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_per_nation": _q(rel.orders_per_nation),
         "sort_top_orders": _q(rel.top_orders),
         "events_tumbling_daily": _q(rel.events_tumbling_daily),
+        # --- temporal/windowed custom operators (ops/windows.py) ---
+        "events_sessions": _q(rel.events_sessions),
+        "events_asof_purchase_click": _q(rel.events_asof_purchase_click),
+        "events_signup_followups": _q(rel.events_signup_followups),
         "events_top_users": _q(rel.top_users_by_events),
         "events_distinct_users_per_type": _q(rel.distinct_users_per_type),
         # mergeable per-group HLL (approximate distinct users per type;
@@ -1023,6 +1027,42 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": (
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        # session windows: break when the gap to the previous event of the
+        # same user exceeds 30 min; session_id 0-based per user
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM o) "
+            "SELECT user_id, session_id::BIGINT AS session_id, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, session_id "
+            "ORDER BY user_id, session_id"
+        ),
+        # as-of LEFT join; right side pre-deduped to one row per (user, ts)
+        # by max(event_id) — the engine's deterministic tie-break
+        "events_asof_purchase_click": (
+            "WITH p AS (SELECT event_id, ts, user_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT p.user_id, p.ts, p.event_id, c.ts AS r_ts, "
+            "c.event_id AS r_event_id "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts "
+            "ORDER BY p.user_id, p.ts, p.event_id"
+        ),
+        # banded range join: events strictly after a signup, within 30 min
+        "events_signup_followups": (
+            "SELECT s.user_id, s.event_id, s.ts, e.event_id AS r_event_id, "
+            "e.ts AS r_ts FROM (SELECT * FROM events "
+            "WHERE event_type = 'signup') s JOIN events e "
+            "ON e.user_id = s.user_id AND e.ts > s.ts "
+            "AND e.ts <= s.ts + INTERVAL '30 minutes' "
+            "ORDER BY s.user_id, s.event_id, r_event_id"
         ),
         # discrete quantile: smallest rounded value with cumcount >= ceil(q*n)
         "events_value_quantiles": (

@@ -147,6 +147,51 @@ def events_tumbling_daily(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def events_sessions(sf_dir: str,
+                    gap_us: int = 30 * 60 * 1_000_000) -> pa.Table:
+    """Session windows per user with a 30-min inactivity gap
+    (ops/windows.sessionize) — one groupby(user) shuffle, vectorized
+    per-group gap detection."""
+    from lucene_ray.ops.windows import sessionize
+
+    out = sessionize(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        gap_us=gap_us,
+    ).to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_asof_purchase_click(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before the purchase time (LEFT: unmatched purchases kept
+    with nulls). ops/windows.asof_join — one co-partitioned shuffle +
+    per-group searchsorted."""
+    from lucene_ray.ops.windows import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = asof_join(left, right, "user_id", "ts", "event_id",
+                    right_prefix="r_").to_pandas()
+    out = out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_signup_followups(sf_dir: str,
+                            within_us: int = 30 * 60 * 1_000_000) -> pa.Table:
+    """Banded range join: every event by the same user STRICTLY after a
+    signup and within 30 minutes of it (ops/windows.range_join)."""
+    from lucene_ray.ops.windows import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type == 'signup'")
+    out = range_join(left, ev, "user_id", "ts", "event_id",
+                     within_us=within_us, right_prefix="r_").to_pandas()
+    out = out.sort_values(["user_id", "event_id", "r_event_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def top_users_by_events(sf_dir: str, k: int = 10) -> pa.Table:
     agg = (
         _read(sf_dir, "events", ["user_id"])

@@ -1,0 +1,127 @@
+"""Temporal operators (ops/windows.py): sessionize, as-of join, range join
+vs exact DuckDB oracles at sf0.001 plus synthetic edge cases."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sessionize_oracle(ray_session, con):
+    from lucene_ray.pipelines.relational import events_sessions
+
+    got = events_sessions(SF).to_pandas()
+    want = con.execute(
+        "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) > "
+        "INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM events), "
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM o) "
+        "SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS "
+        "session_start, max(ts) AS session_end, count(*)::BIGINT AS n_events "
+        "FROM s GROUP BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_asof_oracle(ray_session, con):
+    from lucene_ray.pipelines.relational import events_asof_purchase_click
+
+    got = events_asof_purchase_click(SF).to_pandas()
+    want = con.execute(
+        "WITH p AS (SELECT event_id, ts, user_id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts, max(event_id) AS event_id FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT p.user_id, p.ts, p.event_id, c.ts AS r_ts, "
+        "c.event_id AS r_event_id "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ).df()
+    assert got["r_event_id"].isna().sum() > 0  # LEFT semantics exercised
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_range_join_oracle(ray_session, con):
+    from lucene_ray.pipelines.relational import events_signup_followups
+
+    got = events_signup_followups(SF).to_pandas()
+    want = con.execute(
+        "SELECT s.user_id, s.event_id, s.ts, e.event_id AS r_event_id, "
+        "e.ts AS r_ts FROM (SELECT * FROM events WHERE "
+        "event_type = 'signup') s JOIN events e ON e.user_id = s.user_id "
+        "AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '30 minutes'"
+    ).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def _mk(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_asof_edges(ray_session):
+    from lucene_ray.ops.windows import asof_join
+
+    left = _mk([
+        {"k": 1, "t": 100, "i": 1},
+        {"k": 1, "t": 50, "i": 2},    # before every right row -> null
+        {"k": 2, "t": 10, "i": 3},    # key with NO right rows -> null
+    ])
+    right = _mk([
+        {"k": 1, "t": 100, "i": 10},  # equal ts: non-strict matches it...
+        {"k": 1, "t": 100, "i": 11},  # ...tie broken by greatest id
+        {"k": 1, "t": 60, "i": 12},
+    ])
+    got = asof_join(left, right, "k", "t", "i").to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    assert got.loc[0, "r_i"] == 11          # equal-ts tie -> max id
+    assert pd.isna(got.loc[1, "r_i"])       # nothing at/before t=50
+    assert pd.isna(got.loc[2, "r_i"])       # key never on right
+    strict = asof_join(left, right, "k", "t", "i", strict=True).to_pandas() \
+        .sort_values("i").reset_index(drop=True)
+    assert strict.loc[0, "r_i"] == 12       # strict: t<100 -> t=60 wins
+
+
+def test_range_join_band(ray_session):
+    from lucene_ray.ops.windows import range_join
+
+    left = _mk([{"k": 1, "t": 0, "i": 1}])
+    right = _mk([
+        {"k": 1, "t": 0, "i": 20},    # excluded: strictly-after bound
+        {"k": 1, "t": 5, "i": 21},
+        {"k": 1, "t": 10, "i": 22},   # included: inclusive upper bound
+        {"k": 1, "t": 11, "i": 23},   # excluded: past the band
+        {"k": 2, "t": 5, "i": 24},    # excluded: other key
+    ])
+    got = range_join(left, right, "k", "t", "i", within_us=10).to_pandas()
+    assert sorted(got["r_i"].tolist()) == [21, 22]
+
+
+def test_sessionize_gap_boundary(ray_session):
+    from lucene_ray.ops.windows import sessionize
+
+    ev = _mk([
+        {"user_id": 7, "ts": 0, "event_id": 1},
+        {"user_id": 7, "ts": 10, "event_id": 2},   # gap == 10 -> same session
+        {"user_id": 7, "ts": 21, "event_id": 3},   # gap 11 > 10 -> new session
+    ])
+    got = sessionize(ev, gap_us=10).to_pandas().sort_values("session_id")
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["session_start"].tolist() == [0, 21]
+    assert got["session_end"].tolist() == [10, 21]
