@@ -174,6 +174,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
 
+    def _classify_nb(sf_dir):
+        from lucene_ray.ops.classify import classify_documents
+
+        return classify_documents(sf_dir)
+
     def _ann_ivf_quantized(sf_dir):
         import hashlib
         import os
@@ -590,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
         # --- did-you-mean (suggest/spell.DirectSpellChecker shape) ---
         "ft_spellcheck": _q(lambda sf: ft.spellcheck_terms(sf, "par", 5, 2)),
+        # --- classification module (SimpleNaiveBayesClassifier analog):
+        # train on 80% of documents, predict lang of the held-out 20% ---
+        "classify_nb_lang": _q(_classify_nb),
         # --- scalar-quantized ANN (int8 scan + float rescore; rows-only:
         # recall>=0.9 + exact-rescore parity live in tests/test_ann.py) ---
         "ann_ivf_quantized_top10": _q(_ann_ivf_quantized),
@@ -1259,6 +1267,39 @@ def oracle_sql() -> dict[str, str]:
         "FROM toks WHERE tok <> '' GROUP BY tok "
         "HAVING levenshtein('hach', substr(tok, 1, 4)) <= 1 "
         "ORDER BY doc_freq DESC, term LIMIT 10",
+        # multinomial NB with add-one smoothing; integer-count model so the
+        # argmax is reproducible in SQL (ties broken by class name asc)
+        "classify_nb_lang": (
+            "WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0), "
+            "test AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+            "tt0 AS (SELECT lang, unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+')) AS tok FROM train), "
+            "tt AS (SELECT lang, tok, count(*)::DOUBLE AS cnt FROM tt0 "
+            "WHERE tok <> '' GROUP BY 1, 2), "
+            "cls AS (SELECT lang, count(*)::DOUBLE AS n_docs FROM train "
+            "GROUP BY 1), "
+            "tot AS (SELECT lang, sum(cnt) AS n_tok FROM tt GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT tok)::DOUBLE AS vsize FROM tt), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM train), "
+            "q AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+')) AS tok FROM test), "
+            "qq AS (SELECT doc_id, tok FROM q WHERE tok <> ''), "
+            "contrib AS (SELECT qq.doc_id, c.lang, "
+            "sum(ln(coalesce(tt.cnt, 0) + 1)) AS s_num, "
+            "count(*)::DOUBLE AS n_tok_doc FROM qq CROSS JOIN cls c "
+            "LEFT JOIN tt ON tt.lang = c.lang AND tt.tok = qq.tok "
+            "GROUP BY 1, 2), "
+            "scored AS (SELECT t.doc_id, c.lang, "
+            "ln(c.n_docs / (SELECT n FROM n)) + coalesce(ct.s_num, 0) "
+            "- coalesce(ct.n_tok_doc, 0) * ln(tot.n_tok + "
+            "(SELECT vsize FROM v)) AS score FROM test t CROSS JOIN cls c "
+            "JOIN tot ON tot.lang = c.lang LEFT JOIN contrib ct "
+            "ON ct.doc_id = t.doc_id AND ct.lang = c.lang) "
+            "SELECT doc_id, lang AS pred_lang FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, lang) AS rn FROM scored) "
+            "WHERE rn = 1 ORDER BY doc_id"
+        ),
         # DirectSpellChecker: full-term edit distance, dist asc then df desc
         "ft_spellcheck": _TOKS
         + "SELECT * FROM (SELECT tok AS term, "

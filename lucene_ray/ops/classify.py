@@ -1,0 +1,177 @@
+"""Document classification over token statistics — the analog of Lucene's
+classification module (lucene/classification/src/java/org/apache/lucene/
+classification/SimpleNaiveBayesClassifier.java:48), re-expressed as two Ray
+Data stages:
+
+  train:    map_batches partial (class, token) counts  ->  one small
+            groupby((class, token)).sum  — the classic pre-aggregated
+            wide step; the model (|V| x |C| counts) is the only thing
+            shuffled, never the corpus.
+  classify: the trained model is broadcast (ray.put once, NOT re-shipped
+            per batch) and applied in map_batches with a fully vectorized
+            per-batch kernel (token -> vocab row via hash indexer, one
+            np.add.at scatter per batch — no Python loop over docs).
+
+Model: multinomial naive Bayes with add-one smoothing (McCallum & Nigam
+1998), the same family Lucene's SimpleNaiveBayesClassifier implements:
+
+    score(d, c) = ln(docs_c / N)
+                + sum_{t in d} ln(cnt(t, c) + 1)
+                - |d| * ln(tokens_c + |V|)
+
+Prediction = argmax_c score, ties broken by class name ascending. The
+whole computation is integer-count-based so an exact DuckDB oracle exists
+(__ray_entry__.oracle_sql 'classify_nb_lang')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def train_naive_bayes(ds: ray.data.Dataset, text_col: str = "text",
+                      class_col: str = "lang") -> dict:
+    """Train on ``ds``: returns the model dict {vocab: pd.Index,
+    classes: list[str], counts: (|V|, |C|) int64, n_docs: (|C|,) int64,
+    n_total_docs: int}. Corpus-sized work happens in map_batches; only
+    (class, token, cnt) partials are shuffled."""
+    from lucene_ray.index.invert import tokenize_column
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, _pos = tokenize_column(batch.column(text_col))
+        cls = batch.column(class_col)
+        if isinstance(cls, pa.ChunkedArray):
+            cls = cls.combine_chunks()
+        cls_d = cls.dictionary_encode()
+        if isinstance(cls_d, pa.ChunkedArray):
+            cls_d = cls_d.combine_chunks()
+        ccodes = np.asarray(cls_d.indices, dtype=np.int64)[doc_idx]
+        tok_d = toks.dictionary_encode()
+        if isinstance(tok_d, pa.ChunkedArray):
+            tok_d = tok_d.combine_chunks()
+        tcodes = np.asarray(tok_d.indices, dtype=np.int64)
+        nv = len(tok_d.dictionary)
+        key = ccodes * nv + tcodes
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            class_col: cls_d.dictionary.take(pa.array(uniq // nv)),
+            "tok": tok_d.dictionary.take(pa.array(uniq % nv)),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    counts = (
+        ds.select_columns([text_col, class_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby([class_col, "tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    docs_per_class = (
+        ds.select_columns([class_col]).groupby(class_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    classes = sorted(docs_per_class[class_col])
+    vocab = pd.Index(sorted(counts["tok"].unique()))
+    mat = np.zeros((len(vocab), len(classes)), dtype=np.int64)
+    ci = pd.Index(classes).get_indexer(counts[class_col])
+    vi = vocab.get_indexer(counts["tok"])
+    mat[vi, ci] = counts["cnt"].to_numpy()
+    nd = np.zeros(len(classes), dtype=np.int64)
+    nd[pd.Index(classes).get_indexer(docs_per_class[class_col])] = (
+        docs_per_class["n"].to_numpy()
+    )
+    return {
+        "vocab": vocab,
+        "classes": classes,
+        "counts": mat,
+        "n_docs": nd,
+        "n_total_docs": int(nd.sum()),
+    }
+
+
+class _NBScorer:
+    """Actor-pool stage: model deserialized ONCE per actor from the
+    broadcast ref, per-batch scoring fully vectorized."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        model = ray.get(model_ref) if isinstance(
+            model_ref, ray.ObjectRef) else model_ref
+        self.vocab: pd.Index = model["vocab"]
+        self.classes = model["classes"]
+        counts = model["counts"].astype(np.float64)
+        V = len(self.vocab)
+        self.log_num = np.log1p(counts)                      # ln(cnt+1)
+        self.log_denom = np.log(counts.sum(axis=0) + V)      # ln(tokens_c+V)
+        self.log_prior = np.log(
+            model["n_docs"] / float(model["n_total_docs"]))
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from lucene_ray.index.invert import tokenize_column
+
+        toks, doc_idx, _pos = tokenize_column(batch.column(self.text_col))
+        n = len(batch)
+        C = len(self.classes)
+        scores = np.tile(self.log_prior, (n, 1))
+        ti = self.vocab.get_indexer(toks.to_pylist())  # -1 for OOV
+        # per-token contribution: ln(cnt+1) for known tokens, ln(0+1)=0 OOV;
+        # every token also pays -ln(tokens_c + V) regardless
+        known = ti >= 0
+        if len(ti):
+            contrib = np.zeros((len(ti), C))
+            contrib[known] = self.log_num[ti[known]]
+            contrib -= self.log_denom
+            np.add.at(scores, doc_idx, contrib)
+        # argmax with ties -> first (classes sorted asc = smallest name)
+        pred = np.argmax(scores, axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "pred_lang": pa.array(
+                [self.classes[p] for p in pred], pa.string()),
+        })
+
+
+def classify_naive_bayes(ds: ray.data.Dataset, model: dict,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         concurrency=(1, 4)) -> ray.data.Dataset:
+    """Score ``ds`` with a trained model: broadcast once, actor-pool
+    map_batches (model load in __init__, per-batch vectorized scoring)."""
+    model_ref = ray.put(model)
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _NBScorer,
+        fn_constructor_args=(model_ref, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def classify_documents(sf_dir: str, mod: int = 5) -> pa.Table:
+    """Pipeline: train on documents with doc_id % mod != 0, predict the
+    ``lang`` of the held-out docs (doc_id % mod == 0)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def split(holdout: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            m = pa.array((ids % mod) == 0)
+            return batch.filter(m if holdout else pc.invert(m))
+        return f
+
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    test = ds.map_batches(split(True), batch_format="pyarrow")
+    model = train_naive_bayes(train)
+    out = classify_naive_bayes(test, model).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,32 +1,29 @@
-"""Temporal / windowed operators over event streams: sessionization,
-as-of join, and range join.
+"""Temporal / windowed operators over event streams: sessionization
+(per-session rows), as-of join, and banded range join.
 
 These are the "streaming window" custom operators Ray Data lacks natively.
-All three follow the same scale shape: ONE shuffle co-partitioning rows by
-the entity key (``groupby(key).map_groups`` — Ray Data's sort-based group
-shuffle), then fully vectorized per-group kernels (numpy searchsorted /
-cumsum), never a Python loop per row. The partitioning assumption each
-relies on: a single entity's rows fit in one group (per-user event history
-is KBs even at 100 TB corpus scale; a pathological hot key is bounded by
-the group, not the pipeline — document and cap upstream if an entity can
-exceed worker memory).
+All three share one scale shape, the same as pipelines/windows.py's
+session aggregate: the LOGICAL key is the entity (user), but the PHYSICAL
+shuffle key is ``hash(entity) % n_buckets`` — one ``groupby(bucket)``
+shuffle, then a fully VECTORIZED multi-entity kernel per bucket (lexsort +
+segmented scans / counting probes), so per-group Python overhead is paid
+per bucket (64), not per entity (millions at 100 TB). No composite-integer
+key encoding is used anywhere, so there is no overflow ceiling on
+(n_entities x time-span).
 
-Semantics follow the standard definitions (and are oracle-checked against
-DuckDB, which implements them natively):
+Semantics (oracle-checked against DuckDB, which implements them natively):
   - sessionize: a new session starts when the gap to the previous event of
-    the same entity exceeds ``gap`` (Kulkarni et al., "Twitter Heron";
-    the GROUP BY SESSION_WINDOW shape).
+    the same entity exceeds ``gap_us`` (GROUP BY SESSION_WINDOW shape).
   - asof_join: each left row matches the latest right row of the same key
-    with right.ts <= left.ts (DuckDB/kdb ASOF JOIN).
+    with right.ts <= left.ts (DuckDB/kdb ASOF JOIN; LEFT join semantics).
   - range_join: each left row matches every right row of the same key with
-    left.ts < right.ts <= left.ts + within (a banded inequality join).
+    left.ts < right.ts <= left.ts + within (banded inequality join).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -39,46 +36,101 @@ def _np_i64(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.int64)
 
 
+def _with_bucket(ds: ray.data.Dataset, key_col: str,
+                 n_buckets: int) -> ray.data.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        k = _np_i64(batch.column(key_col))
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _ts_field(ds: ray.data.Dataset, ts_col: str):
+    for f in ds.schema().base_schema:
+        if f.name == ts_col:
+            return f.type
+    return pa.int64()
+
+
+def _cast_ts(arr: pa.Array, ts_type) -> pa.Array:
+    return arr.cast(ts_type) if pa.types.is_timestamp(ts_type) else arr
+
+
 def sessionize(events: ray.data.Dataset, key_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
-               gap_us: int = 30 * 60 * 1_000_000) -> ray.data.Dataset:
+               gap_us: int = 30 * 60 * 1_000_000,
+               n_buckets: int = 64) -> ray.data.Dataset:
     """Session windows with inactivity gap ``gap_us``: one output row per
     (entity, session) with start/end timestamps and the event count.
     ``session_id`` is 0-based in session-start order per entity. Ties on
     ``ts`` are ordered by ``id_col`` so the result is deterministic."""
+    ts_type = _ts_field(events, ts_col)
+    empty = pa.table({
+        key_col: pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "session_start": _cast_ts(pa.array([], pa.int64()), ts_type),
+        "session_end": _cast_ts(pa.array([], pa.int64()), ts_type),
+        "n_events": pa.array([], pa.int64()),
+    })
 
-    def per_user(group: pa.Table) -> pa.Table:
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return empty
+        u = _np_i64(group.column(key_col))
         ts = _np_i64(group.column(ts_col))
         ids = _np_i64(group.column(id_col))
-        order = np.lexsort((ids, ts))
-        ts = ts[order]
-        n = len(ts)
-        brk = np.zeros(n, dtype=np.int64)
-        if n > 1:
-            brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
-        ends = np.r_[starts[1:], n]
-        key = group.column(key_col)[0].as_py()
-        ts_type = (group.schema.field(ts_col).type
-                   if pa.types.is_timestamp(group.schema.field(ts_col).type)
-                   else pa.int64())
+        order = np.lexsort((ids, ts, u))
+        u_s, t_s = u[order], ts[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (t_s[1:] - t_s[:-1]) > gap_us
+        s_starts = np.flatnonzero(new_session)
+        s_ends = np.r_[s_starts[1:], n]
+        # per-user 0-based session ordinal: global ordinal minus the
+        # ordinal of the user's first session (segmented re-base)
+        n_sess = len(s_starts)
+        sess_ord = np.arange(n_sess)
+        us_mask = new_user[s_starts]          # session that opens a user
+        first_ord = sess_ord[us_mask]
+        sid = sess_ord - first_ord[np.cumsum(us_mask) - 1]
         return pa.table({
-            key_col: pa.array([key] * len(starts), pa.int64()),
-            "session_id": pa.array(sid[starts], pa.int64()),
-            "session_start": pa.array(ts[starts], pa.int64()).cast(ts_type),
-            "session_end": pa.array(ts[ends - 1], pa.int64()).cast(ts_type),
-            "n_events": pa.array(ends - starts, pa.int64()),
+            key_col: pa.array(u_s[s_starts], pa.int64()),
+            "session_id": pa.array(sid, pa.int64()),
+            "session_start": _cast_ts(pa.array(t_s[s_starts], pa.int64()), ts_type),
+            "session_end": _cast_ts(pa.array(t_s[s_ends - 1], pa.int64()), ts_type),
+            "n_events": pa.array(s_ends - s_starts, pa.int64()),
         })
 
-    return events.select_columns([key_col, ts_col, id_col]) \
-                 .groupby(key_col).map_groups(per_user, batch_format="pyarrow")
+    return (
+        _with_bucket(events.select_columns([key_col, ts_col, id_col]),
+                     key_col, n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _tag(key_col: str, ts_col: str, id_col: str, side: int):
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__key": pa.array(_np_i64(batch.column(key_col)), pa.int64()),
+            "__ts": pa.array(_np_i64(batch.column(ts_col)), pa.int64()),
+            "__id": pa.array(_np_i64(batch.column(id_col)), pa.int64()),
+            "__side": pa.array(np.full(len(batch), side, np.int8), pa.int8()),
+        })
+    return f
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key_col: str, ts_col: str, id_col: str,
-              right_prefix: str = "r_",
-              strict: bool = False) -> ray.data.Dataset:
+              right_prefix: str = "r_", strict: bool = False,
+              n_buckets: int = 64) -> ray.data.Dataset:
     """As-of join: each left row picks the latest right row of the same key
     with ``right.ts <= left.ts`` (``<`` when ``strict``); unmatched left
     rows get nulls (LEFT ASOF JOIN). When several right rows share the
@@ -88,153 +140,145 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     Output columns: key, ts, id, ``r_ts``, ``r_id``.
 
-    Scale shape: both sides tagged and unioned, ONE groupby(key) shuffle,
-    then a per-group numpy searchsorted — O(n log n) per entity, shuffle
-    volume |L| + |R| rows (the co-partitioned reduce-side join, same as
-    pipelines/shuffle_join.py)."""
+    Kernel: ONE lexsort of the bucket's merged left+right rows by
+    (key, ts, side, id) — rights before lefts at equal ts for the
+    non-strict bound (after, when strict) — then a segmented running
+    "last right row seen" scan (np.maximum.accumulate); a carried index
+    from a previous key falls before the current key's first row and is
+    nulled. O(n log n) per bucket, no per-entity Python."""
+    ts_type = _ts_field(left, ts_col)
+    unioned = left.map_batches(
+        _tag(key_col, ts_col, id_col, 0), batch_format="pyarrow"
+    ).union(right.map_batches(
+        _tag(key_col, ts_col, id_col, 1), batch_format="pyarrow"))
 
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "__key": batch.column(key_col).cast(pa.int64()),
-                "__ts": batch.column(ts_col).cast(pa.int64())
-                if not pa.types.is_timestamp(batch.schema.field(ts_col).type)
-                else batch.column(ts_col).cast(pa.int64()),
-                "__id": batch.column(id_col).cast(pa.int64()),
-                "__side": pa.array(np.full(len(batch), side, np.int8)),
-            })
-        return f
+    empty = pa.table({
+        key_col: pa.array([], pa.int64()),
+        ts_col: _cast_ts(pa.array([], pa.int64()), ts_type),
+        id_col: pa.array([], pa.int64()),
+        right_prefix + ts_col: _cast_ts(pa.array([], pa.int64()), ts_type),
+        right_prefix + id_col: pa.array([], pa.int64()),
+    })
 
-    ts_type = None
-    for f in left.schema().base_schema:
-        if f.name == ts_col:
-            ts_type = f.type
-
-    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow"))
-
-    def per_key(group: pa.Table) -> pa.Table:
-        side = np.asarray(group.column("__side"), dtype=np.int8)
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return empty
+        k = _np_i64(group.column("__key"))
         ts = _np_i64(group.column("__ts"))
         ids = _np_i64(group.column("__id"))
-        lmask = side == 0
-        lts, lid = ts[lmask], ids[lmask]
-        rts, rid = ts[~lmask], ids[~lmask]
-        key = group.column("__key")[0].as_py()
-        n = len(lts)
-        if n == 0:
-            return pa.table({
-                key_col: pa.array([], pa.int64()),
-                ts_col: pa.array([], pa.int64()),
-                id_col: pa.array([], pa.int64()),
-                "__rts": pa.array([], pa.int64()),
-                "__rid": pa.array([], pa.int64()),
-            })
-        # right side sorted by (ts, id): for equal winning ts the LAST
-        # entry (greatest id) is taken -> deterministic tie-break
-        r_order = np.lexsort((rid, rts))
-        rts_s, rid_s = rts[r_order], rid[r_order]
-        pos = np.searchsorted(rts_s, lts, side="left" if strict else "right") - 1
-        hit = pos >= 0
-        safe = np.clip(pos, 0, None)
+        side = np.asarray(group.column("__side"), dtype=np.int8)
+        # non-strict: right(1) sorts BEFORE left(0) at equal ts so an
+        # equal-ts right is visible to the left row; strict: after
+        side_rank = (1 - side) if not strict else side
+        order = np.lexsort((ids, side_rank, ts, k))
+        k_s, t_s, id_s, side_s = k[order], ts[order], ids[order], side[order]
+        is_r = side_s == 1
+        pos = np.arange(n)
+        last_r = np.maximum.accumulate(np.where(is_r, pos, -1))
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        key_first = pos[new_key][np.cumsum(new_key) - 1]  # first idx of row's key
+        lmask = ~is_r
+        lr = last_r[lmask]
+        hit = (lr >= key_first[lmask]) & (lr >= 0)
+        safe = np.clip(lr, 0, None)
         return pa.table({
-            key_col: pa.array(np.full(n, key, np.int64)),
-            ts_col: pa.array(lts, pa.int64()),
-            id_col: pa.array(lid, pa.int64()),
-            "__rts": pa.array(rts_s[safe] if len(rts_s) else np.zeros(n, np.int64),
-                              pa.int64(), mask=~hit),
-            "__rid": pa.array(rid_s[safe] if len(rid_s) else np.zeros(n, np.int64),
-                              pa.int64(), mask=~hit),
+            key_col: pa.array(k_s[lmask], pa.int64()),
+            ts_col: _cast_ts(pa.array(t_s[lmask], pa.int64()), ts_type),
+            id_col: pa.array(id_s[lmask], pa.int64()),
+            right_prefix + ts_col: _cast_ts(
+                pa.array(t_s[safe], pa.int64(), mask=~hit), ts_type),
+            right_prefix + id_col: pa.array(id_s[safe], pa.int64(), mask=~hit),
         })
 
-    out = unioned.groupby("__key").map_groups(per_key, batch_format="pyarrow")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        cols = {
-            key_col: batch.column(key_col),
-            ts_col: batch.column(ts_col).cast(ts_type) if ts_type is not None
-            and pa.types.is_timestamp(ts_type) else batch.column(ts_col),
-            id_col: batch.column(id_col),
-            right_prefix + ts_col: batch.column("__rts").cast(ts_type)
-            if ts_type is not None and pa.types.is_timestamp(ts_type)
-            else batch.column("__rts"),
-            right_prefix + id_col: batch.column("__rid"),
-        }
-        return pa.table(cols)
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return (
+        _with_bucket(unioned, "__key", n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
                key_col: str, ts_col: str, id_col: str,
-               within_us: int, right_prefix: str = "r_") -> ray.data.Dataset:
+               within_us: int, right_prefix: str = "r_",
+               n_buckets: int = 64) -> ray.data.Dataset:
     """Banded range join: every (l, r) pair of the same key with
     ``l.ts < r.ts <= l.ts + within_us``. Output one row per pair:
     key, l id/ts, r id/ts.
 
-    Per group: right side sorted by ts once, each left row's match window
-    located with TWO searchsorteds, pairs emitted with repeat/concat index
-    arithmetic — no Python loop over rows. Output size is data-dependent
-    (bounded by band width x event rate); the band keeps it linear-ish,
-    unlike an unbounded inequality join."""
+    Kernel: counting probes. The bucket's rights plus TWO probe rows per
+    left (at ts and ts + within, both sorting after rights of equal ts)
+    are lexsorted by (key, ts, kind); a cumulative count of rights at each
+    probe yields each left row's [lo, hi) slice of the key-and-time-sorted
+    right array, and pairs are emitted with repeat/arange index
+    arithmetic. Probes carry the key as the primary sort field, so a
+    window can never leak into another key's region. Output size is
+    data-dependent but bounded by band width x event rate."""
+    ts_type = _ts_field(left, ts_col)
+    unioned = left.map_batches(
+        _tag(key_col, ts_col, id_col, 0), batch_format="pyarrow"
+    ).union(right.map_batches(
+        _tag(key_col, ts_col, id_col, 1), batch_format="pyarrow"))
 
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "__key": batch.column(key_col).cast(pa.int64()),
-                "__ts": batch.column(ts_col).cast(pa.int64()),
-                "__id": batch.column(id_col).cast(pa.int64()),
-                "__side": pa.array(np.full(len(batch), side, np.int8)),
-            })
-        return f
+    empty = pa.table({
+        key_col: pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        ts_col: _cast_ts(pa.array([], pa.int64()), ts_type),
+        right_prefix + id_col: pa.array([], pa.int64()),
+        right_prefix + ts_col: _cast_ts(pa.array([], pa.int64()), ts_type),
+    })
 
-    ts_type = None
-    for f in left.schema().base_schema:
-        if f.name == ts_col:
-            ts_type = f.type
-
-    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
-        right.map_batches(tag(1), batch_format="pyarrow"))
-
-    def per_key(group: pa.Table) -> pa.Table:
-        side = np.asarray(group.column("__side"), dtype=np.int8)
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return empty
+        k = _np_i64(group.column("__key"))
         ts = _np_i64(group.column("__ts"))
         ids = _np_i64(group.column("__id"))
+        side = np.asarray(group.column("__side"), dtype=np.int8)
         lmask = side == 0
-        lts, lid = ts[lmask], ids[lmask]
-        rts, rid = ts[~lmask], ids[~lmask]
-        key = group.column("__key")[0].as_py()
-        r_order = np.lexsort((rid, rts))
-        rts_s, rid_s = rts[r_order], rid[r_order]
-        lo = np.searchsorted(rts_s, lts, side="right")           # r.ts > l.ts
-        hi = np.searchsorted(rts_s, lts + within_us, side="right")  # <= l.ts+w
+        lk, lt, lid = k[lmask], ts[lmask], ids[lmask]
+        rk, rt, rid = k[~lmask], ts[~lmask], ids[~lmask]
+        nl, nr = len(lk), len(rk)
+        if nl == 0 or nr == 0:
+            return empty
+        # rights sorted by (key, ts, id)
+        r_order = np.lexsort((rid, rt, rk))
+        rk_s, rt_s, rid_s = rk[r_order], rt[r_order], rid[r_order]
+        # probe stream: kind 0 = right, kind 1 = probe (after equal-ts
+        # rights: lo-probe at lts excludes nothing <= lts from the band's
+        # strict lower bound; hi-probe at lts+within includes equal ts)
+        pk = np.concatenate([rk_s, lk, lk])
+        pt = np.concatenate([rt_s, lt, lt + within_us])
+        kind = np.concatenate([
+            np.zeros(nr, np.int8), np.ones(2 * nl, np.int8)])
+        porder = np.lexsort((kind, pt, pk))
+        cum_r = np.cumsum(kind[porder] == 0)
+        probe_pos = np.empty(nr + 2 * nl, dtype=np.int64)
+        probe_pos[porder] = np.arange(nr + 2 * nl)
+        lo = cum_r[probe_pos[nr: nr + nl]]
+        hi = cum_r[probe_pos[nr + nl:]]
         counts = hi - lo
-        li = np.repeat(np.arange(len(lts)), counts)
-        # flat right indices: for each left row i, lo[i] .. hi[i]-1
-        ri = np.concatenate(
-            [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
-        ) if counts.sum() else np.zeros(0, np.int64)
+        li = np.repeat(np.arange(nl), counts)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # flat right indices lo[i] .. hi[i]-1 per left row, loop-free:
+        # global arange minus each window's shifted start
+        w_start = np.cumsum(np.r_[0, counts[:-1]])
+        starts = np.repeat(lo - w_start, counts)
+        ri = np.arange(total) + starts
         return pa.table({
-            key_col: pa.array(np.full(len(li), key, np.int64)),
+            key_col: pa.array(lk[li], pa.int64()),
             id_col: pa.array(lid[li], pa.int64()),
-            ts_col: pa.array(lts[li], pa.int64()),
-            "__rid": pa.array(rid_s[ri], pa.int64()),
-            "__rts": pa.array(rts_s[ri], pa.int64()),
+            ts_col: _cast_ts(pa.array(lt[li], pa.int64()), ts_type),
+            right_prefix + id_col: pa.array(rid_s[ri], pa.int64()),
+            right_prefix + ts_col: _cast_ts(pa.array(rt_s[ri], pa.int64()), ts_type),
         })
 
-    out = unioned.groupby("__key").map_groups(per_key, batch_format="pyarrow")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            key_col: batch.column(key_col),
-            id_col: batch.column(id_col),
-            ts_col: batch.column(ts_col).cast(ts_type)
-            if ts_type is not None and pa.types.is_timestamp(ts_type)
-            else batch.column(ts_col),
-            right_prefix + id_col: batch.column("__rid"),
-            right_prefix + ts_col: batch.column("__rts").cast(ts_type)
-            if ts_type is not None and pa.types.is_timestamp(ts_type)
-            else batch.column("__rts"),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return (
+        _with_bucket(unioned, "__key", n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
