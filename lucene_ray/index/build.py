@@ -126,6 +126,12 @@ class IndexConfig:
     invert_slice_docs: int = 1024
     # hash buckets per segment for the merge shuffle (terms per map_groups call)
     merge_buckets: int = 64
+    # Stage-C task granularity: each (segment, bucket-range) task reads its
+    # whole contiguous range from every partial file ONCE (partials are
+    # bucket-sorted), then merges/writes per bucket from memory. 0 = auto:
+    # 8 tasks per segment. Per-bucket reads decoded a >=512-row coalesced
+    # row group to use a handful of rows — read was 71% of Stage-C CPU time.
+    stage_c_buckets_per_task: int = 0
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -283,11 +289,19 @@ def _atomic_write_bucketed(table: pa.Table, path: str, compression: str) -> None
 
 
 def _read_bucket_rows(path: str, bucket: int, merge_buckets: int,
-                      terms: list[str] | None = None) -> pa.Table | None:
-    """Rows of one hash bucket from a partials file: row-group pruned via
-    the bucket column's footer stats. Falls back to a full read + in-memory
-    bucket computation for pre-bucketed-layout (legacy) partials. With
-    ``terms``, additionally filters to those terms (hot-term routing)."""
+                      terms: list[str] | None = None,
+                      bucket_hi: int | None = None) -> pa.Table | None:
+    """Rows of one hash bucket — or, with ``bucket_hi``, the contiguous
+    range [bucket, bucket_hi) — from a partials file: row-group pruned via
+    the bucket column's footer stats. Partials are SORTED by bucket, so a
+    range read hits consecutive row groups and is how Stage C amortizes
+    footer opens + row-group decode across its whole bucket range (the
+    per-single-bucket read decoded a >=512-row coalesced group to use a
+    handful of rows — ~14x decode amplification measured at the bench
+    vocabulary). Falls back to a full read + in-memory bucket computation
+    for pre-bucketed-layout (legacy) partials. With ``terms``, additionally
+    filters to those terms (hot-term routing)."""
+    b_hi = bucket_hi if bucket_hi is not None else bucket + 1
     pf = pq.ParquetFile(path)
     if "bucket" in pf.schema_arrow.names:
         md = pf.metadata
@@ -300,22 +314,63 @@ def _read_bucket_rows(path: str, bucket: int, merge_buckets: int,
         rgs = []
         for i in range(md.num_row_groups):
             st = md.row_group(i).column(bidx).statistics if bidx is not None else None
-            if st is None or (st.min <= bucket <= st.max):
+            if st is None or (st.min < b_hi and bucket <= st.max):
                 rgs.append(i)
         if not rgs:
             return None
         tbl = pf.read_row_groups(rgs)
-        mask = pc.equal(tbl.column("bucket"), bucket)
+        b = tbl.column("bucket")
+        mask = pc.and_(pc.greater_equal(b, bucket), pc.less(b, b_hi))
         if not pc.all(mask).as_py():
             tbl = tbl.filter(mask)
     else:
         tbl = pf.read()
         h = _term_crc32(tbl.column("term")) % merge_buckets
-        tbl = tbl.filter(pa.array(h == bucket))
+        keep = (h >= bucket) & (h < b_hi)
+        tbl = tbl.filter(pa.array(keep))
+        tbl = tbl.append_column(
+            "bucket", pa.array(h[keep].astype(np.int32), pa.int32()))
+        # legacy files are term-sorted, not bucket-sorted; restore the
+        # bucket-contiguity invariant range callers slice by
+        order = np.argsort(h[keep], kind="stable")
+        if len(order) and not np.array_equal(order, np.arange(len(order))):
+            tbl = tbl.take(pa.array(order))
     if terms is not None:
         tbl = tbl.filter(
             pc.is_in(tbl.column("term"), value_set=pa.array(sorted(terms)))
         )
+    return tbl if len(tbl) else None
+
+
+def _read_hot_rows(path: str, homes: set[int], merge_buckets: int,
+                   terms: list[str]) -> pa.Table | None:
+    """Rows of the given ``terms`` from their (scattered) home buckets in
+    ONE file open: row groups whose bucket stats cover ANY home, filtered
+    to the term set. Partials hold one row per term, so the result is at
+    most |terms| rows — the amortized hot-term shuffle fetch (per-route
+    single-bucket reads were the dominant Stage-C cost after the range
+    read landed)."""
+    pf = pq.ParquetFile(path)
+    tset = pa.array(sorted(terms))
+    if "bucket" in pf.schema_arrow.names:
+        md = pf.metadata
+        ncols = md.row_group(0).num_columns if md.num_row_groups else 0
+        bidx = next(
+            (j for j in range(ncols)
+             if md.row_group(0).column(j).path_in_schema == "bucket"),
+            None,
+        )
+        rgs = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(bidx).statistics if bidx is not None else None
+            if st is None or any(st.min <= h <= st.max for h in homes):
+                rgs.append(i)
+        if not rgs:
+            return None
+        tbl = pf.read_row_groups(rgs)
+    else:
+        tbl = pf.read()
+    tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=tset))
     return tbl if len(tbl) else None
 
 
@@ -1301,15 +1356,33 @@ class _StageCTask:
         t = t.append_column("bucket", pa.array(np.full(n, b, np.int32), pa.int32()))
         return t
 
-    def _one(self, seg: int, b: int) -> int:
+    def _one(self, seg: int, b: int, b_hi: int | None = None) -> int:
+        # env-gated sub-phase profile (scripts/diag_stage_a.py --stage c)
+        _prof_dir = os.environ.get("STAGEC_PROFILE")
+        _prof: dict = {}
+        _pt = time.time()
+
+        def _mark(name: str) -> None:
+            nonlocal _pt
+            if _prof_dir is not None:
+                now = time.time()
+                _prof[name] = _prof.get(name, 0) + int((now - _pt) * 1000)
+                _pt = now
+
         ctx = self.ctx
         B = ctx["merge_buckets"]
         n_salts = ctx["n_salts"]
         pid_pos, pps = ctx["pid_pos"], ctx["parts_per_seg"]
         pids = ctx["seg_pids"][seg]
-        parts: list[pa.Table] = []
+        b_hi = b_hi if b_hi is not None else b + 1
+        # ONE range read per partial file for the whole bucket range (the
+        # shuffle fetch), then per-bucket slices from memory — amortizes
+        # footer opens and row-group decode across the task's buckets
+        # (read was 71% of Stage-C CPU time as per-bucket reads)
+        range_parts: list[pa.Table] = []
         for pid in pids:
-            t = _read_bucket_rows(partials_path(self.index_dir, pid), b, B)
+            t = _read_bucket_rows(partials_path(self.index_dir, pid), b, B,
+                                  bucket_hi=b_hi)
             if t is None:
                 continue
             if self._hot_set is not None:
@@ -1320,42 +1393,104 @@ class _StageCTask:
                 if pc.any(mask).as_py():
                     t = t.filter(pc.invert(mask))
             if len(t):
-                parts.append(self._with_keys(t, seg, 0, b))
+                range_parts.append(t.combine_chunks())
+        # per-part bucket boundaries: parts are bucket-sorted, so each
+        # bucket's rows are ONE contiguous zero-copy slice per part
+        edges = [
+            np.searchsorted(np.asarray(t.column("bucket"), dtype=np.int64),
+                            np.arange(b, b_hi + 1))
+            for t in range_parts
+        ]
+        # hot-term prefetch, ONE read per pid for the whole range: which
+        # (term, salt) pairs land in [b, b_hi), which pid serves each salt,
+        # and each term's home bucket to prune the read by
+        hot_tbls: dict[int, pa.Table] = {}
+        hot_routes: dict[int, list[tuple[str, int, int]]] = {}
         if ctx["hot"]:
-            routes: dict[tuple[int, int], list[str]] = {}
+            per_pid_terms: dict[int, set[str]] = {}
+            per_pid_homes: dict[int, set[int]] = {}
             for term, h in ctx["hot"]:
                 for s in range(n_salts):
-                    if (h + s * _SALT_MIX) % B == b:
-                        routes.setdefault((h % B, s), []).append(term)
-            for (home, s), terms in sorted(routes.items()):
+                    tb = (h + s * _SALT_MIX) % B
+                    if not (b <= tb < b_hi):
+                        continue
+                    hot_routes.setdefault(tb, []).append((term, s, h % B))
+                    for pid in pids:
+                        if (pid_pos[pid] * n_salts) // max(1, pps[pid]) == s:
+                            per_pid_terms.setdefault(pid, set()).add(term)
+                            per_pid_homes.setdefault(pid, set()).add(h % B)
+            hot_dir = ctx.get("hot_dir")
+            for pid, terms in per_pid_terms.items():
+                if hot_dir is not None:
+                    # sidecar written by the hot pre-pass: <=|hot| rows,
+                    # one cheap decode instead of the partial file's
+                    # scattered home-bucket row groups
+                    p = os.path.join(hot_dir, f"pid={pid:06d}.parquet")
+                    if not os.path.exists(p):
+                        continue
+                    # row-group pruned by the term-sorted sidecar's stats:
+                    # decodes only the ~|terms in range| rows it needs
+                    t = pq.read_table(
+                        p, filters=[("term", "in", sorted(terms))])
+                    if len(t):
+                        hot_tbls[pid] = t
+                    continue
+                t = _read_hot_rows(partials_path(self.index_dir, pid),
+                                   per_pid_homes[pid], B, sorted(terms))
+                if t is not None:
+                    hot_tbls[pid] = t
+        _mark("read")
+        total_chunks = 0
+        for bucket in range(b, b_hi):
+            parts: list[pa.Table] = []
+            for t, e in zip(range_parts, edges):
+                lo, hi = int(e[bucket - b]), int(e[bucket - b + 1])
+                if hi > lo:
+                    parts.append(
+                        self._with_keys(t.slice(lo, hi - lo), seg, 0, bucket))
+            for term, s, _home in sorted(hot_routes.get(bucket, [])):
+                tset = pa.array([term])
                 for pid in pids:
                     if (pid_pos[pid] * n_salts) // max(1, pps[pid]) != s:
                         continue
-                    t = _read_bucket_rows(
-                        partials_path(self.index_dir, pid), home, B, terms=terms
-                    )
-                    if t is not None:
-                        parts.append(self._with_keys(t, seg, s, b))
-        if not parts:
-            return 0
-        enc = self._merger(pa.concat_tables(parts))
-        if not len(enc):
-            return 0
-        # hive layout: seg/bucket live in the path, not the file (matches
-        # the write_parquet(partition_cols=...) layout readers expect)
-        enc = enc.drop_columns(["seg", "bucket"])
-        _atomic_write_table(
-            enc,
-            os.path.join(self.out_root, f"seg={seg}", f"bucket={b}",
-                         "part-0.parquet"),
-            self.cfg.compression,
-        )
-        return len(enc)
+                    ht = hot_tbls.get(pid)
+                    if ht is None:
+                        continue
+                    t = ht.filter(pc.is_in(ht.column("term"), value_set=tset))
+                    if len(t):
+                        parts.append(self._with_keys(t, seg, s, bucket))
+            _mark("slice")
+            if not parts:
+                continue
+            enc = self._merger(pa.concat_tables(parts))
+            _mark("encode")
+            if not len(enc):
+                continue
+            # hive layout: seg/bucket live in the path, not the file
+            # (matches the write_parquet(partition_cols=...) layout)
+            enc = enc.drop_columns(["seg", "bucket"])
+            _atomic_write_table(
+                enc,
+                os.path.join(self.out_root, f"seg={seg}",
+                             f"bucket={bucket}", "part-0.parquet"),
+                self.cfg.compression,
+            )
+            _mark("write")
+            total_chunks += len(enc)
+        if _prof_dir is not None:
+            _prof["seg"], _prof["bucket"] = seg, b
+            with open(os.path.join(_prof_dir, f"{os.getpid()}.jsonl"), "a") as f:
+                import json as _json
+
+                f.write(_json.dumps(_prof) + "\n")
+        return total_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"seg": [], "bucket": [], "chunks": []}
         for spec in batch.to_pylist():
-            n = self._one(int(spec["seg"]), int(spec["bucket"]))
+            n = self._one(int(spec["seg"]), int(spec["bucket"]),
+                          int(spec["bucket_hi"]) if "bucket_hi" in spec
+                          and spec["bucket_hi"] is not None else None)
             out["seg"].append(int(spec["seg"]))
             out["bucket"].append(int(spec["bucket"]))
             out["chunks"].append(n)
@@ -1404,6 +1539,45 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     )
     merge_buckets = max(1, cfg.merge_buckets)
 
+    # hot pre-pass: extract every hot term's row from each partial file ONCE
+    # into a tiny per-pid sidecar (<=|hot| rows). Without it, every
+    # (seg, bucket-range) task re-decoded the scattered home-bucket row
+    # groups of every pid it routes from — tasks_per_seg x the decode.
+    hot_dir = None
+    if hot_terms:
+        hot_dir = os.path.join(index_dir, "hot_spill")
+        shutil.rmtree(hot_dir, ignore_errors=True)
+        os.makedirs(hot_dir, exist_ok=True)
+        homes = {zlib.crc32(t.encode()) % merge_buckets for t in hot_terms}
+        hot_sorted = sorted(hot_terms)
+        all_pids = sorted({p for ps in seg_pids.values() for p in ps})
+        idir, hdir = index_dir, hot_dir
+
+        def _extract(batch: pa.Table) -> pa.Table:
+            done = []
+            for pid in batch.column("pid").to_pylist():
+                t = _read_hot_rows(partials_path(idir, pid), homes,
+                                   merge_buckets, hot_sorted)
+                if t is not None:
+                    # term-sorted + tiny row groups: hot rows are the
+                    # heaviest in the index (that is why they are salted),
+                    # so consumers must be able to term-prune the decode
+                    t = t.sort_by("term")
+                    _atomic_write_table(
+                        t, os.path.join(hdir, f"pid={pid:06d}.parquet"),
+                        "zstd", row_group_size=4)
+                done.append(pid)
+            return pa.table({"pid": pa.array(done, pa.int64())})
+
+        with _no_probe_ramp():
+            for _ in ray.data.from_items(
+                [{"pid": p} for p in all_pids],
+                override_num_blocks=len(all_pids),
+            ).map_batches(
+                _extract, batch_format="pyarrow", batch_size=1, num_cpus=1,
+            ).iter_batches(batch_format="pyarrow"):
+                pass
+
     ctx = {
         "doc_base": doc_base_arr,
         "pid_pos": pid_pos_arr,
@@ -1414,16 +1588,18 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
         "max_chunks_per_salt": max_chunks_per_salt,
         "merge_buckets": merge_buckets,
         "deleted": deleted or {},
+        "hot_dir": hot_dir,
     }
     ctx_ref = ray.put(ctx)
 
     tmp = postings_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    bpt = cfg.stage_c_buckets_per_task or max(1, merge_buckets // 8)
     specs = [
-        {"seg": s, "bucket": b}
+        {"seg": s, "bucket": b, "bucket_hi": min(b + bpt, merge_buckets)}
         for s in sorted(seg_pids)
-        for b in range(merge_buckets)
+        for b in range(0, merge_buckets, bpt)
     ]
     with _no_probe_ramp():
         metrics = ray.data.from_items(
@@ -1444,6 +1620,8 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     else:
         shutil.rmtree(postings_dir, ignore_errors=True)
         os.replace(tmp, postings_dir)
+    if hot_dir is not None:
+        shutil.rmtree(hot_dir, ignore_errors=True)
     manifest.postings_done = True
 
 
