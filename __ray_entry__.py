@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_uax29_term_hits": _q(lambda sf: ft.uax29_term_hits(sf, "join")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
+        # (ft_spellcheck below exercises the same DirectSpellChecker
+        # comparator on an input that IS a dictionary term, proving the
+        # self-exclusion + dist-tie ranking)
         # span family (queries/spans): position algebra surfaces
         "ft_span_first_hits": _q(lambda sf: ft.span_first_hits(sf, "join", 10)),
         "ft_span_near_hits": _q(
@@ -594,7 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- fuzzy suggester (suggest/analyzing.FuzzySuggester shape) ---
         "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
         # --- did-you-mean (suggest/spell.DirectSpellChecker shape) ---
-        "ft_spellcheck": _q(lambda sf: ft.spellcheck_terms(sf, "par", 5, 2)),
+        "ft_spellcheck": _q(lambda sf: ft.spell_correct(sf, "par", 2, 5)),
         # --- classification module (SimpleNaiveBayesClassifier analog):
         # train on 80% of documents, predict lang of the held-out 20% ---
         "classify_nb_lang": _q(_classify_nb),
@@ -637,10 +640,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
         "ORDER BY doc_freq DESC, term LIMIT 10",
         "ft_spell_joib": _TOKS
-        + "SELECT tok AS term, levenshtein(tok, 'joib')::BIGINT AS distance, "
-        "count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks WHERE tok <> '' "
+        + "SELECT tok AS term, levenshtein(tok, 'joib')::BIGINT AS dist, "
+        "count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks "
+        "WHERE tok <> '' AND tok <> 'joib' "
         "GROUP BY tok HAVING levenshtein(tok, 'joib') <= 2 "
-        "ORDER BY distance, doc_freq DESC, term LIMIT 5",
+        "ORDER BY dist, doc_freq DESC, term LIMIT 5",
         "ft_phrase_hits": (
             "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
             "'(^|[^a-z0-9_])batch[^a-z0-9_]+window([^a-z0-9_]|$)') ORDER BY doc_id"

