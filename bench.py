@@ -119,7 +119,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "join_order_revenue", "pipeline_prepare_corpus",
                      "events_value_quantiles", "dedup_ngram_clusters",
                      "geo_knn_top10", "curate_sample_hash",
-                     "curate_decontaminate", "ft_uax29_term_hits"]:
+                     "curate_decontaminate", "ft_uax29_term_hits",
+                     "events_sessions", "events_asof_purchase_click",
+                     "events_signup_followups", "classify_nb_lang"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)

@@ -76,6 +76,10 @@ class TermPostings:
     freqs: np.ndarray  # int64
     pos_chunks: list | None  # [(pos_enc, freqs_slice)] lazily decoded
     pos_flat: np.ndarray | None = None  # memoized decode of pos_chunks
+    # memoized sorted (doc << 32 | pos) int64 keys over ALL occurrences —
+    # the exact-phrase kernel's working array; caching it removes the
+    # np.repeat doc expansion from every warm phrase evaluation
+    pos_keys: np.ndarray | None = None
 
 
 class DecodedPostingsCache:
@@ -164,33 +168,24 @@ class SegmentContext:
                         dv_fetch=None, decoded_cache=None, cache_key=None,
                         dv_range=None):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
+        return cls.from_chunk_recs(
+            chunk_recs_from_table(table, with_positions), num_docs, norms,
+            global_ids, with_positions, live, parents, dv_fetch,
+            decoded_cache, cache_key, dv_range)
+
+    @classmethod
+    def from_chunk_recs(cls, chunks, num_docs, norms, global_ids,
+                        with_positions=False, live=None, parents=None,
+                        dv_fetch=None, decoded_cache=None, cache_key=None,
+                        dv_range=None):
+        """Build from pre-converted {term: [ChunkRec]} — lets a long-lived
+        Searcher cache the Arrow->ChunkRec conversion per (seg, term) so
+        warm queries skip the per-search to_pylist of the encoded columns
+        (~2ms/segment, a top cost of warm bool queries)."""
         ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch,
                   decoded_cache, cache_key, dv_range)
         ctx.with_positions = with_positions
-        if table is None or len(table) == 0:
-            return ctx
-        terms = table.column("term").to_pylist()
-        counts = table.column("count").to_pylist()
-        min_docs = table.column("min_doc").to_pylist()
-        max_docs = table.column("max_doc").to_pylist()
-        docs_enc = table.column("docs_enc").to_pylist()
-        freqs_enc = table.column("freqs_enc").to_pylist()
-        pos_enc = table.column("pos_enc").to_pylist() if with_positions else [b""] * len(terms)
-        imp_f = table.column("impact_freqs").to_pylist()
-        imp_n = table.column("impact_norms").to_pylist()
-        for i, t in enumerate(terms):
-            ctx.chunks.setdefault(t, []).append(
-                ChunkRec(
-                    count=counts[i],
-                    min_doc=min_docs[i],
-                    max_doc=max_docs[i],
-                    docs_enc=docs_enc[i],
-                    freqs_enc=freqs_enc[i],
-                    pos_enc=pos_enc[i],
-                    imp_freqs=np.asarray(imp_f[i], dtype=np.int64),
-                    imp_norms=np.asarray(imp_n[i], dtype=np.int64),
-                )
-            )
+        ctx.chunks = chunks
         return ctx
 
     # ---- decode ----
@@ -700,31 +695,44 @@ class SegmentScorer:
             cand = cand[_sorted_isin(cand, tp.docs)]
             if len(cand) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        # (doc_rep, shifted position) arrays per term, restricted to cand
-        shifted_sets = []
-        for i, tp in enumerate(tps):
-            pos_flat = _decode_all_positions(tp)
-            ends = np.cumsum(tp.freqs)
-            starts = ends - tp.freqs
-            sel_idx = np.flatnonzero(_sorted_isin(tp.docs, cand))
-            doc_rep = np.repeat(tp.docs[sel_idx], tp.freqs[sel_idx])
-            tok_idx = _ranges_concat(starts[sel_idx], ends[sel_idx])
-            shifted = pos_flat[tok_idx].astype(np.int64) - i
-            shifted_sets.append((doc_rep, shifted))
         if slop > 0:
+            # (doc_rep, shifted position) arrays per term, restricted to cand
+            shifted_sets = []
+            for i, tp in enumerate(tps):
+                pos_flat = _decode_all_positions(tp)
+                ends = np.cumsum(tp.freqs)
+                starts = ends - tp.freqs
+                sel_idx = np.flatnonzero(_sorted_isin(tp.docs, cand))
+                doc_rep = np.repeat(tp.docs[sel_idx], tp.freqs[sel_idx])
+                tok_idx = _ranges_concat(starts[sel_idx], ends[sel_idx])
+                shifted = pos_flat[tok_idx].astype(np.int64) - i
+                shifted_sets.append((doc_rep, shifted))
             return self._sloppy_freqs(shifted_sets, len(terms), slop)
-        key_sets = [
-            doc_rep * np.int64(1 << 32) + shifted + 1  # +1: shift can be -1
-            for doc_rep, shifted in shifted_sets
-        ]
-        common = key_sets[0]
-        for ks in key_sets[1:]:
-            # keys ascend (docs ascend; positions ascend within a doc), so
-            # the searchsorted membership kernel applies
-            common = common[_sorted_isin(common, ks)]
+        # exact: intersect sorted (doc, pos - i) key sets straight from the
+        # memoized per-term key arrays. The doc-candidate restriction is a
+        # PREFILTER only (key equality already enforces same-doc), so it is
+        # applied per term only when selective — for common-term phrases
+        # ("new string") the gather/repeat of restriction cost more than it
+        # saved, and the cached keys make the unrestricted path allocation-
+        # free up to the intersection itself.
+        bases = []
+        for i, tp in enumerate(tps):
+            base = _pos_base_keys(tp)
+            if 2 * len(cand) < len(tp.docs):
+                ends = np.cumsum(tp.freqs)
+                starts = ends - tp.freqs
+                sel_idx = np.flatnonzero(_sorted_isin(tp.docs, cand))
+                base = base[_ranges_concat(starts[sel_idx], ends[sel_idx])]
+            bases.append(base)
+        # term-0 occurrence c = doc*M + pos matches term i at pos + i, i.e.
+        # iff (c + i) is in base_i — shifting the NEEDLES keeps the cached
+        # base arrays untouched (no shifted copies); both sides stay sorted
+        common = bases[0]
+        for i in range(1, len(bases)):
+            common = common[_sorted_isin(common + np.int64(i), bases[i])]
             if len(common) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        match_docs = (common // np.int64(1 << 32)).astype(np.int64)
+        match_docs = (common >> np.int64(32)).astype(np.int64)
         docs, pfreqs = np.unique(match_docs, return_counts=True)
         return docs, pfreqs.astype(np.int64)
 
@@ -1151,11 +1159,54 @@ def _sorted_isin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return b[idx] == a
 
 
+def chunk_recs_from_table(table, with_positions: bool) -> dict:
+    """Convert the reader's chunk rows (sorted by term, min_doc) into
+    {term: [ChunkRec]} — the one per-search Arrow boundary crossing."""
+    chunks: dict[str, list[ChunkRec]] = {}
+    if table is None or len(table) == 0:
+        return chunks
+    terms = table.column("term").to_pylist()
+    counts = table.column("count").to_pylist()
+    min_docs = table.column("min_doc").to_pylist()
+    max_docs = table.column("max_doc").to_pylist()
+    docs_enc = table.column("docs_enc").to_pylist()
+    freqs_enc = table.column("freqs_enc").to_pylist()
+    pos_enc = table.column("pos_enc").to_pylist() if with_positions else [b""] * len(terms)
+    imp_f = table.column("impact_freqs").to_pylist()
+    imp_n = table.column("impact_norms").to_pylist()
+    for i, t in enumerate(terms):
+        chunks.setdefault(t, []).append(
+            ChunkRec(
+                count=counts[i],
+                min_doc=min_docs[i],
+                max_doc=max_docs[i],
+                docs_enc=docs_enc[i],
+                freqs_enc=freqs_enc[i],
+                pos_enc=pos_enc[i],
+                imp_freqs=np.asarray(imp_f[i], dtype=np.int64),
+                imp_norms=np.asarray(imp_n[i], dtype=np.int64),
+            )
+        )
+    return chunks
+
+
 def _decode_all_positions(tp: TermPostings) -> np.ndarray:
     if tp.pos_flat is None:
         parts = [decode_positions(enc, f) for enc, f in tp.pos_chunks]
         tp.pos_flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
     return tp.pos_flat
+
+
+def _pos_base_keys(tp: TermPostings) -> np.ndarray:
+    """Sorted int64 (doc << 32) + pos over every occurrence, memoized on
+    the TermPostings (so the decoded-postings cache amortizes it across
+    searches). Strictly ascending: docs ascend, positions ascend within a
+    doc, and positions fit in 32 bits."""
+    if tp.pos_keys is None:
+        pos = _decode_all_positions(tp).astype(np.int64)
+        doc_rep = np.repeat(tp.docs, tp.freqs)
+        tp.pos_keys = doc_rep * np.int64(1 << 32) + pos
+    return tp.pos_keys
 
 
 def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

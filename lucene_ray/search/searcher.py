@@ -64,6 +64,12 @@ class Searcher:
         self.sim = similarity or BM25Similarity()
         # decoded hot-term postings survive across searches (bounded)
         self._decoded_cache = DecodedPostingsCache()
+        # per-(seg, term, with_positions) ChunkRec lists: the Arrow->python
+        # conversion of encoded chunk rows was ~2ms/segment on EVERY warm
+        # search; bounded FIFO (encoded bytes only, far smaller than the
+        # decoded cache)
+        self._chunkrec_cache: dict = {}
+        self._chunkrec_max = 65536
 
     def plan(self, q: Query):
         """Resolve global stats + scorers for a query (Weight creation)."""
@@ -95,9 +101,25 @@ class Searcher:
         need_positions = need_positions and bool(
             self.reader.manifest.config.get("with_positions", True)
         )
-        table = self.reader.postings(seg, sorted(all_terms))
-        ctx = SegmentContext.from_chunk_table(
-            table,
+        from lucene_ray.search.executor import chunk_recs_from_table
+
+        cache = self._chunkrec_cache
+        missing = [t for t in sorted(all_terms)
+                   if (seg, t, need_positions) not in cache]
+        if missing:
+            table = self.reader.postings(seg, missing)
+            recs = chunk_recs_from_table(table, need_positions)
+            if len(cache) + len(missing) > self._chunkrec_max:
+                cache.clear()
+            for t in missing:
+                cache[(seg, t, need_positions)] = recs.get(t, [])
+        chunks = {}
+        for t in all_terms:
+            r = cache[(seg, t, need_positions)]
+            if r:
+                chunks[t] = r
+        ctx = SegmentContext.from_chunk_recs(
+            chunks,
             num_docs=self.reader.num_docs(seg),
             norms=self.reader.norms(seg),
             global_ids=self.reader.global_doc_ids(seg),
