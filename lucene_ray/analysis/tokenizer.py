@@ -159,13 +159,24 @@ def codepoint_class(cp: int) -> int:
     return CLS_WORD
 
 
-def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+                   cjk_bigrams: bool = False):
     """Vectorized uax29-grammar tokenization of ALREADY-LOWERCASED texts.
 
     Returns ``(tokens, doc_idx, positions, start_chars, end_chars)`` with
     numpy int64 arrays; offsets are codepoint offsets within each doc.
     Classification is one numpy gather over the batch's UNIQUE codepoints
     (alphabet-sized Python work, corpus-sized numpy work).
+
+    ``cjk_bigrams``: CJKBigramFilter semantics (lucene/analysis/common/src/
+    java/org/apache/lucene/analysis/cjk/CJKBigramFilter.java:53, the
+    CJKAnalyzer default): each maximal region of single-char-class
+    codepoints (ideographic + hiragana — the classes StandardTokenizer
+    emits as single-char tokens) of length n >= 2 emits its n-1 overlapping
+    character bigrams, one position each; an isolated char stays a unigram
+    (outputUnigrams=false emits unigrams only where no bigram exists).
+    Regions join across the two scripts, as the filter combines any
+    adjacent flagged single-char tokens.
     """
     import numpy as np
 
@@ -198,14 +209,36 @@ def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_L
     parts_s, parts_e = [], []
     if single.any():
         s_r, e_r = run_s[single], run_e[single]
-        counts = e_r - s_r
-        base = np.repeat(s_r, counts)
-        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        idx = base + within
-        parts_s.append(idx)
-        parts_e.append(idx + 1)
+        if cjk_bigrams:
+            # merge ADJACENT single-class runs (e.g. han|hiragana) into one
+            # bigram region, then emit n-1 bigrams per region (unigram for
+            # isolated chars)
+            new_reg = np.empty(len(s_r), dtype=bool)
+            new_reg[0] = True
+            new_reg[1:] = s_r[1:] != e_r[:-1]
+            reg_first = np.flatnonzero(new_reg)
+            reg_last = np.r_[reg_first[1:] - 1, len(s_r) - 1]
+            reg_s = s_r[reg_first]
+            reg_e = e_r[reg_last]
+            L = reg_e - reg_s
+            counts = np.maximum(L - 1, 1)
+            width = np.where(L >= 2, 2, 1)
+            base = np.repeat(reg_s, counts)
+            within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            idx = base + within
+            parts_s.append(idx)
+            parts_e.append(idx + np.repeat(width, counts))
+        else:
+            counts = e_r - s_r
+            base = np.repeat(s_r, counts)
+            within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            idx = base + within
+            parts_s.append(idx)
+            parts_e.append(idx + 1)
     if multi.any():
         s_r, e_r = run_s[multi], run_e[multi]
         lengths = e_r - s_r
@@ -250,15 +283,20 @@ class UnicodeTokenizer:
 
     grammar = "uax29"
 
-    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+                 cjk_bigrams: bool = False):
         self.max_token_length = max_token_length
+        self.cjk_bigrams = cjk_bigrams
+        if cjk_bigrams:
+            self.grammar = "cjk_bigram"
 
     def __call__(self, text: str) -> list[str]:
         import pyarrow as pa
         import pyarrow.compute as pc
 
         lower = pc.utf8_lower(pa.array([text], pa.string()))[0].as_py()
-        return tokenize_uax29([lower], self.max_token_length)[0]
+        return tokenize_uax29([lower], self.max_token_length,
+                              self.cjk_bigrams)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,9 @@ class IndexConfig:
     compute_sha256: bool = True
     max_token_length: int = 255
     stopwords: tuple = ()
-    # tokenizer grammar: "code" (pinned ASCII identifier runs) or "uax29"
+    # tokenizer grammar: "code" (pinned ASCII identifier runs), "uax29",
+    # "cjk_bigram" (uax29 + CJKBigramFilter semantics — the CJKAnalyzer
+    # default chain: overlapping han/hiragana character bigrams), or "dict"
     # (multilingual StandardTokenizer behavior — unigram CJK/hiragana,
     # katakana/hangul runs, Unicode alphanumerics; see analysis/tokenizer.py).
     # Identical to "code" on pure-ASCII text. Query analysis must use the

@@ -66,6 +66,10 @@ def tokenize_column(
     if grammar == "uax29":
         return _tokenize_column_uax29(contents, max_token_length, stopwords,
                                       with_offsets)
+    if grammar == "cjk_bigram":
+        # uax29 + CJKBigramFilter (the CJKAnalyzer default chain)
+        return _tokenize_column_uax29(contents, max_token_length, stopwords,
+                                      with_offsets, cjk_bigrams=True)
     if grammar == "dict":
         return _tokenize_column_dict(contents, max_token_length, stopwords,
                                      with_offsets, dict_lexicon)
@@ -298,6 +302,7 @@ def _tokenize_column_uax29(
     max_token_length: int,
     stopwords: frozenset[str] | None,
     with_offsets: bool,
+    cjk_bigrams: bool = False,
 ) -> tuple:
     """uax29-grammar column tokenization (UnicodeTokenizer semantics).
 
@@ -353,7 +358,8 @@ def _tokenize_column_uax29(
             scs.append(out[3])
             ecs.append(out[4])
     texts = lower.take(pa.array(uni_idx, pa.int64())).to_pylist()
-    toks, d_u, p_u, sc_u, ec_u = tokenize_uax29(texts, max_token_length)
+    toks, d_u, p_u, sc_u, ec_u = tokenize_uax29(texts, max_token_length,
+                                                cjk_bigrams)
     flats.append(pa.array(toks, pa.string()))
     docs.append(uni_idx[d_u])
     poss.append(p_u)
