@@ -95,6 +95,65 @@ class EdgeNGramFilter(TokenFilter):
         return tuple(term[:n] for n in range(self.min_gram, top + 1))
 
 
+_SOUNDEX_CODE = {c: d for c, d in zip("abcdefghijklmnopqrstuvwxyz",
+                                      "01230120022455012623010202")}
+
+
+def soundex(term: str) -> str:
+    """American Soundex, commons-codec US_ENGLISH semantics (the encoder
+    Lucene's PhoneticFilter ships by default — lucene/analysis/phonetic/src/
+    java/org/apache/lucene/analysis/phonetic/PhoneticFilter.java:33):
+    first letter + three digits, consonants H/W are silent AND transparent
+    (a consonant seen across H/W with the same code is not re-emitted),
+    vowels reset adjacency, zero-padded. Returns '' for terms with no
+    ASCII letters (codes are only injected for alphabetic tokens)."""
+    letters = [c for c in term.lower() if "a" <= c <= "z"]
+    if not letters:
+        return ""
+    out = letters[0].upper()
+    last = _SOUNDEX_CODE[letters[0]]
+    for c in letters[1:]:
+        if c in "hw":
+            continue  # silent AND transparent: `last` survives across it
+        code = _SOUNDEX_CODE[c]
+        if code == "0":
+            last = "0"  # vowel: resets adjacency, emits nothing
+            continue
+        if code != last:
+            out += code
+            if len(out) == 4:
+                break
+        last = code
+    return out.ljust(4, "0")
+
+
+class PhoneticFilter(TokenFilter):
+    """Soundex phonetic terms (PhoneticFilter + commons-codec Soundex).
+    ``inject=True`` (Lucene's default) keeps the original token and adds
+    the code at the same position; ``inject=False`` replaces it. Codes are
+    emitted lowercased so they live in the same term namespace as analyzed
+    tokens, and only for purely alphabetic tokens."""
+
+    def __init__(self, inject: bool = True):
+        self.inject = inject
+        self.spec = ("phonetic", {"inject": inject})
+
+    def _code(self, term: str) -> str:
+        return soundex(term).lower() if term.isalpha() and term.isascii() else ""
+
+    def map_term(self, term: str) -> str:
+        if self.inject:
+            return term
+        c = self._code(term)
+        return c or term
+
+    def synonyms(self, term: str) -> tuple:
+        if not self.inject:
+            return ()
+        c = self._code(term)
+        return (c,) if c and c != term else ()
+
+
 def build_filters(specs) -> tuple:
     """Instantiate filters from JSON-able specs (manifest round-trip)."""
     out = []
@@ -108,6 +167,8 @@ def build_filters(specs) -> tuple:
             out.append(SynonymFilter(spec[1]))
         elif kind == "edge_ngram":
             out.append(EdgeNGramFilter(spec[1]["min"], spec[1]["max"]))
+        elif kind == "phonetic":
+            out.append(PhoneticFilter(bool(spec[1].get("inject", True))))
         elif kind == "light_stem":
             from lucene_ray.analysis.lang import LightStemFilter
 
