@@ -209,12 +209,16 @@ def run_scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise RuntimeError(f"bench child at {ncpu} cpus failed "
+                               f"(exit {p.returncode})")
+        return json.loads(p.stdout.strip().splitlines()[-1])
 
     levels = [2, 8, 32]
     # best-of-2, order interleaved: this host's page-cache/balloon state
