@@ -445,7 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       ("lang", "source"))
         ),
         "ft_snippet_join": _q(lambda sf: ft.snippet_first_occurrence(sf, "join")),
-        # JoinUtil score modes (None exact; Max scored rows-only)
+        # JoinUtil score modes (None and Max both exact-SQL: max over
+        # float32 child scores is order-independent)
         "ft_join_parent_counts": _q(
             lambda sf: join_to_parent(sf, "join", "lang", score_mode="none")
         ),
@@ -1357,5 +1358,36 @@ def oracle_sql() -> dict[str, str]:
         "round(s::DOUBLE, 6) AS score_r6 FROM sc "
         "JOIN documents dd ON sc.doc_id = dd.doc_id) "
         "WHERE rank <= 2 ORDER BY lang, rank"
+    )
+    # scored JOIN surfaces: max over children is order-independent in
+    # float32; blockjoin avg sums child scores in float64 then downcasts to
+    # float32 (the downcast absorbs sum-order ulps), matching
+    # executor._eval_blockjoin exactly. Verified bit-identical vs the engine
+    # at sf0.001/0.01/0.1.
+    out["ft_join_parent_scored"] = _bm25_cte(["join"]) + (
+        "SELECT dd.lang AS parent, count(*)::BIGINT AS n_children, "
+        "round(max(s)::DOUBLE, 6) AS score "
+        "FROM sc JOIN documents dd USING (doc_id) "
+        "GROUP BY dd.lang ORDER BY parent"
+    )
+    out["ft_blockjoin_scored"] = _bm25_cte(["merge"]) + (
+        ", agg AS (SELECT dd.source AS parent, count(*)::BIGINT AS n_children, "
+        "CAST(sum(s::DOUBLE) / count(*) AS FLOAT) AS sf "
+        "FROM sc JOIN documents dd USING (doc_id) GROUP BY dd.source) "
+        "SELECT parent, n_children, round(sf::DOUBLE, 6) AS score "
+        "FROM agg ORDER BY parent"
+    )
+    # two-phase rescore: BM25 top-100 window (s desc, doc_id asc), then the
+    # expression evaluated in DOUBLE over the window — 'length' binds to the
+    # token-list length (d.dl), as in ft_expr_topk
+    out["ft_expr_rescore_join"] = _bm25_cte(["join"]) + (
+        ", cand AS (SELECT doc_id, s FROM "
+        "(SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS r "
+        "FROM sc) WHERE r <= 100), "
+        "ev AS (SELECT cand.doc_id, s::DOUBLE * 0.5 + ln(d.dl + 1) AS v "
+        "FROM cand JOIN d USING (doc_id)) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY v DESC, doc_id)::BIGINT AS rank, round(v, 6) AS expr_value "
+        "FROM ev) WHERE rank <= 10 ORDER BY rank"
     )
     return out
