@@ -275,26 +275,34 @@ def _write_baseline_md(result: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     history = _load_history()
     levels = result["cpus"]
-    best = {str(n): max(h["docs_per_sec"].get(str(n), 0) for h in history) for n in levels}
+    # headline bests are computed ONLY over runs at the current corpus size:
+    # docs/sec at different corpus sizes amortize fixed startup differently,
+    # so mixing them in one best-of table would overstate the efficiency
+    same = [h for h in history
+            if h.get("corpus_rows", result["corpus_rows"]) == result["corpus_rows"]]
+    best = {str(n): max(h["docs_per_sec"].get(str(n), 0) for h in same) for n in levels}
     best_build = {
         str(n): min(
             h["build_sec"][str(n)]
-            for h in history
+            for h in same
             if h["docs_per_sec"].get(str(n)) == best[str(n)]
         )
         for n in levels
     }
     best_p50 = {
-        str(n): min(h["query_p50_sec"].get(str(n), 9e9) for h in history) for n in levels
+        str(n): min(h["query_p50_sec"].get(str(n), 9e9) for h in same) for n in levels
     }
     eff_8_32 = (best["32"] / best["8"]) / 4 if best.get("8") else 0.0
     eff_2_8 = (best["8"] / best["2"]) / 4 if best.get("2") else 0.0
     lines = [
         "# BENCH/BASELINE.md — measured numbers (written by bench.py --scaling)",
         "",
-        f"- date: {time.strftime('%Y-%m-%d %H:%M:%S')} · runs recorded: {len(history)}",
+        f"- date: {time.strftime('%Y-%m-%d %H:%M:%S')} · runs recorded: {len(history)} "
+        f"({len(same)} at the current corpus size)",
         f"- corpus: deterministic F1 source-code corpus, {result['corpus_rows']} rows "
         f"(seed=42), parquet /tmp/lucene_ray_bench/corpus_{result['corpus_rows']}.parquet",
+        "- headline table below aggregates only runs at this corpus size; the",
+        "  per-run table lists every recorded run with its corpus size.",
         f"- host: {platform.machine()}, ray {ray.__version__}, pyarrow {pyarrow.__version__}, "
         f"numpy {numpy.__version__}",
         "- protocol: same input + partition plan at every level; fresh ray.init per",
@@ -318,15 +326,16 @@ def _write_baseline_md(result: dict) -> None:
         "",
         "Per-run raw results:",
         "",
-        "| run | docs/s @2 | @8 | @32 | eff 2->8 | eff 8->32 |",
-        "|---|---|---|---|---|---|",
+        "| run | rows | docs/s @2 | @8 | @32 | eff 2->8 | eff 8->32 |",
+        "|---|---|---|---|---|---|---|",
     ]
     for i, h in enumerate(history):
         d = h["docs_per_sec"]
         e28 = round(d.get("8", 0) / d["2"] / 4, 3) if d.get("2") else "-"
         e832 = round(d.get("32", 0) / d["8"] / 4, 3) if d.get("8") else "-"
         lines.append(
-            f"| {h.get('ts', i)} | {d.get('2', '-')} | {d.get('8', '-')} | "
+            f"| {h.get('ts', i)} | {h.get('corpus_rows', '-')} | "
+            f"{d.get('2', '-')} | {d.get('8', '-')} | "
             f"{d.get('32', '-')} | {e28} | {e832} |"
         )
     micro = []
