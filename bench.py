@@ -450,10 +450,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--render-md" in sys.argv:
-        # re-render BASELINE.md from recorded history (no timed runs)
+        # re-render BASELINE.md from recorded history (no timed runs).
+        # Headline aggregates at the CONFIGURED corpus size (BENCH_CORPUS_ROWS),
+        # not whatever size the last recorded run happened to use.
         h = _load_history()
         if h:
-            _write_baseline_md(h[-1])
+            _write_baseline_md({**h[-1], "corpus_rows": BENCH_CORPUS_ROWS})
             print("BENCH/BASELINE.md re-rendered from history")
     elif "--build-only" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
