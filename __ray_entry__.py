@@ -473,10 +473,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minimal s-stemmer both sides, so 'customers' matches 'customer' docs
         "ft_lang_en_hits": _q(lambda sf: ft.lang_pack_hits(sf, "customers", "en")),
         # MoreLikeThis (queries/mlt): deterministic tf*idf term selection,
-        # exact hit set of the expanded OR query, scored top-k (rows-only)
+        # exact hit set of the expanded OR query, float32-exact scored top-k
         "mlt_terms_doc7": _q(lambda sf: mlt.interesting_terms(sf, 7)),
         "mlt_hits_doc7": _q(lambda sf: mlt.more_like_this_hits(sf, 7)),
-        "mlt_top10_doc7": _q(lambda sf: mlt.more_like_this_topk(sf, 7, 10)),
+        "mlt_top10_doc7": _q(
+            lambda sf: _score_r6(mlt.more_like_this_topk(sf, 7, 10))
+        ),
         # expressions module: sort-by-formula (exact) + score-by-formula
         "ft_expr_topk": _q(
             lambda sf: expression_topk(sf, "ln(length + 1) + (doc_id % 7) * 0.01", 10)
@@ -1389,5 +1391,46 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY v DESC, doc_id)::BIGINT AS rank, round(v, 6) AS expr_value "
         "FROM ev) WHERE rank <= 10 ORDER BY rank"
+    )
+    # MoreLikeThis scored top-k, float32-exact: term selection (tf>=2, df>=5,
+    # score = tf*(1+ln(N/(df+1))), top-25 by score desc/term asc), then the
+    # executor's sequential float32 fold of per-term BM25 contributions IN
+    # SELECTION ORDER reproduced with list_reduce; top-11 by (s desc, doc_id),
+    # source doc dropped, first 10 ranked.
+    out["mlt_top10_doc7"] = (
+        "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+        "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
+        "stats AS (SELECT count(*)::BIGINT AS n, "
+        "CAST(sum(dl)::DOUBLE / count(*) AS FLOAT) AS avgdl FROM d), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+        "src AS (SELECT tok, count(*)::BIGINT AS tf FROM toks "
+        "WHERE doc_id = 7 AND tok <> '' GROUP BY tok HAVING count(*) >= 2), "
+        "dfall AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+        "JOIN src USING (tok) GROUP BY tok), "
+        "selt AS (SELECT src.tok, src.tf * (1.0 + ln((SELECT n FROM stats)::DOUBLE "
+        "/ (dfall.df + 1.0))) AS mscore FROM src JOIN dfall USING (tok) "
+        "WHERE dfall.df >= 5 ORDER BY mscore DESC, src.tok LIMIT 25), "
+        "sel AS (SELECT tok, row_number() OVER (ORDER BY mscore DESC, tok) AS r "
+        "FROM selt), "
+        "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks "
+        "JOIN sel USING (tok) GROUP BY doc_id, tok), "
+        "dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), "
+        "idfs AS (SELECT tok, CAST(ln(1 + ((SELECT n FROM stats) - df + 0.5) "
+        "/ (df + 0.5)) AS FLOAT) AS idf FROM dfs), "
+        "ninv AS (SELECT doc_id, CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * "
+        "((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT)) + CAST(0.75 AS FLOAT) * "
+        "CAST(" + _LOSSY_DL + " AS FLOAT) / (SELECT avgdl FROM stats))) AS ninv "
+        "FROM d), "
+        "sc AS (SELECT tf.doc_id, tf.tok, "
+        "idfs.idf - idfs.idf / (CAST(1.0 AS FLOAT) + CAST(tf AS FLOAT) * "
+        "ninv.ninv) AS s FROM tf JOIN idfs USING (tok) JOIN ninv USING (doc_id)), "
+        "folded AS (SELECT doc_id, list_reduce(list(s ORDER BY sel.r), "
+        "(a, b) -> CAST(a + b AS FLOAT)) AS s FROM sc JOIN sel USING (tok) "
+        "GROUP BY doc_id), "
+        "top AS (SELECT doc_id, s FROM folded ORDER BY s DESC, doc_id LIMIT 11), "
+        "kept AS (SELECT doc_id, s FROM top WHERE doc_id <> 7 "
+        "ORDER BY s DESC, doc_id LIMIT 10) "
+        "SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT "
+        "AS rank, round(s::DOUBLE, 6) AS score_r6 FROM kept ORDER BY rank"
     )
     return out

@@ -112,8 +112,13 @@ def more_like_this_topk(
     min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
     max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
 ) -> pa.Table:
-    """BM25 top-k for the MLT query (rows-only contract surface: float32
-    rank order is engine-specific). Fetches k+1 and drops the source doc."""
+    """BM25 top-k for the MLT query. Fetches k+1 and drops the source doc.
+
+    Fully SQL-checkable despite float32 scoring: the executor folds the
+    selected terms' BM25 contributions onto a float32 accumulator IN
+    SELECTION ORDER (score desc, term asc), which DuckDB reproduces with a
+    list_reduce over the same order — ranks AND round(score, 6) match
+    bit-for-float32-bit (verified at sf0.001/0.01)."""
     from lucene_ray.pipelines.fulltext import _pool
     from lucene_ray.search.query import BooleanQuery, TermQuery
 
@@ -122,6 +127,7 @@ def more_like_this_topk(
     reader = documents_index(sf_dir)
     if not terms:
         return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float32())})
     q = BooleanQuery(should=[TermQuery(t) for t in terms])
     td = _pool(reader).search([(0, q)], k=k + 1)[0]
@@ -131,9 +137,11 @@ def more_like_this_topk(
     m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
     orig = np.array([m[int(g)] for g in gids], dtype=np.int64)
     keep = orig != doc_id
+    kept = orig[keep][:k]
     return pa.table(
         {
-            "doc_id": pa.array(orig[keep][:k], pa.int64()),
+            "doc_id": pa.array(kept, pa.int64()),
+            "rank": pa.array(np.arange(1, len(kept) + 1), pa.int64()),
             "score": pa.array(np.asarray(scores)[keep][:k], pa.float32()),
         }
     )
