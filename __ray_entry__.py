@@ -332,6 +332,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax_top10": _q(
             lambda sf: _score_r6(ft.dismax_topk(sf, ["join", "hash"], 0.1))
         ),
+        # CommonTermsQuery (queries/CommonTermsQuery.java): df-classified
+        # terms — rare terms gate the hit set, common terms only boost;
+        # all-common degenerates to a conjunction. Hit sets exact; top-k
+        # float32-exact (clause-ordered fold).
+        "ft_common_terms_hits": _q(
+            lambda sf: ft.common_terms_hits(sf, ["join", "batch", "dup"], 0.5)
+        ),
+        "ft_common_terms_conj_hits": _q(
+            lambda sf: ft.common_terms_hits(sf, ["join", "batch"], 0.5)
+        ),
+        "ft_common_terms_top10": _q(
+            lambda sf: _score_r6(
+                ft.common_terms_topk(sf, ["join", "batch", "dup"], 0.5, 10)
+            )
+        ),
         # numeric doc-values: range query, range+term filter, range facets
         "ft_numeric_range_hits": _q(
             lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400)
@@ -721,6 +736,42 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 FROM pt b WHERE b.doc_id = p.doc_id AND b.tok = 'join' "
             "AND b.pos = p.pos + 1) ORDER BY doc_id"
         ),
+        # CommonTermsQuery hit sets: the df classification runs IN SQL (df >
+        # ceil(0.5 * N) => high), so the oracle follows the engine's live-
+        # stats rewrite at any sf. Low terms present => docs with >= 1 low
+        # term (required SHOULD sub-clause, msm 1); no low terms => docs
+        # with ALL terms (conjunction rewrite). Query-terms absent from the
+        # corpus classify low but can never match.
+        "ft_common_terms_hits": _TOKS
+        + ", n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+        "qdf AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+        "WHERE tok IN ('join', 'batch', 'dup') GROUP BY tok), "
+        "hi AS (SELECT tok FROM qdf WHERE df > ceil(0.5 * (SELECT n FROM n))), "
+        "lo AS (SELECT tok FROM qdf WHERE tok NOT IN (SELECT tok FROM hi)), "
+        "nhi AS (SELECT count(*)::BIGINT AS c FROM hi) "
+        "SELECT doc_id FROM ("
+        "SELECT DISTINCT doc_id FROM toks WHERE tok IN (SELECT tok FROM lo) "
+        "AND (SELECT c FROM nhi) < 3 "
+        "UNION "
+        "SELECT doc_id FROM (SELECT doc_id, count(DISTINCT tok) AS ct FROM toks "
+        "WHERE tok IN ('join', 'batch', 'dup') GROUP BY doc_id) "
+        "WHERE ct = 3 AND (SELECT c FROM nhi) = 3"
+        ") ORDER BY doc_id",
+        "ft_common_terms_conj_hits": _TOKS
+        + ", n AS (SELECT count(*)::BIGINT AS n FROM documents), "
+        "qdf AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks "
+        "WHERE tok IN ('join', 'batch') GROUP BY tok), "
+        "hi AS (SELECT tok FROM qdf WHERE df > ceil(0.5 * (SELECT n FROM n))), "
+        "lo AS (SELECT tok FROM qdf WHERE tok NOT IN (SELECT tok FROM hi)), "
+        "nhi AS (SELECT count(*)::BIGINT AS c FROM hi) "
+        "SELECT doc_id FROM ("
+        "SELECT DISTINCT doc_id FROM toks WHERE tok IN (SELECT tok FROM lo) "
+        "AND (SELECT c FROM nhi) < 2 "
+        "UNION "
+        "SELECT doc_id FROM (SELECT doc_id, count(DISTINCT tok) AS ct FROM toks "
+        "WHERE tok IN ('join', 'batch') GROUP BY doc_id) "
+        "WHERE ct = 2 AND (SELECT c FROM nhi) = 2"
+        ") ORDER BY doc_id",
         "ft_dismax_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join', 'hash') "
         "ORDER BY doc_id",
@@ -1344,6 +1395,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM dm) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # CommonTermsQuery scored top-k: the executor evaluates MUST(low) then
+    # SHOULD(high) onto a float32 accumulator; the high sub-clause folds
+    # join then batch on ITS OWN accumulator first (executor._eval_bool) —
+    # so s = sd + (sj + sb), all FLOAT ops. Classification hardcoded to the
+    # test corpus's stable dfs (dup ~5% rare; join/batch ~80% common at
+    # every sf); the dynamic-classification twin is ft_common_terms_hits.
+    out["ft_common_terms_top10"] = _bm25_cte(["dup", "join", "batch"]) + (
+        ", pv AS (SELECT doc_id, "
+        "max(CASE WHEN tok = 'dup' THEN s END) AS sd, "
+        "max(CASE WHEN tok = 'join' THEN s END) AS sj, "
+        "max(CASE WHEN tok = 'batch' THEN s END) AS sb "
+        "FROM sc GROUP BY doc_id), "
+        "scored AS (SELECT doc_id, "
+        "CASE WHEN sj IS NOT NULL AND sb IS NOT NULL THEN sd + (sj + sb) "
+        "WHEN sj IS NOT NULL THEN sd + sj "
+        "WHEN sb IS NOT NULL THEN sd + sb ELSE sd END AS s "
+        "FROM pv WHERE sd IS NOT NULL) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM scored) "
         "WHERE rank <= 10 ORDER BY rank"
     )
     out["ft_filtered_bm25_top10"] = _bm25_cte(["customer"]) + (

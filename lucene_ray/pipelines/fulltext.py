@@ -747,6 +747,49 @@ def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.1,
     )
 
 
+def _common_terms_q(sf_dir: str, terms: list[str], max_term_frequency: float,
+                    low_freq_occur: str, high_freq_occur: str):
+    """Resolve df stats from the index and build the CommonTermsQuery
+    rewrite (term classification happens against the LIVE collection stats,
+    the point of the query vs static stopword lists)."""
+    from lucene_ray.search.query import common_terms_query
+
+    reader = documents_index(sf_dir)
+    stats = reader.term_stats(sorted(set(terms)))
+    dfs = {t: st.doc_freq for t, st in stats.items()}
+    max_doc = reader.collection_stats().doc_count
+    return common_terms_query(
+        terms, dfs, max_doc, max_term_frequency,
+        low_freq_occur=low_freq_occur, high_freq_occur=high_freq_occur,
+    ), reader
+
+
+def common_terms_hits(sf_dir: str, terms: list[str],
+                      max_term_frequency: float = 0.5,
+                      low_freq_occur: str = "SHOULD",
+                      high_freq_occur: str = "SHOULD") -> pa.Table:
+    """Exact hit set of a CommonTermsQuery: docs matched by the required
+    low-frequency sub-clause (or by ALL terms when every term is common and
+    the query degenerates to a conjunction)."""
+    q, reader = _common_terms_q(sf_dir, terms, max_term_frequency,
+                                low_freq_occur, high_freq_occur)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
+def common_terms_topk(sf_dir: str, terms: list[str],
+                      max_term_frequency: float = 0.5, k: int = 10,
+                      low_freq_occur: str = "SHOULD",
+                      high_freq_occur: str = "SHOULD") -> pa.Table:
+    """Scored CommonTermsQuery top-k: rare terms gate the hit set, common
+    terms only add score. Float32-exact in SQL — the executor folds the
+    low sub-clause then the high sub-clause onto the accumulator
+    (executor._eval_bool clause order), each sub-clause itself a float32
+    fold of its term scores."""
+    q, reader = _common_terms_q(sf_dir, terms, max_term_frequency,
+                                low_freq_occur, high_freq_occur)
+    return _scored_topk(sf_dir, q, k)
+
+
 def numeric_range_hits(sf_dir: str, col: str, lower, upper,
                        term: str | None = None) -> pa.Table:
     """Docs with ``lower <= col <= upper`` (NumericRangeQuery over the
@@ -862,30 +905,6 @@ def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
             "n_docs": pa.array([counts[k] for k in keys], pa.int64()),
         }
     )
-
-
-def common_terms_hits(sf_dir: str, terms: list[str],
-                      max_df_ratio: float = 0.4) -> pa.Table:
-    """CommonTermsQuery rewrite (lucene/queries/.../CommonTermsQuery.java):
-    terms with df/doc_count > ``max_df_ratio`` are "common" and demoted to
-    scoring-only SHOULD clauses; rare terms form the required conjunction.
-    If every term is common the query degrades to a plain OR (Lucene's
-    fallback when the low-frequency clause is empty). Hit set is therefore
-    AND(rare) — or OR(all) when no rare terms — fully SQL-checkable."""
-    from lucene_ray.search.query import BooleanQuery, TermQuery
-
-    reader = documents_index(sf_dir)
-    stats = reader.term_stats(sorted(set(terms)))
-    n = reader.collection_stats().doc_count
-    rare = [t for t in terms
-            if stats.get(t) is None or stats[t].doc_freq <= max_df_ratio * n]
-    common = [t for t in terms if t not in rare]
-    if rare:
-        q = BooleanQuery(must=[TermQuery(t) for t in rare],
-                         should=[TermQuery(t) for t in common])
-    else:
-        q = BooleanQuery(should=[TermQuery(t) for t in common])
-    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
 
 
 def phrase_prefix_hits(sf_dir: str, terms: list[str], prefix: str) -> pa.Table:

@@ -425,6 +425,78 @@ class BooleanQuery(Query):
         return self.minimum_should_match
 
 
+def common_terms_query(
+    terms: list[str],
+    doc_freqs: dict[str, int],
+    max_doc: int,
+    max_term_frequency: float,
+    low_freq_occur: str = "SHOULD",
+    high_freq_occur: str = "SHOULD",
+    low_freq_msm: float = 0.0,
+    high_freq_msm: float = 0.0,
+) -> Query:
+    """CommonTermsQuery rewrite (queries/src/java/org/apache/lucene/queries/
+    CommonTermsQuery.java:145 buildQuery): split terms by document frequency
+    against ``max_term_frequency`` (absolute when >= 1, else a fraction of
+    ``max_doc``); low-frequency terms form a required sub-clause, high-
+    frequency ("common") terms an optional one that only boosts scores of
+    docs already matched by the rare terms. All-high-frequency degenerates
+    to a conjunction (CommonTermsQuery.java:175-183).
+
+    ``doc_freqs`` maps term -> df; absent terms classify as low frequency
+    (termStates == null branch, CommonTermsQuery.java:151-152). ``max_doc``
+    is the collection doc count (Lucene's maxDoc analog). Fractional
+    ``*_msm`` < 1 resolves to round(msm * n_optional)
+    (CommonTermsQuery.java:138-143); occur strings are MUST or SHOULD
+    (MUST_NOT rejected, as in the Java constructor).
+    """
+    import math
+
+    for occ in (low_freq_occur, high_freq_occur):
+        if occ not in ("MUST", "SHOULD"):
+            raise ValueError(f"occur must be MUST or SHOULD, got {occ}")
+    if not terms:
+        return BooleanQuery()  # MatchNoDocsQuery analog: matches nothing
+    if len(terms) == 1:
+        return TermQuery(terms[0])
+    cutoff = int(math.ceil(max_term_frequency * float(max_doc)))
+    low: list[str] = []
+    high: list[str] = []
+    for t in terms:
+        df = doc_freqs.get(t, 0)
+        if df > 0 and (
+            (max_term_frequency >= 1.0 and df > max_term_frequency)
+            or df > cutoff
+        ):
+            high.append(t)
+        else:
+            low.append(t)
+
+    def _msm(f: float, n_optional: int) -> int:
+        if f >= 1.0 or f == 0.0:
+            return int(f)
+        return int(math.floor(f * n_optional + 0.5))  # Java Math.round
+
+    low_msm = _msm(low_freq_msm, len(low)) if (
+        low_freq_occur == "SHOULD" and low) else 0
+    high_msm = _msm(high_freq_msm, len(high)) if (
+        high_freq_occur == "SHOULD" and high) else 0
+    if not low and high_msm == 0 and high_freq_occur != "MUST":
+        # all terms are common: rewrite to a conjunction to avoid a slow
+        # full-disjunction scan (CommonTermsQuery.java:175-183)
+        high_freq_occur = "MUST"
+
+    def _sub(ts: list[str], occur: str, msm: int) -> BooleanQuery:
+        clauses = tuple(TermQuery(t) for t in ts)
+        if occur == "MUST":
+            return BooleanQuery(must=clauses)
+        return BooleanQuery(should=clauses, minimum_should_match=msm)
+
+    must = (_sub(low, low_freq_occur, low_msm),) if low else ()
+    should = (_sub(high, high_freq_occur, high_msm),) if high else ()
+    return BooleanQuery(must=must, should=should)
+
+
 def collect_terms(q: Query) -> set[str]:
     """All index terms a query needs postings for (prefixes excluded —
     expanded against the term dictionary at search time)."""

@@ -310,10 +310,47 @@ def test_common_terms_rare_required(docs):
     assert got == want
 
 
-def test_common_terms_all_common_is_or(docs):
+def test_common_terms_all_common_is_conjunction(docs):
+    # CommonTermsQuery.java:53 — "if the query only contains high-frequency
+    # terms the query is rewritten into a plain conjunction"
     from lucene_ray.pipelines.fulltext import common_terms_hits
 
     got = common_terms_hits(SF, ["the", "join"], 0.4).column("doc_id").to_pylist()
     want = sorted(d for d, (toks, _) in docs.items()
-                  if "the" in toks or "join" in toks)
+                  if "the" in toks and "join" in toks)
     assert got == want
+
+
+def test_common_terms_low_must_occur(docs):
+    from lucene_ray.pipelines.fulltext import common_terms_hits
+
+    got = common_terms_hits(
+        SF, ["dup", "the", "join"], 0.4, low_freq_occur="MUST"
+    ).column("doc_id").to_pylist()
+    want = sorted(d for d, (toks, _) in docs.items() if "dup" in toks)
+    assert got == want
+
+
+def test_common_terms_rewrite_unit():
+    # pure rewrite: classification, msm rounding, single-term, absent terms
+    from lucene_ray.search.query import (BooleanQuery, TermQuery,
+                                         common_terms_query)
+
+    dfs = {"a": 90, "b": 5, "c": 4}
+    q = common_terms_query(["a", "b", "c"], dfs, 100, 0.5)
+    assert isinstance(q, BooleanQuery)
+    (low,) = q.must
+    (high,) = q.should
+    assert [t.term for t in low.should] == ["b", "c"]
+    assert [t.term for t in high.should] == ["a"]
+    # fractional msm: round(0.5 * 2) = 1 on the low (SHOULD) sub-clause
+    q = common_terms_query(["a", "b", "c"], dfs, 100, 0.5, low_freq_msm=0.5)
+    assert q.must[0].minimum_should_match == 1
+    # absolute max_term_frequency: df > 10 is high
+    q = common_terms_query(["a", "b"], dfs, 100, 10.0)
+    assert [t.term for t in q.must[0].should] == ["b"]
+    # single term bypasses the rewrite entirely
+    assert common_terms_query(["a"], dfs, 100, 0.5) == TermQuery("a")
+    # absent term classifies low; all-high + absent-low matches nothing
+    q = common_terms_query(["a", "zzz"], dfs, 100, 0.5)
+    assert [t.term for t in q.must[0].should] == ["zzz"]
