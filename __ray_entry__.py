@@ -347,6 +347,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ft.common_terms_topk(sf, ["join", "batch", "dup"], 0.5, 10)
             )
         ),
+        # SimpleQueryParser (queryparser/simple): error-tolerant human
+        # syntax — '+' AND, '|' OR, '-' NOT, phrases, prefix, precedence
+        "ft_simple_query_hits": _q(
+            lambda sf: ft.simple_query_hits(sf, "join + (hash | scan) + -merge")
+        ),
+        "ft_simple_query_mixed_hits": _q(
+            lambda sf: ft.simple_query_hits(sf, '"batch window" | cust*')
+        ),
         # numeric doc-values: range query, range+term filter, range facets
         "ft_numeric_range_hits": _q(
             lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400)
@@ -772,6 +780,27 @@ def oracle_sql() -> dict[str, str]:
         "WHERE tok IN ('join', 'batch') GROUP BY doc_id) "
         "WHERE ct = 2 AND (SELECT c FROM nhi) = 2"
         ") ORDER BY doc_id",
+        # SimpleQueryParser: join + (hash|scan) + -merge — all-MUST clauses;
+        # the negation is the (NOT merge AND matchall) wrapper, i.e. just
+        # NOT merge on the hit set
+        "ft_simple_query_hits": _TOKS
+        + ", j AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join'), "
+        "hs AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ('hash', 'scan')), "
+        "m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge') "
+        "SELECT doc_id FROM j WHERE doc_id IN (SELECT doc_id FROM hs) "
+        "AND doc_id NOT IN (SELECT doc_id FROM m) ORDER BY doc_id",
+        # SimpleQueryParser: "batch window" | cust* — exact phrase OR prefix
+        "ft_simple_query_mixed_hits": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
+            "SELECT doc_id FROM ("
+            "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+            "WHERE a.tok = 'batch' AND b.tok = 'window' AND b.pos = a.pos + 1 "
+            "UNION "
+            "SELECT DISTINCT doc_id FROM pt WHERE tok LIKE 'cust%'"
+            ") ORDER BY doc_id"
+        ),
         "ft_dismax_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join', 'hash') "
         "ORDER BY doc_id",

@@ -790,6 +790,18 @@ def common_terms_topk(sf_dir: str, terms: list[str],
     return _scored_topk(sf_dir, q, k)
 
 
+def simple_query_hits(sf_dir: str, s: str,
+                      default_operator: str = "SHOULD") -> pa.Table:
+    """Exact hit set of a SimpleQueryParser query (queryparser/simple/
+    SimpleQueryParser.java) — the error-tolerant human syntax: + | -
+    "phrase"~N prefix* term~N (...), unparseable input degrading, never
+    raising."""
+    from lucene_ray.search.simple_parser import simple_parse
+
+    q = simple_parse(s, default_operator=default_operator)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
 def numeric_range_hits(sf_dir: str, col: str, lower, upper,
                        term: str | None = None) -> pa.Table:
     """Docs with ``lower <= col <= upper`` (NumericRangeQuery over the
