@@ -347,6 +347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ft.common_terms_topk(sf, ["join", "batch", "dup"], 0.5, 10)
             )
         ),
+        # DiversifiedTopDocsCollector (misc/search): BM25 top-k with at most
+        # N hits per key — per-segment constrained partials, driver re-merge
+        "ft_diversified_top10": _q(
+            lambda sf: _score_r6(ft.diversified_topk(sf, "join", "lang", 10, 2))
+        ),
         # SimpleQueryParser (queryparser/simple): error-tolerant human
         # syntax — '+' AND, '|' OR, '-' NOT, phrases, prefix, precedence
         "ft_simple_query_hits": _q(
@@ -1446,6 +1451,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM scored) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # DiversifiedTopDocsCollector: per-key row_number caps each lang at 2,
+    # then the global top-10 — float32-exact per-doc term scores
+    out["ft_diversified_top10"] = _bm25_cte(["join"]) + (
+        ", ranked AS (SELECT sc.doc_id, dd.lang, s, row_number() OVER "
+        "(PARTITION BY dd.lang ORDER BY s DESC, sc.doc_id) AS rk "
+        "FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id), "
+        "kept AS (SELECT doc_id, lang, s FROM ranked WHERE rk <= 2) "
+        "SELECT * FROM (SELECT doc_id, lang, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM kept) "
         "WHERE rank <= 10 ORDER BY rank"
     )
     out["ft_filtered_bm25_top10"] = _bm25_cte(["customer"]) + (

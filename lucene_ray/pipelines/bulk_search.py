@@ -92,6 +92,29 @@ class QueryShardActor:
                 out.append((seg, qid, gids, scores, total, exact))
         return out
 
+    def diversified_batch(self, plans, key_col: str, k: int, max_per_key: int):
+        """plans: [(qid, q, all_terms, scorers, ph, pf)] -> [(seg, qid,
+        gids, scores, keys)] — per-segment constrained top-k candidates
+        (per key at most ``max_per_key`` by (score desc, doc asc), then the
+        segment's top ``k``). Exhaustive scored evaluation per segment
+        (ScoreMode.COMPLETE, as DiversifiedTopDocsCollector.java:92); the
+        driver re-applies the same kernel on the <= segments x k merged
+        rows, which is exact: a doc outside its segment's constrained top-k
+        can never enter the global constrained top-k."""
+        out = []
+        for seg in self.segs:
+            dv = None
+            for qid, q, all_terms, scorers, ph, pf in plans:
+                need_pos = needs_positions(q)
+                ss = self.searcher.segment_scorer(seg, all_terms, scorers, ph, pf, need_pos)
+                docs, scores = ss.evaluate(q)
+                if dv is None:
+                    dv = self.reader.docvalues(seg, key_col)
+                gids, scores, keys = diversify_topk(
+                    ss.ctx.global_ids[docs], scores, dv[docs], k, max_per_key)
+                out.append((seg, qid, gids, scores, keys))
+        return out
+
     def match_batch(self, plans):
         """plans: [(qid, q, all_terms, scorers, ph, pf)] ->
         {qid: global ids of ALL matches in this actor's segs}."""
@@ -106,6 +129,29 @@ class QueryShardActor:
             qid: (np.concatenate(parts) if parts else np.zeros(0, np.uint64))
             for qid, parts in out.items()
         }
+
+
+def diversify_topk(gids, scores, keys, k: int, max_per_key: int):
+    """Diversified top-k kernel (DiversifiedTopDocsCollector.java:40): keep
+    per key only its best ``max_per_key`` hits by (score desc, doc asc),
+    then the global top ``k`` under the same order. The closed form of the
+    Java streaming collector (equivalence property-tested against a faithful
+    simulation of its insert() in test_diversified.py); mergeable — applying
+    it per segment and again on the union of partials is exact."""
+    gids = np.asarray(gids)
+    scores = np.asarray(scores, dtype=np.float32)
+    if len(gids) == 0:
+        return gids, scores, np.asarray(keys)
+    codes = np.unique(np.asarray(keys), return_inverse=True)[1]
+    order = np.lexsort((gids, -scores.astype(np.float64), codes))
+    c = codes[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(c)) + 1]
+    counts = np.diff(np.r_[starts, len(c)])
+    rank = np.arange(len(c)) - np.repeat(starts, counts)
+    keep = order[rank < max_per_key]
+    sel = np.lexsort((gids[keep], -scores[keep].astype(np.float64)))[:k]
+    keep = keep[sel]
+    return gids[keep], scores[keep], np.asarray(keys)[keep]
 
 
 class ShardPool:
@@ -140,6 +186,37 @@ class ShardPool:
             arrs = [p[qid] for p in parts if qid in p]
             ids = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
             out[qid] = np.sort(ids)
+        return out
+
+    def diversified(self, queries: list[tuple[int, Query]], key_col: str,
+                    k: int = 10, max_per_key: int = 2):
+        """qid -> (gids, scores, keys): diversified top-k — at most
+        ``max_per_key`` hits per ``key_col`` value (the
+        DiversifiedTopDocsCollector surface, misc/search/
+        DiversifiedTopDocsCollector.java). Per-segment constrained
+        candidates come back from the actors (<= k rows each); the driver
+        merges by re-applying the same kernel."""
+        ref = self._plans(queries)
+        parts = ray.get([
+            a.diversified_batch.remote(ref, key_col, k, max_per_key)
+            for a in self.actors
+        ])
+        out = {}
+        for qid, _ in queries:
+            g_parts, s_parts, k_parts = [], [], []
+            for rows in parts:
+                for seg, rqid, gids, scores, keys in rows:
+                    if rqid == qid and len(gids):
+                        g_parts.append(gids)
+                        s_parts.append(scores)
+                        k_parts.append(keys)
+            if not g_parts:
+                out[qid] = (np.zeros(0, np.uint64), np.zeros(0, np.float32),
+                            np.zeros(0, object))
+                continue
+            out[qid] = diversify_topk(
+                np.concatenate(g_parts), np.concatenate(s_parts),
+                np.concatenate(k_parts), k, max_per_key)
         return out
 
     def search(self, queries: list[tuple[int, Query]], k: int = 10,

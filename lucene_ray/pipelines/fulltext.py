@@ -790,6 +790,37 @@ def common_terms_topk(sf_dir: str, terms: list[str],
     return _scored_topk(sf_dir, q, k)
 
 
+def diversified_topk(sf_dir: str, query: str, key_col: str, k: int = 10,
+                     max_per_key: int = 2) -> pa.Table:
+    """Diversified BM25 top-k: no more than ``max_per_key`` results per
+    ``key_col`` value (misc/search/DiversifiedTopDocsCollector.java — the
+    'max 3 Beatles hits on the 1967 compilation' collector). Distributed as
+    per-segment constrained top-k partials re-merged with the same kernel;
+    float32-exact in SQL (per-key row_number + global row_number over the
+    per-doc BM25 scores)."""
+    from lucene_ray.search.query import parse_query
+
+    reader = documents_index(sf_dir)
+    q = parse_query(query)
+    gids, scores, keys = _pool(reader).diversified(
+        [(0, q)], key_col, k, max_per_key)[0]
+    if len(gids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         key_col: pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(np.asarray(gids), columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(m[int(g)]) for g in gids], pa.int64()),
+            key_col: pa.array([str(x) for x in keys], pa.string()),
+            "rank": pa.array(np.arange(1, len(gids) + 1), pa.int64()),
+            "score": pa.array(scores, pa.float32()),
+        }
+    )
+
+
 def simple_query_hits(sf_dir: str, s: str,
                       default_operator: str = "SHOULD") -> pa.Table:
     """Exact hit set of a SimpleQueryParser query (queryparser/simple/
