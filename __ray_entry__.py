@@ -129,6 +129,7 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import ann, dedup, hnsw, quantiles, shingles, sketch, text
     from lucene_ray.ops import multimodal as mm
+    from lucene_ray.ops import quality as qual
     from lucene_ray.pipelines import fulltext as ft
     from lucene_ray.pipelines import mlt
     from lucene_ray.pipelines import relational as rel
@@ -463,6 +464,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # Gopher/C4-style quality heuristics (ops/quality.py): integer-exact
+        # per-doc counters and the integer-space keep filter — one streaming
+        # map_batches each, bit-exact against the DuckDB oracle
+        "quality_gopher_metrics": _q(
+            lambda sf: qual.quality_metrics(_docs(sf)).select_columns(
+                ["doc_id", "n_words", "sum_wlen", "n_alpha_words",
+                 "n_symbols", "n_lines", "n_bullet_lines",
+                 "n_ellipsis_lines", "stop_hits", "n_distinct_lines",
+                 "top2_num", "top2_den"]
+            )
+        ),
+        "quality_gopher_keep": _q(
+            lambda sf: qual.quality_filter(
+                # corpus-tuned bounds (synthetic docs have ~1 stopword and
+                # ~55 words median); oracle twin hard-codes the same numbers
+                _docs(sf),
+                thresholds=qual.QualityThresholds(min_words=30, min_stop_hits=1),
+            ).select_columns(["doc_id"])
+        ),
         "ft_facet_lang": _q(lambda sf: ft.facet_counts(sf, "join", "lang")),
         # facet module: DrillDownQuery + DrillSideways over keyword dims
         "ft_drilldown_source": _q(
@@ -636,6 +656,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall>=0.9 + exact-rescore parity live in tests/test_ann.py) ---
         "ann_ivf_quantized_top10": _q(_ann_ivf_quantized),
     }
+
+
+# Gopher-quality oracle: integer counters per document, shared by the
+# metrics and keep oracles (lucene_ray/ops/quality.py is the Ray twin).
+# chr(8226) = '•' (bullet), chr(1) = pair separator, chr(10) = '\n'.
+_QUALITY_BASE = (
+    "WITH w AS (SELECT doc_id, "
+    "list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), "
+    "x -> length(x) > 0) AS ws, "
+    "string_split(text, chr(10)) AS ls, text FROM documents), "
+    "base AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+    "coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT "
+    "AS sum_wlen, "
+    "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT "
+    "AS n_alpha_words, "
+    "((length(text) - length(replace(text, '#', ''))) + "
+    "(length(text) - length(replace(text, '...', ''))) / 3)::BIGINT "
+    "AS n_symbols, len(ls)::BIGINT AS n_lines, "
+    "len(list_filter(ls, x -> regexp_matches(x, '^[-*' || chr(8226) || ']')"
+    "))::BIGINT AS n_bullet_lines, "
+    "len(list_filter(ls, x -> x LIKE '%...'))::BIGINT AS n_ellipsis_lines, "
+    "len(list_intersect(list_distinct(ws), "
+    "['the','be','to','of','and','that','have','with']))::BIGINT "
+    "AS stop_hits, "
+    "len(list_distinct(ls))::BIGINT AS n_distinct_lines FROM w), "
+    "pairs AS (SELECT w.doc_id, ws[i] || chr(1) || ws[i+1] AS pair "
+    "FROM w, UNNEST(range(1, len(ws))) AS t(i)), "
+    "pcnt AS (SELECT doc_id, pair, count(*) AS c FROM pairs GROUP BY 1, 2), "
+    "tg AS (SELECT doc_id, max(c)::BIGINT AS top2_num, "
+    "sum(c)::BIGINT AS top2_den FROM pcnt GROUP BY 1), "
+    "qmetrics AS (SELECT b.*, coalesce(tg.top2_num, 0)::BIGINT AS top2_num, "
+    "coalesce(tg.top2_den, 0)::BIGINT AS top2_den "
+    "FROM base b LEFT JOIN tg USING (doc_id)) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1091,6 +1145,24 @@ def oracle_sql() -> dict[str, str]:
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
         ),
+        "quality_gopher_metrics": _QUALITY_BASE
+        + "SELECT * FROM qmetrics ORDER BY doc_id",
+        # integer-space thresholds: min_words=30, mean_wlen in [3,10],
+        # alpha>=4/5, symbols<=1/10, bullet<=9/10, ellipsis<=3/10,
+        # stop_hits>=1, dup_lines<=3/10, top2gram<=1/5 — identical
+        # rationals to the QualityThresholds passed in queries()
+        "quality_gopher_keep": _QUALITY_BASE
+        + "SELECT doc_id FROM qmetrics WHERE n_words >= 30 "
+        "AND n_words <= 100000 "
+        "AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words "
+        "AND 5 * n_alpha_words >= 4 * n_words "
+        "AND 10 * n_symbols <= n_words "
+        "AND 10 * n_bullet_lines <= 9 * n_lines "
+        "AND 10 * n_ellipsis_lines <= 3 * n_lines "
+        "AND stop_hits >= 1 "
+        "AND 10 * (n_lines - n_distinct_lines) <= 3 * n_lines "
+        "AND 5 * top2_num <= top2_den "
+        "ORDER BY doc_id",
         "ann_cosine_top10": (
             "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "

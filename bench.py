@@ -48,6 +48,14 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # (fresh page faults are slow on virtualized memory)
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    # Ray nices workers to 15 by default (protects raylet/GCS on shared
+    # nodes). On a dedicated bench/cluster node the workers ARE the
+    # workload: at full 32-way saturation nice-15 workers lose share to
+    # every nice-0 system thread, which showed up as Stage-A tasks running
+    # 1.5-2.7x slower under Ray than identical multiprocessing work at 32
+    # CPUs while matching at 8 (BENCH/scaling_proof.jsonl stage_a_task_ms
+    # vs body_task_ms). Run workers at nice 0 like any other process.
+    os.environ.setdefault("RAY_worker_niceness", "0")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=8 << 30)  # shuffles are ~100s of MB; a
@@ -153,6 +161,14 @@ def run_build_only(num_cpus: int) -> dict:
 
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    # Ray nices workers to 15 by default (protects raylet/GCS on shared
+    # nodes). On a dedicated bench/cluster node the workers ARE the
+    # workload: at full 32-way saturation nice-15 workers lose share to
+    # every nice-0 system thread, which showed up as Stage-A tasks running
+    # 1.5-2.7x slower under Ray than identical multiprocessing work at 32
+    # CPUs while matching at 8 (BENCH/scaling_proof.jsonl stage_a_task_ms
+    # vs body_task_ms). Run workers at nice 0 like any other process.
+    os.environ.setdefault("RAY_worker_niceness", "0")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=8 << 30)
