@@ -348,6 +348,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ft.common_terms_topk(sf, ["join", "batch", "dup"], 0.5, 10)
             )
         ),
+        # SynonymQuery (core/search): blended-term scoring — similarity
+        # fires once per doc with freq = sum of per-term freqs, pseudo-term
+        # stats df = max / ttf = sum. Hit set AND float32 top-k both exact.
+        "ft_synonym_query_hits": _q(
+            lambda sf: ft.synonym_hits(sf, ["hash", "merge"])
+        ),
+        "ft_synonym_query_top10": _q(
+            lambda sf: _score_r6(ft.synonym_topk(sf, ["hash", "merge"]))
+        ),
+        # FeatureField (core/document): static-feature score function over a
+        # numeric doc-values column as a SHOULD clause — w*ln(scaling + S)
+        # added to the BM25 term score (float32-exact)
+        "ft_feature_log_top10": _q(
+            lambda sf: _score_r6(
+                ft.feature_bool_topk(sf, "join", "n_chars", "log", 0.5, 1.0)
+            )
+        ),
+        # TermInSetQuery (core/search): constant-score terms-dict set filter
+        "ft_term_in_set_hits": _q(
+            lambda sf: ft.term_in_set_hits(sf, ["dup", "bloom", "window"])
+        ),
         # DiversifiedTopDocsCollector (misc/search): BM25 top-k with at most
         # N hits per key — per-segment constrained partials, driver re-merge
         "ft_diversified_top10": _q(
@@ -863,6 +884,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_dismax_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('join', 'hash') "
         "ORDER BY doc_id",
+        "ft_synonym_query_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('hash', 'merge') "
+        "ORDER BY doc_id",
+        "ft_term_in_set_hits": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('dup', 'bloom', "
+        "'window') ORDER BY doc_id",
         "ft_numeric_range_hits": (
             "SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400 "
             "ORDER BY doc_id"
@@ -1489,6 +1516,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM pairs) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # SynonymQuery: ONE similarity invocation per doc with freq = sum of
+    # per-term freqs (integral at unit boosts, so order-exact), idf from the
+    # pseudo-term stats df = max over terms (SynonymWeight :213-231)
+    out["ft_synonym_query_top10"] = (
+        "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+        "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
+        "stats AS (SELECT count(*)::BIGINT AS n, "
+        "CAST(sum(dl)::DOUBLE / count(*) AS FLOAT) AS avgdl FROM d), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+        "tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks "
+        "WHERE tok IN ('hash', 'merge') GROUP BY doc_id, tok), "
+        "fs AS (SELECT doc_id, sum(tf)::BIGINT AS f FROM tf GROUP BY doc_id), "
+        "dfx AS (SELECT max(df) AS df FROM "
+        "(SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok)), "
+        "idfv AS (SELECT CAST(ln(1 + ((SELECT n FROM stats) - df + 0.5) "
+        "/ (df + 0.5)) AS FLOAT) AS idf FROM dfx), "
+        f"ninv AS (SELECT doc_id, CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * "
+        f"((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT)) + CAST(0.75 AS FLOAT) * "
+        f"CAST({_LOSSY_DL} AS FLOAT) / (SELECT avgdl FROM stats))) AS ninv "
+        "FROM d), "
+        "sc AS (SELECT fs.doc_id, (SELECT idf FROM idfv) - "
+        "(SELECT idf FROM idfv) / (CAST(1.0 AS FLOAT) + CAST(f AS FLOAT) * "
+        "ninv.ninv) AS s FROM fs JOIN ninv USING (doc_id)) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # FeatureField log function as a SHOULD clause beside a scored term:
+    # fs = (float)(0.5 * ln(1 + n_chars)) — double math, single cast
+    # (LogFunction.score, FeatureField.java:337-339); the boolean SHOULD
+    # accumulator adds term-then-feature in float32 (executor._eval_bool)
+    out["ft_feature_log_top10"] = _bm25_cte(["join"]) + (
+        ", fb AS (SELECT doc_id, CAST(0.5 * ln(1.0 + n_chars) AS FLOAT) AS fs "
+        "FROM documents WHERE n_chars > 0), "
+        "comb AS (SELECT fb.doc_id, CASE WHEN sc.s IS NOT NULL "
+        "THEN sc.s + fb.fs ELSE fb.fs END AS s "
+        "FROM fb LEFT JOIN sc ON sc.doc_id = fb.doc_id) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM comb) "
         "WHERE rank <= 10 ORDER BY rank"
     )
     out["ft_dismax_top10"] = _bm25_cte(["join", "hash"]) + (

@@ -747,6 +747,69 @@ def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.1,
     )
 
 
+def _topk_table(reader: IndexReader, td) -> pa.Table:
+    """(doc_id_orig, rank, score) table from a TopDocs — shared result shape
+    of the scored contract surfaces."""
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(), t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+            "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+            "score": pa.array(td.scores, pa.float32()),
+        }
+    )
+
+
+def synonym_hits(sf_dir: str, terms: list[str]) -> pa.Table:
+    """SynonymQuery hit set (= union of the terms' doc sets)."""
+    from lucene_ray.search.query import SynonymQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, SynonymQuery(terms)))
+
+
+def synonym_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """Scored SynonymQuery top-k: similarity fires ONCE per doc with
+    freq = sum of the per-term freqs, idf from max df / summed ttf
+    (SynonymQuery.java:47-52, SynonymWeight :213-231). With unit boosts the
+    freq sum is integral, so float32 scores are order-independent exact —
+    fully SQL-checkable."""
+    from lucene_ray.search.query import SynonymQuery
+
+    reader = documents_index(sf_dir)
+    td = _pool(reader).search([(0, SynonymQuery(terms))], k)[0]
+    return _topk_table(reader, td)
+
+
+def feature_bool_topk(sf_dir: str, term: str, col: str = "n_chars",
+                      function: str = "log", weight: float = 0.5,
+                      scaling: float = 1.0, k: int = 10) -> pa.Table:
+    """BM25 term relevance + static-feature boost — the canonical
+    FeatureField composition (FeatureField.java:66-100 'how it is typically
+    used': a SHOULD clause adding w*ln(scaling + S) over a quality/length
+    feature column to the text score)."""
+    from lucene_ray.search.query import BooleanQuery, FeatureQuery, TermQuery
+
+    q = BooleanQuery(should=(
+        TermQuery(term),
+        FeatureQuery(col, function=function, weight=weight, scaling=scaling),
+    ))
+    reader = documents_index(sf_dir)
+    td = _pool(reader).search([(0, q)], k)[0]
+    return _topk_table(reader, td)
+
+
+def term_in_set_hits(sf_dir: str, terms: list[str]) -> pa.Table:
+    """TermInSetQuery hit set — constant-score terms-dictionary set filter."""
+    from lucene_ray.search.query import TermInSetQuery
+
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermInSetQuery(terms)))
+
+
 def _common_terms_q(sf_dir: str, terms: list[str], max_term_frequency: float,
                     low_freq_occur: str, high_freq_occur: str):
     """Resolve df stats from the index and build the CommonTermsQuery

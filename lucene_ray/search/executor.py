@@ -51,7 +51,10 @@ from lucene_ray.search.query import (
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
+    FeatureQuery,
     SpanTermQuery,
+    SynonymQuery,
+    TermInSetQuery,
     TermQuery,
     ToParentBlockJoinQuery,
 )
@@ -325,7 +328,74 @@ class SegmentScorer:
         if isinstance(q, ConstantScoreQuery):
             docs, _ = self.evaluate(q.query)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, SynonymQuery):
+            return self._eval_synonym(q)
+        if isinstance(q, FeatureQuery):
+            return self._eval_feature(q)
+        if isinstance(q, TermInSetQuery):
+            present = np.zeros(self.ctx.num_docs, dtype=bool)
+            for t in q.terms:
+                tp = self.ctx.postings(t)
+                if tp is not None:
+                    present[tp.docs] = True
+            docs = np.flatnonzero(present).astype(np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _eval_synonym(self, q: SynonymQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Blended-term scoring (SynonymQuery.java SynonymScorer:600-615):
+        the similarity fires once per doc with freq = sum of boosted
+        per-term freqs; the pseudo-term scorer (max-df idf) comes from the
+        plan keyed by the query node."""
+        scorer = self.scorers.get(q)
+        if scorer is None:
+            return _EMPTY
+        n = self.ctx.num_docs
+        freq = np.zeros(n, dtype=np.float32)
+        matched = np.zeros(n, dtype=bool)
+        for t, b in zip(q.terms, q.boosts):
+            tp = self.ctx.postings(t)
+            if tp is None or len(tp.docs) == 0:
+                continue
+            f = tp.freqs.astype(np.float32, copy=False)
+            if b != 1.0:
+                f = np.float32(b) * f
+            freq[tp.docs] += f
+            matched[tp.docs] = True
+        docs = np.flatnonzero(matched).astype(np.int64)
+        if len(docs) == 0:
+            return _EMPTY
+        if q.boost != 1.0:
+            scorer = scorer.with_boost(q.boost)
+        return docs, scorer.score(freq[docs], self.ctx.norms[docs])
+
+    def _eval_feature(self, q: FeatureQuery) -> tuple[np.ndarray, np.ndarray]:
+        """FeatureField score functions over a doc-values column
+        (FeatureField.java:251-494); matches docs with value > 0. log and
+        sigmoid run in double then cast to float32, linear and saturation in
+        float32 ops — the Java expression shapes. Outer boost folds into the
+        weight before the expression."""
+        import math as _math
+
+        vals = np.asarray(self.ctx.docvalues(q.col), dtype=np.float64)
+        docs = np.flatnonzero(vals > 0).astype(np.int64)
+        if len(docs) == 0:
+            return _EMPTY
+        s = vals[docs]
+        w = float(q.boost) * float(q.weight)
+        if q.function == "linear":
+            scores = np.float32(w) * s.astype(np.float32)
+        elif q.function == "log":
+            scores = (w * np.log(q.scaling + s)).astype(np.float32)
+        elif q.function == "saturation":
+            f32 = s.astype(np.float32)
+            p = np.float32(q.pivot)
+            scores = np.float32(w) * (np.float32(1.0) - p / (f32 + p))
+        else:  # sigmoid
+            ppa = _math.pow(q.pivot, q.exp)
+            scores = (w * (1.0 - ppa / (np.power(s, q.exp) + ppa))).astype(
+                np.float32)
+        return docs, scores.astype(np.float32, copy=False)
 
     def _eval_dismax(self, q: DisMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """score = max(matching disjunct scores) + tie_breaker * (sum of the

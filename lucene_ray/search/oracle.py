@@ -21,6 +21,8 @@ from lucene_ray.search.query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -117,6 +119,30 @@ class ExhaustiveOracle:
             return ok, np.float32(q.boost) if ok else np.float32(0)
         if isinstance(q, MatchAllQuery):
             return True, np.float32(q.boost)
+        if isinstance(q, TermInSetQuery):
+            ok = any(t in p for t in q.terms)
+            return ok, np.float32(q.boost) if ok else np.float32(0)
+        if isinstance(q, SynonymQuery):
+            # blended pseudo-term: freq = sum of boosted per-term freqs in
+            # term order; stats df = max, ttf = sum (SynonymWeight :213-231)
+            freq = np.float32(0)
+            matched = False
+            for t, b in zip(q.terms, q.boosts):
+                if t in p:
+                    matched = True
+                    f = np.float32(len(p[t]))
+                    if b != 1.0:
+                        f = np.float32(b) * f
+                    freq = np.float32(freq + f)
+            if not matched:
+                return False, np.float32(0)
+            tss = [TermStats(self.df.get(t, 0), self.ttf.get(t, 0))
+                   for t in q.terms]
+            df = max(ts.doc_freq for ts in tss)
+            ttf = sum(ts.total_term_freq for ts in tss if ts.doc_freq > 0)
+            scorer = self.sim.scorer(q.boost, self.cstats, TermStats(df, ttf))
+            s = scorer.score(np.array([freq]), np.array([self.norm_bytes[i]]))[0]
+            return True, s
         if isinstance(q, BooleanQuery):
             score = np.float32(0)
             for c in q.must:
@@ -137,6 +163,11 @@ class ExhaustiveOracle:
             for c in q.must_not:
                 ok, _ = self._matches(c, i)
                 if ok:
+                    return False, np.float32(0)
+            for c in q.filter:
+                # FILTER = required but scoreless (BooleanClause.Occur.FILTER)
+                ok, _ = self._matches(c, i)
+                if not ok:
                     return False, np.float32(0)
             return True, score
         raise TypeError(f"unsupported query {q!r}")

@@ -161,6 +161,91 @@ class DisMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Scores multiple terms as if they had been indexed as ONE term
+    (lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java:47-52):
+    matches docs containing ANY of the terms, but invokes the similarity a
+    single time per doc with freq = sum of the per-term freqs — each term's
+    freq multiplied by its boost in (0, 1] (DisiWrapperFreq.freq:649-651).
+    Pseudo-term statistics: docFreq = max over the terms' docFreqs,
+    totalTermFreq = sum (SynonymWeight ctor :213-231).
+
+    Divergence note: Java sums per-doc freqs in DisiPriorityQueue list order
+    (unspecified); we sum in term order. With all boosts = 1 the freqs are
+    integers and the sum is exact regardless of order, so scores are
+    bit-identical to Lucene there."""
+
+    terms: tuple
+    boosts: tuple = ()
+    boost: float = 1.0
+
+    def __init__(self, terms, boosts=None, boost: float = 1.0):
+        terms = tuple(terms)
+        if boosts is None:
+            boosts = (1.0,) * len(terms)
+        boosts = tuple(float(b) for b in boosts)
+        if len(boosts) != len(terms):
+            raise ValueError("boosts must parallel terms")
+        for b in boosts:
+            # Builder.addTerm: boost must be in (0, 1] (SynonymQuery.java:94-97)
+            if not (0.0 < b <= 1.0):
+                raise ValueError(f"synonym boost must be in (0, 1]: {b}")
+        object.__setattr__(self, "terms", terms)
+        object.__setattr__(self, "boosts", boosts)
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static-feature ("query-independent evidence") scoring over a numeric
+    doc-values column — the FeatureField analog
+    (lucene/core/src/java/org/apache/lucene/document/FeatureField.java:251-494).
+    Matches every doc whose feature value S > 0 and scores it with one of
+    the four published functions (weight w > 0):
+
+    - ``linear``:      w * S                          (LinearFunction:261)
+    - ``log``:         w * ln(scaling + S)            (LogFunction:306)
+    - ``saturation``:  w * (1 - pivot / (S + pivot))  (SaturationFunction:360)
+    - ``sigmoid``:     w * (1 - pivot^a / (S^a + pivot^a)) (SigmoidFunction:437)
+
+    log/sigmoid compute in double then cast to float32; linear/saturation are
+    float32 ops throughout — matching the Java expression shapes. Divergence:
+    Lucene stores the feature in the term-freq slot via a lossy 16-bit float
+    encoding (decodeFeatureValue); this engine reads the exact doc-values
+    column, so scores use the exact feature value (strictly more precise).
+    An outer ``boost`` folds into the weight before the expression."""
+
+    col: str
+    function: str = "log"
+    weight: float = 1.0
+    pivot: float = 1.0
+    exp: float = 1.0
+    scaling: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.function not in ("linear", "log", "saturation", "sigmoid"):
+            raise ValueError(f"bad feature function: {self.function!r}")
+        if not self.weight > 0:
+            raise ValueError("weight must be > 0")
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score filter matching docs containing ANY term of the set —
+    TermInSetQuery.java (the SortedSetDocValues/terms-dict set filter Lucene
+    recommends over a huge BooleanQuery of TermQuerys). Always the
+    CONSTANT_SCORE rewrite: score = boost for every matching doc."""
+
+    terms: tuple
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(sorted(set(terms))))
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
 class SpanTermQuery(Query):
     """Primitive span: every occurrence of ``term`` is a [pos, pos+1) span
     (lucene/queries/src/java/org/apache/lucene/queries/spans/SpanTermQuery.java)."""
@@ -508,7 +593,7 @@ def collect_terms(q: Query) -> set[str]:
 def _collect(q: Query, out: set[str]) -> None:
     if isinstance(q, (TermQuery, SpanTermQuery)):
         out.add(q.term)
-    elif isinstance(q, PhraseQuery):
+    elif isinstance(q, (PhraseQuery, SynonymQuery, TermInSetQuery)):
         out.update(q.terms)
     elif isinstance(q, MultiPhraseQuery):
         for alts in q.positions:
@@ -564,7 +649,7 @@ def collect_dv_cols(q: Query) -> set[str]:
     """Doc-values columns a query filters on (NumericRangeQuery /
     GeoDistanceQuery nodes)."""
     out: set[str] = set()
-    if isinstance(q, (NumericRangeQuery, NumericSetQuery)):
+    if isinstance(q, (NumericRangeQuery, NumericSetQuery, FeatureQuery)):
         out.add(q.col)
     if isinstance(q, GeoDistanceQuery):
         out.add(q.lat_col)
@@ -585,6 +670,17 @@ def collect_multi_term(q: Query) -> set[Query]:
         out.add(q)
     for c in children(q):
         out |= collect_multi_term(c)
+    return out
+
+
+def collect_synonyms(q: Query) -> set["SynonymQuery"]:
+    """SynonymQuery nodes — each needs a pseudo-term scorer built from
+    blended stats at plan time (SynonymWeight ctor)."""
+    out: set[SynonymQuery] = set()
+    if isinstance(q, SynonymQuery):
+        out.add(q)
+    for c in children(q):
+        out |= collect_synonyms(c)
     return out
 
 

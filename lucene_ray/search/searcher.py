@@ -91,6 +91,16 @@ class Searcher:
             tss = [stats.get(t, TermStats(0, 0)) for t in ph]
             if all(ts.doc_freq > 0 for ts in tss):
                 phrase_scorers[ph] = self.sim.scorer(1.0, cstats, *tss)
+        # SynonymQuery pseudo-term stats: docFreq = max over terms (df>0),
+        # totalTermFreq = sum — SynonymQuery.java SynonymWeight ctor :213-231
+        from lucene_ray.search.query import collect_synonyms
+
+        for sq in collect_synonyms(q):
+            tss = [stats.get(t, TermStats(0, 0)) for t in sq.terms]
+            df = max((ts.doc_freq for ts in tss), default=0)
+            ttf = sum(ts.total_term_freq for ts in tss if ts.doc_freq > 0)
+            if df > 0:
+                scorers[sq] = self.sim.scorer(1.0, cstats, TermStats(df, ttf))
         return all_terms, scorers, phrase_scorers, expansions
 
     def segment_scorer(self, seg: int, all_terms, scorers, phrase_scorers, expansions,
