@@ -127,7 +127,7 @@ def _q(fn: Callable[[str], Any]) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import ann, dedup, hnsw, quantiles, shingles, sketch, text
+    from lucene_ray.ops import ann, dedup, hnsw, packing, quantiles, shingles, sketch, text
     from lucene_ray.ops import multimodal as mm
     from lucene_ray.ops import quality as qual
     from lucene_ray.pipelines import fulltext as ft
@@ -485,6 +485,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # PII scrubbing: emails/IPv4s/phones -> typed placeholders, one RE2
+        # pass per class (deterministically planted from doc_id — the test
+        # corpus has no organic PII; the oracle replays decoration + chain)
+        "text_redact_pii": _q(lambda sf: text.redact_pii(_docs(sf))),
+        # GPT-style sequence packing: concat token streams in doc_id order,
+        # chunk into 128-token sequences; one row per (sequence, doc) overlap
+        # with doc-local spans. Two passes, no shuffle, per-partition bases.
+        "pack_sequences": _q(
+            lambda sf: packing.pack_concat_chunks(sf + "/documents.parquet", 128)
+        ),
+        "pack_sequence_stats": _q(
+            lambda sf: packing.pack_stats(sf + "/documents.parquet", 128)
+        ),
         # Gopher/C4-style quality heuristics (ops/quality.py): integer-exact
         # per-doc counters and the integer-space keep filter — one streaming
         # map_batches each, bit-exact against the DuckDB oracle
@@ -1171,6 +1184,62 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        # decoration derived from doc_id exactly as ops/text.redact_pii
+        # plants it; each class counted on the text state it is applied to,
+        # then replaced globally — identical RE2 patterns in the same order
+        "text_redact_pii": (
+            "WITH dec AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@mail' || (doc_id % 7) || '.example.com from ' "
+            "|| (10 + doc_id % 240) || '.' || (doc_id % 256) || '.' "
+            "|| ((doc_id * 3) % 256) || '.' || ((doc_id * 7) % 256) "
+            "|| ' or +1-555-' || (1000 + doc_id % 9000) AS t FROM documents), "
+            "d1 AS (SELECT doc_id, t, regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') "
+            "AS t1 FROM dec), "
+            "d2 AS (SELECT doc_id, t, t1, regexp_replace(t1, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS t2 FROM d1), "
+            "d3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, "
+            "'\\+1-555-\\d{4}\\b', '<PHONE>', 'g') AS t3 FROM d2) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT "
+            "AS n_emails, "
+            "len(regexp_extract_all(t1, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ips, "
+            "len(regexp_extract_all(t2, '\\+1-555-\\d{4}\\b'))::BIGINT "
+            "AS n_phones, t3 AS redacted FROM d3 ORDER BY doc_id"
+        ),
+        # concat-chunk packing: global token stream in doc_id order, chunked
+        # at 128; a doc spanning [s, e) overlaps sequences s//128 .. (e-1)//128
+        "pack_sequences": (
+            f"WITH tl AS (SELECT doc_id, {_TOKLIST} AS l FROM documents), "
+            "c AS (SELECT doc_id, len(l)::BIGINT AS n FROM tl), "
+            "cum AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            "AS s FROM c), "
+            "d AS (SELECT doc_id, n, s, s + n AS e FROM cum WHERE n > 0), "
+            "x AS (SELECT doc_id, s, e, unnest(generate_series(s // 128, "
+            "(e - 1) // 128)) AS seq_id FROM d) "
+            "SELECT seq_id::BIGINT AS seq_id, doc_id, "
+            "(greatest(s, seq_id * 128) - s)::BIGINT AS tok_start, "
+            "(least(e, (seq_id + 1) * 128) - s)::BIGINT AS tok_end "
+            "FROM x ORDER BY seq_id, doc_id"
+        ),
+        "pack_sequence_stats": (
+            f"WITH tl AS (SELECT doc_id, {_TOKLIST} AS l FROM documents), "
+            "c AS (SELECT doc_id, len(l)::BIGINT AS n FROM tl), "
+            "cum AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            "AS s FROM c), "
+            "d AS (SELECT doc_id, n, s, s + n AS e FROM cum WHERE n > 0), "
+            "x AS (SELECT doc_id, s, e, unnest(generate_series(s // 128, "
+            "(e - 1) // 128)) AS seq_id FROM d) "
+            "SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs, "
+            "sum(least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128))"
+            "::BIGINT AS n_tokens "
+            "FROM x GROUP BY seq_id ORDER BY seq_id"
         ),
         "quality_gopher_metrics": _QUALITY_BASE
         + "SELECT * FROM qmetrics ORDER BY doc_id",

@@ -119,6 +119,56 @@ def doc_token_stats(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+# PII scrubbing rules, applied IN ORDER; each class is counted on the text
+# state it is applied to, then replaced globally (RE2 on both sides: pyarrow
+# replace_substring_regex and DuckDB regexp_replace share the dialect)
+PII_RULES = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+1-555-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
+               id_col: str = "doc_id", decorate: bool = True) -> ray.data.Dataset:
+    """PII scrubbing for training corpora: emails, IPv4 addresses and phone
+    numbers replaced by typed placeholders — one streaming ``map_batches``,
+    one RE2 pass per class over the Arrow column (no Python in the row
+    path). Returns (doc_id, n_emails, n_ips, n_phones, redacted).
+
+    The synthetic test corpus contains no organic PII, so ``decorate=True``
+    deterministically plants one of each class per doc, derived from doc_id
+    (the geo-ops precedent: derived inputs keyed on the primary key) —
+    redaction then provably fires on every row, and the SQL oracle replays
+    the same decoration + replacement chain exactly."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if decorate:
+            i = np.asarray(batch.column(id_col), dtype=np.int64)
+            pieces = [" contact user", i.astype("U"),
+                      "@mail", (i % 7).astype("U"),
+                      ".example.com from ", (10 + i % 240).astype("U"),
+                      ".", (i % 256).astype("U"),
+                      ".", (i * 3 % 256).astype("U"),
+                      ".", (i * 7 % 256).astype("U"),
+                      " or +1-555-", (1000 + i % 9000).astype("U")]
+            dec = pieces[0]
+            for p in pieces[1:]:
+                dec = np.char.add(dec, p)
+            txt = pc.binary_join_element_wise(txt, pa.array(dec, pa.string()), "")
+        cols = {id_col: batch.column(id_col)}
+        for name, pat, rep in PII_RULES:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(txt, pattern=pat), pa.int64())
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+        cols["redacted"] = txt
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_score(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id") -> ray.data.Dataset:
     """Heuristic quality signals (integer-valued so oracles stay exact):
