@@ -686,6 +686,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- classification module (SimpleNaiveBayesClassifier analog):
         # train on 80% of documents, predict lang of the held-out 20% ---
         "classify_nb_lang": _q(_classify_nb),
+        # kNN classifier (KNearestNeighborClassifier.java:52): MLT top-10
+        # neighbors -> per-class boost = sum(score/maxScore), /sumdoc
+        "classify_knn_doc7": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.classify", fromlist=["knn_classify"]
+            ).knn_classify(sf, 7, 10)
+        ),
+        # QueryRescorer sugar: top-30 'join' re-scored by 'hash' at weight 2
+        "rescore_query_top10": _q(
+            lambda sf: _score_r6(
+                __import__(
+                    "lucene_ray.pipelines.rescore", fromlist=["query_rescore_topk"]
+                ).query_rescore_topk(sf, "join", "hash", 2.0, 30, 10)
+            )
+        ),
         # --- scalar-quantized ANN (int8 scan + float rescore; rows-only:
         # recall>=0.9 + exact-rescore parity live in tests/test_ann.py) ---
         "ann_ivf_quantized_top10": _q(_ann_ivf_quantized),
@@ -1727,7 +1742,7 @@ def oracle_sql() -> dict[str, str]:
     # executor's sequential float32 fold of per-term BM25 contributions IN
     # SELECTION ORDER reproduced with list_reduce; top-11 by (s desc, doc_id),
     # source doc dropped, first 10 ranked.
-    out["mlt_top10_doc7"] = (
+    mlt_kept_cte = (
         "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
         "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
         "stats AS (SELECT count(*)::BIGINT AS n, "
@@ -1760,7 +1775,43 @@ def oracle_sql() -> dict[str, str]:
         "top AS (SELECT doc_id, s FROM folded ORDER BY s DESC, doc_id LIMIT 11), "
         "kept AS (SELECT doc_id, s FROM top WHERE doc_id <> 7 "
         "ORDER BY s DESC, doc_id LIMIT 10) "
+    )
+    out["mlt_top10_doc7"] = mlt_kept_cte + (
         "SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT "
         "AS rank, round(s::DOUBLE, 6) AS score_r6 FROM kept ORDER BY rank"
+    )
+    # KNearestNeighborClassifier: classes of the MLT top-10 neighbors,
+    # boost = sum(score/maxScore) (float32 division, double accumulation),
+    # final = boost/sumdoc (Java's k/ sumdoc<k correction folded), ties
+    # (score desc, class asc); compared at 6 decimals
+    out["classify_knn_doc7"] = mlt_kept_cte + (
+        ", cls AS (SELECT kept.doc_id, kept.s, documents.lang FROM kept "
+        "JOIN documents USING (doc_id)), "
+        "mx AS (SELECT max(s) AS m FROM cls), "
+        "agg AS (SELECT lang, count(*)::BIGINT AS cnt, "
+        "sum(CAST(s / (SELECT m FROM mx) AS DOUBLE)) AS boost "
+        "FROM cls GROUP BY lang), "
+        "tot AS (SELECT sum(cnt) AS sumdoc FROM agg) "
+        "SELECT lang AS class, row_number() OVER (ORDER BY "
+        "boost / (SELECT sumdoc FROM tot) DESC, lang)::BIGINT AS rank, "
+        "round(boost / (SELECT sumdoc FROM tot), 6) AS score_r6, "
+        "cnt AS n_neighbors FROM agg ORDER BY rank"
+    )
+    # QueryRescorer sugar: first-pass top-30 'join' hits, combined =
+    # (float)(s_join::double + 2.0 * s_hash::double) where hash matches,
+    # re-ranked top-10 — QueryRescorer.java:167-181 arithmetic
+    out["rescore_query_top10"] = _bm25_cte(["join", "hash"]) + (
+        ", pv AS (SELECT doc_id, "
+        "max(CASE WHEN tok = 'join' THEN s END) AS sj, "
+        "max(CASE WHEN tok = 'hash' THEN s END) AS sh FROM sc GROUP BY doc_id), "
+        "win AS (SELECT doc_id, sj, sh FROM pv WHERE sj IS NOT NULL "
+        "ORDER BY sj DESC, doc_id LIMIT 30), "
+        "comb AS (SELECT doc_id, CAST(CASE WHEN sh IS NOT NULL "
+        "THEN sj::DOUBLE + 2.0 * sh::DOUBLE ELSE sj::DOUBLE END AS FLOAT) AS s "
+        "FROM win) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM comb) "
+        "WHERE rank <= 10 ORDER BY rank"
     )
     return out

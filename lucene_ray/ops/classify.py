@@ -175,3 +175,54 @@ def classify_documents(sf_dir: str, mod: int = 5) -> pa.Table:
     out = classify_naive_bayes(test, model).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def knn_classify(sf_dir: str, doc_id: int, k: int = 10) -> "pa.Table":
+    """k-nearest-neighbor document classifier — the classification module's
+    KNearestNeighborClassifier (lucene/classification/src/java/org/apache/
+    lucene/classification/KNearestNeighborClassifier.java:52,121,190-239):
+    MoreLikeThis top-k neighbors of the doc's text (source doc excluded, as
+    in the repo's MLT surface), then per class
+
+        boost  = sum over neighbors of (score / maxScore)   [float32 div,
+                 double accumulation — Java's exact mix]
+        score  = boost / sumdoc
+
+    which equals Java's ``(count * (classBoost/count)) / k`` with its
+    ``sumdoc < k`` correction folded in (identical in both branches up to
+    ulps; compared at 6 decimals). Ties broken (score desc, class asc) —
+    Java iterates a HashMap here, so its tie order is unspecified.
+    Returns (class, score_r6, n_neighbors) ranked."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.mlt import more_like_this_topk
+
+    t = more_like_this_topk(sf_dir, doc_id, k)
+    if len(t) == 0:
+        return pa.table({"class": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "score_r6": pa.array([], pa.float64()),
+                         "n_neighbors": pa.array([], pa.int64())})
+    ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+    scores = np.asarray(t.column("score"), dtype=np.float32)
+    lang = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    lm = dict(zip(lang.column("doc_id").to_pylist(),
+                  lang.column("lang").to_pylist()))
+    classes = np.array([lm[int(i)] for i in ids])
+    # score/maxScore in float32 (Java: float division, then double widen)
+    sb = (scores / scores[0]).astype(np.float64)
+    uniq, inv = np.unique(classes, return_inverse=True)
+    boost = np.bincount(inv, weights=sb)
+    cnt = np.bincount(inv).astype(np.int64)
+    sumdoc = int(cnt.sum())
+    final = boost / sumdoc
+    order = np.lexsort((uniq, -final))
+    return pa.table(
+        {
+            "class": pa.array(uniq[order], pa.string()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "score_r6": pa.array(np.round(final[order], 6), pa.float64()),
+            "n_neighbors": pa.array(cnt[order], pa.int64()),
+        }
+    )

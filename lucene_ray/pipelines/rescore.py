@@ -102,3 +102,51 @@ def expression_rescore(sf_dir: str, query, expr_src: str, k: int = 10,
             "expr_value": pa.array(np.round(vals[order], 6), pa.float64()),
         }
     )
+
+
+def query_rescore_topk(sf_dir: str, first_term: str, second_term: str,
+                       weight: float = 2.0, window: int = 30,
+                       k: int = 10) -> pa.Table:
+    """QueryRescorer.rescore static sugar (lucene/core/src/java/org/apache/
+    lucene/search/QueryRescorer.java:167-181): take the first query's
+    top-``window``, look up the second query's scores at those docs (Lucene
+    advances the second scorer only over the window; here the vectorized
+    per-segment term scoring plays that role), and
+    combine ``score = (float)(first + weight * second)`` — the double-widen
+    then float-narrow of Java's ``score += weight * secondPassScore``
+    compound assignment. Re-sorted by (score desc, doc asc). Returns
+    (doc_id, rank, score)."""
+    from lucene_ray.pipelines.fulltext import documents_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    reader = documents_index(sf_dir)
+    searcher = Searcher(reader)
+    td = searcher.search(TermQuery(first_term), window,
+                         total_hits_threshold=None)
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    # second pass: exhaustive second-query scores, matched at the window ids
+    td2 = searcher.search(TermQuery(second_term), len(td.doc_ids) + 10**6,
+                          total_hits_threshold=None)
+    m2 = dict(zip((int(g) for g in td2.doc_ids), td2.scores))
+    s2 = np.array([m2.get(int(g), np.float32(0)) for g in td.doc_ids],
+                  dtype=np.float32)
+    matched = np.array([int(g) in m2 for g in td.doc_ids], dtype=bool)
+    combined = td.scores.astype(np.float64)
+    combined[matched] += float(weight) * s2[matched].astype(np.float64)
+    combined = combined.astype(np.float32)
+    order = np.lexsort((td.doc_ids.astype(np.int64), -combined))[:k]
+    gids = td.doc_ids[order]
+    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig"])
+    mm = dict(zip(t.column("doc_id").to_pylist(),
+                  t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(mm[int(g)]) for g in gids], pa.int64()),
+            "rank": pa.array(np.arange(1, len(gids) + 1), pa.int64()),
+            "score": pa.array(combined[order], pa.float32()),
+        }
+    )
