@@ -328,6 +328,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          in_order=False)
         ),
         "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
+        # surround parser (queryparser/surround): W/N distance ops with
+        # numeric prefix (slop = distance-1), prefix + infix forms,
+        # truncation expanding to span-OR, boolean composition
+        "ft_surround_w_hits": _q(
+            lambda sf: ft.surround_hits(sf, "3W(table, value)")
+        ),
+        "ft_surround_n_hits": _q(lambda sf: ft.surround_hits(sf, "scan N row")),
+        "ft_surround_trunc_hits": _q(
+            lambda sf: ft.surround_hits(sf, "2w(tab*, value)")
+        ),
+        "ft_surround_bool_hits": _q(
+            lambda sf: ft.surround_hits(sf, "and(join, or(hash, merge))")
+        ),
         # DisjunctionMaxQuery: union hit set (exact), scored top-k rows-only
         "ft_dismax_hits": _q(lambda sf: ft.dismax_hits(sf, ["join", "hash"], 0.3)),
         "ft_dismax_top10": _q(
@@ -914,6 +927,23 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id",
         "ft_synonym_query_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('hash', 'merge') "
+        "ORDER BY doc_id",
+        "ft_surround_w_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok = 'table' AND b.tok = 'value' "
+        "AND b.pos - a.pos BETWEEN 1 AND 3 ORDER BY doc_id",
+        "ft_surround_n_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok = 'scan' AND b.tok = 'row' "
+        "AND abs(b.pos - a.pos) = 1 ORDER BY doc_id",
+        "ft_surround_trunc_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok LIKE 'tab%' AND b.tok = 'value' "
+        "AND b.pos - a.pos BETWEEN 1 AND 2 ORDER BY doc_id",
+        "ft_surround_bool_hits": _TOKS
+        + "SELECT doc_id FROM (SELECT DISTINCT doc_id FROM toks "
+        "WHERE tok = 'join') WHERE doc_id IN "
+        "(SELECT doc_id FROM toks WHERE tok IN ('hash', 'merge')) "
         "ORDER BY doc_id",
         "ft_term_in_set_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('dup', 'bloom', "

@@ -810,6 +810,17 @@ def term_in_set_hits(sf_dir: str, terms: list[str]) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermInSetQuery(terms)))
 
 
+def surround_hits(sf_dir: str, s: str) -> pa.Table:
+    """Hit set of a surround-syntax query (queryparser/surround dialect:
+    W/N distance operators, infix + prefix forms, truncation, booleans).
+    Truncations expand against the live term dictionary."""
+    from lucene_ray.search.surround_parser import parse_surround
+
+    reader = documents_index(sf_dir)
+    q = parse_surround(s, expand=reader.expand_multi_term)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 def _common_terms_q(sf_dir: str, terms: list[str], max_term_frequency: float,
                     low_freq_occur: str, high_freq_occur: str):
     """Resolve df stats from the index and build the CommonTermsQuery
