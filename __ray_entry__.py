@@ -511,6 +511,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequence_stats": _q(
             lambda sf: packing.pack_stats(sf + "/documents.parquet", 128)
         ),
+        # greedy no-split packing: docs fill a sequence until the next one
+        # would overflow (oversize docs truncated to seq_len)
+        "pack_greedy": _q(
+            lambda sf: packing.pack_greedy(sf + "/documents.parquet", 128)
+        ),
+        # association facets: per-label SUM/MAX of a per-doc value over the
+        # matching docs (TaxonomyFacetIntAssociations)
+        "ft_facet_assoc": _q(
+            lambda sf: ft.facet_associations(sf, "join", "lang", "n_chars")
+        ),
         # Gopher/C4-style quality heuristics (ops/quality.py): integer-exact
         # per-doc counters and the integer-space keep filter — one streaming
         # map_batches each, bit-exact against the DuckDB oracle
@@ -1286,6 +1296,38 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS n_tokens "
             "FROM x GROUP BY seq_id ORDER BY seq_id"
         ),
+        # greedy fill as a recursive CTE over bin boundaries: each step
+        # finds the last doc whose cumulative capped length fits the bin
+        "pack_greedy": (
+            f"WITH RECURSIVE tl AS (SELECT doc_id, {_TOKLIST} AS l "
+            "FROM documents), "
+            "c AS (SELECT doc_id, len(l)::BIGINT AS n FROM tl WHERE len(l) > 0), "
+            "d AS (SELECT doc_id, least(n, 128) AS cap, "
+            "row_number() OVER (ORDER BY doc_id)::BIGINT AS i FROM c), "
+            "cum AS (SELECT doc_id, cap, i, sum(cap) OVER (ORDER BY i)::BIGINT "
+            "AS cs FROM d), "
+            "rec(bin, last_i, base) AS ("
+            "SELECT -1::BIGINT, 0::BIGINT, 0::BIGINT "
+            "UNION ALL "
+            "SELECT r.bin + 1, "
+            "greatest(r.last_i + 1, (SELECT coalesce(max(i), 0) FROM cum "
+            "WHERE i > r.last_i AND cs - r.base <= 128)), "
+            "(SELECT cs FROM cum WHERE i = greatest(r.last_i + 1, "
+            "(SELECT coalesce(max(i), 0) FROM cum WHERE i > r.last_i "
+            "AND cs - r.base <= 128))) "
+            "FROM rec r WHERE r.last_i < (SELECT max(i) FROM cum)), "
+            "bins AS (SELECT bin, last_i, lag(last_i, 1, 0) OVER "
+            "(ORDER BY bin) AS prev_i FROM rec WHERE bin >= 0) "
+            "SELECT bins.bin AS seq_id, cum.doc_id, cum.cap AS n_tokens "
+            "FROM bins JOIN cum ON cum.i > bins.prev_i AND cum.i <= bins.last_i "
+            "ORDER BY seq_id, doc_id"
+        ),
+        "ft_facet_assoc": _TOKS
+        + ", hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join') "
+        "SELECT lang, sum(n_chars)::BIGINT AS sum_value, "
+        "max(n_chars)::BIGINT AS max_value, count(*)::BIGINT AS n_docs "
+        "FROM documents JOIN hits USING (doc_id) GROUP BY lang "
+        "ORDER BY sum_value DESC, lang",
         "quality_gopher_metrics": _QUALITY_BASE
         + "SELECT * FROM qmetrics ORDER BY doc_id",
         # integer-space thresholds: min_words=30, mean_wlen in [3,10],

@@ -144,3 +144,81 @@ def pack_stats(path: str, seq_len: int = 128, text_col: str = "text",
     return pa.table({"seq_id": pa.array(uniq, pa.int64()),
                      "n_docs": pa.array(n_docs, pa.int64()),
                      "n_tokens": pa.array(n_toks, pa.int64())})
+
+
+def _greedy_fill(caps: np.ndarray, seq_len: int) -> np.ndarray:
+    """Sequential greedy fill: docs in order, close the bin when the next
+    doc does not fit. Returns the bin id per doc. O(n_bins) searchsorted
+    steps — the loop is over BINS, not docs."""
+    cs = np.cumsum(caps)
+    bins = np.empty(len(caps), dtype=np.int64)
+    start, base, b = 0, 0, 0
+    n = len(caps)
+    while start < n:
+        # last doc whose cumulative fill stays within base + seq_len
+        j = int(np.searchsorted(cs, base + seq_len, side="right"))
+        j = max(j, start + 1)  # a single doc always occupies at least one bin
+        bins[start:j] = b
+        base = int(cs[j - 1])
+        start = j
+        b += 1
+    return bins
+
+
+def pack_greedy(path: str, seq_len: int = 128, text_col: str = "text",
+                id_col: str = "doc_id",
+                target_rows_per_partition: int = 100_000) -> pa.Table:
+    """Greedy (no-split) packing: documents in doc_id order fill a sequence
+    until the next doc would overflow, then a new sequence starts — the
+    padding-for-no-boundary-crossing alternative to concat-chunk packing.
+    Docs longer than ``seq_len`` are truncated to ``seq_len`` tokens
+    (cap column reports the packed length). Sequences are partition-local
+    with globally-offset ids (pass 1 counts bins per partition, the driver
+    prefix-sums one int per partition; at the test scale one partition =
+    the exact global greedy, which the SQL oracle replays with a recursive
+    CTE). Returns (seq_id, doc_id, n_tokens)."""
+    from lucene_ray.index.build import IndexConfig, plan_partitions
+
+    cfg = IndexConfig(target_rows_per_partition=target_rows_per_partition)
+    specs = plan_partitions([path], cfg)
+
+    def part_table(spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids, counts = _partition_token_counts(spec, text_col, id_col)
+        nz = counts > 0
+        caps = np.minimum(counts[nz], seq_len)
+        return ids[nz], caps, _greedy_fill(caps, seq_len)
+
+    def nbins(batch: pa.Table) -> pa.Table:
+        pids, bs = [], []
+        for spec in batch.to_pylist():
+            _, _, bins = part_table(spec)
+            pids.append(spec["pid"])
+            bs.append(int(bins[-1]) + 1 if len(bins) else 0)
+        return pa.table({"pid": pa.array(pids, pa.int64()),
+                         "bins": pa.array(bs, pa.int64())})
+
+    ds = ray.data.from_items(specs, override_num_blocks=len(specs))
+    tot = _collect(ds.map_batches(nbins, batch_format="pyarrow", batch_size=1))
+    per_part = np.zeros(len(specs), dtype=np.int64)
+    per_part[np.asarray(tot.column("pid"))] = np.asarray(tot.column("bins"))
+    bases = np.cumsum(per_part) - per_part
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parts = []
+        for spec in batch.to_pylist():
+            ids, caps, bins = part_table(spec)
+            parts.append(pa.table(
+                {
+                    "seq_id": pa.array(bins + int(bases[spec["pid"]]), pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(caps, pa.int64()),
+                }
+            ))
+        return pa.concat_tables(parts)
+
+    out = _collect(
+        ray.data.from_items(specs, override_num_blocks=len(specs)).map_batches(
+            emit, batch_format="pyarrow", batch_size=1
+        )
+    )
+    return out.sort_by([("seq_id", "ascending"), ("doc_id", "ascending")])

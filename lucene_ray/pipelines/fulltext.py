@@ -948,6 +948,41 @@ def facet_numeric_ranges(sf_dir: str, term: str, col: str,
     )
 
 
+def facet_associations(sf_dir: str, term: str, facet_col: str = "lang",
+                       value_col: str = "n_chars") -> pa.Table:
+    """Association facets (facet/taxonomy/TaxonomyFacetIntAssociations.java,
+    AssociationAggregationFunction.java:40-66): per facet label, aggregate a
+    per-doc association value over the matching docs — SUM and MAX columns
+    plus the doc count, ordered by summed value desc then label asc
+    (Lucene's getTopChildren value ordering with a deterministic tie-break)."""
+    from lucene_ray.search.query import TermQuery
+
+    gids = _all_matches(sf_dir, TermQuery(term))
+    reader = documents_index(sf_dir)
+    if len(gids) == 0:
+        return pa.table({facet_col: pa.array([], pa.string()),
+                         "sum_value": pa.array([], pa.int64()),
+                         "max_value": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    t = reader.lookup_docs(gids, columns=["doc_id", facet_col, value_col])
+    labels = np.asarray(t.column(facet_col))
+    vals = np.asarray(t.column(value_col), dtype=np.int64)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.bincount(inv, weights=vals).astype(np.int64)
+    cnts = np.bincount(inv).astype(np.int64)
+    maxs = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(maxs, inv, vals)
+    order = np.lexsort((uniq, -sums))
+    return pa.table(
+        {
+            facet_col: pa.array(uniq[order], pa.string()),
+            "sum_value": pa.array(sums[order], pa.int64()),
+            "max_value": pa.array(maxs[order], pa.int64()),
+            "n_docs": pa.array(cnts[order], pa.int64()),
+        }
+    )
+
+
 def term_vector(sf_dir: str, doc_id: int) -> pa.Table:
     """(term, tf) of one document — the IndexReader.getTermVector surface
     (index/TermVectors.java). Served by re-analyzing the stored text with

@@ -120,3 +120,36 @@ def test_redact_pii_decorated_always_fires(ray_session):
     for red in out.column("redacted").to_pylist():
         assert "@" not in red and "+1-555-" not in red
         assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+
+
+def test_pack_greedy_no_split(corpus):
+    """Greedy packing never splits a doc; each bin's fill <= seq_len and
+    adding the NEXT doc would overflow (greedy tightness)."""
+    from lucene_ray.ops.packing import pack_greedy
+
+    t = pack_greedy(corpus, seq_len=6, target_rows_per_partition=100)
+    d = t.to_pydict()
+    # doc lengths: 3, 5, 7->6 (truncated), 2 (doc 2 empty, dropped)
+    assert sorted(set(d["doc_id"])) == [0, 1, 3, 4]
+    per_doc = {doc: n for doc, n in zip(d["doc_id"], d["n_tokens"])}
+    assert per_doc == {0: 3, 1: 5, 3: 6, 4: 2}
+    fills, order = {}, {}
+    for seq, doc, n in zip(d["seq_id"], d["doc_id"], d["n_tokens"]):
+        fills[seq] = fills.get(seq, 0) + n
+        order.setdefault(seq, []).append(doc)
+    assert all(f <= 6 for f in fills.values())
+    # greedy: doc 0 (3) then doc 1 (5) overflows -> bins [0], [1], [3], [4]?
+    # 3+5>6 so bin0={0}; 5 alone bin1={1}; 6 alone bin2={3}; 2 bin3={4}
+    assert order == {0: [0], 1: [1], 2: [3], 3: [4]}
+
+
+def test_pack_greedy_partition_base_offsets(corpus):
+    """Multi-partition run: bin ids stay globally unique and ordered."""
+    from lucene_ray.ops.packing import pack_greedy
+
+    t = pack_greedy(corpus, seq_len=100, target_rows_per_partition=2)
+    seqs = t.column("seq_id").to_pylist()
+    # partitions of 2 docs each; within a partition all docs fit one bin at
+    # seq_len=100, so bins == partitions holding non-empty docs
+    assert seqs == sorted(seqs)
+    assert len(set(seqs)) >= 2
