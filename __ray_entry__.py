@@ -396,6 +396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: ft.simple_query_hits(sf, '"batch window" | cust*')
         ),
         # numeric doc-values: range query, range+term filter, range facets
+        # updateNumericDocValue: n_chars zeroed for lang='fr' docs via a
+        # dv-update generation; range query reads the overlay and bypasses
+        # the now-stale zone maps
+        "ft_numeric_range_dv_update": _q(
+            lambda sf: ft.numeric_range_after_dv_update(sf, 200, 400)
+        ),
         "ft_numeric_range_hits": _q(
             lambda sf: ft.numeric_range_hits(sf, "n_chars", 200, 400)
         ),
@@ -961,6 +967,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_numeric_range_hits": (
             "SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400 "
             "ORDER BY doc_id"
+        ),
+        "ft_numeric_range_dv_update": (
+            "SELECT doc_id FROM documents WHERE "
+            "(CASE WHEN lang = 'fr' THEN 0 ELSE n_chars END) "
+            "BETWEEN 200 AND 400 ORDER BY doc_id"
         ),
         "ft_term_numeric_filter": _TOKS
         + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "

@@ -1153,6 +1153,44 @@ def delete_by_term(index_dir: str, col: str, values: list) -> Manifest:
     return manifest
 
 
+def update_numeric_docvalue(index_dir: str, key_col: str, key_values: list,
+                            field: str, value) -> Manifest:
+    """Set numeric doc-values column ``field`` to ``value`` for every doc
+    whose stored field ``key_col`` is in ``key_values`` — the
+    ``IndexWriter.updateNumericDocValue(Term, field, value)`` analog
+    (lucene/core/src/java/org/apache/lucene/index/IndexWriter.java; deletes
+    and dv updates share the BufferedUpdates path there). Like deletes,
+    updates are a GENERATION sidecar: a parquet set of (doc_id, value)
+    overlaid on the base column at read time; postings, norms and
+    statistics are untouched (exactly Lucene's contract — only the
+    doc-values read path changes). Later generations win per doc. The
+    matching scan is distributed; the driver never holds matched ids."""
+    manifest = Manifest.load(index_dir)
+    docmap_dir = os.path.join(index_dir, "docmap")
+    reserved = {"doc_id", "offset", "sha256", "length", "norm"}
+    phys_col = key_col + "_orig" if key_col in reserved else key_col
+    ds = ray.data.read_parquet(docmap_dir, columns=["doc_id", phys_col])
+    val_arr = pa.array(sorted(set(key_values)))
+
+    def match(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(phys_col), value_set=val_arr)
+        hit = batch.filter(mask).select(["doc_id"])
+        return hit.append_column(
+            "value", pa.array(np.full(len(hit), value, dtype=np.int64))
+        )
+
+    gen_name = f"dvu-{manifest.generation + 1:06d}"
+    out_dir = os.path.join(index_dir, "dv_updates", gen_name)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(match, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    manifest.dv_updates.append({"gen": gen_name, "col": field})
+    manifest.save()
+    return manifest
+
+
 def upsert_documents(index_dir: str, source: str | list[str],
                      key_col: str) -> Manifest:
     """Delete-then-add keyed by ``key_col`` — the

@@ -53,6 +53,13 @@ class Manifest:
     # (lucene/core/src/java/org/apache/lucene/index/LiveDocsFormat; deletes
     # buffered in index/BufferedUpdates.java)
     tombstones: list[str] = field(default_factory=list)
+    # numeric doc-values update generations (dir names under
+    # index_dir/dv_updates/), each a parquet set of (doc_id, value) for ONE
+    # column — the IndexWriter.updateNumericDocValue analog
+    # (lucene/core/src/java/org/apache/lucene/index/IndexWriter.java
+    # updateNumericDocValue; buffered in BufferedUpdates.java). Entries are
+    # {"gen": dirname, "col": column}; later generations win per doc.
+    dv_updates: list[dict] = field(default_factory=list)
 
     # ---- persistence ----
 
@@ -68,6 +75,7 @@ class Manifest:
             "postings_done": self.postings_done,
             "stats": self.stats,
             "tombstones": self.tombstones,
+            "dv_updates": self.dv_updates,
         }
         gen_path = os.path.join(self.index_dir, f"manifest-{self.generation:06d}.json")
         _atomic_write_json(gen_path, payload)
@@ -93,6 +101,7 @@ class Manifest:
         m.postings_done = payload["postings_done"]
         m.stats = payload["stats"]
         m.tombstones = payload.get("tombstones", [])
+        m.dv_updates = payload.get("dv_updates", [])
         return m
 
     @classmethod

@@ -360,10 +360,46 @@ class IndexReader:
                 pq.read_table(docmap_path(self.index_dir, pid), columns=[col])
                 for pid in self._seg_info[seg]["pids"]
             ]
-            self._dv_cache[key] = np.asarray(
+            vals = np.asarray(
                 pa.concat_tables(parts).column(col).combine_chunks()
             )
+            ups = self._dv_update_rows(col)
+            if ups is not None:
+                # overlay updateNumericDocValue generations (later wins —
+                # generations were appended in order and applied in order)
+                vals = vals.copy()
+                gids = self.global_doc_ids(seg)
+                for up_ids, up_vals in ups:
+                    pos = np.searchsorted(gids, up_ids)
+                    ok = (pos < len(gids)) & (gids[np.minimum(pos, len(gids) - 1)] == up_ids)
+                    vals[pos[ok]] = up_vals[ok]
+            self._dv_cache[key] = vals
         return self._dv_cache[key]
+
+    def _dv_update_rows(self, col: str):
+        """[(sorted global doc_ids, values)] per update generation for
+        ``col`` (updateNumericDocValue sidecars), oldest first; None when
+        the column has no updates."""
+        gens = [u for u in self.manifest.dv_updates if u["col"] == col]
+        if not gens:
+            return None
+        if not hasattr(self, "_dvu_cache"):
+            self._dvu_cache = {}
+        out = []
+        for u in gens:
+            gen = u["gen"]
+            if gen not in self._dvu_cache:
+                import pyarrow.dataset as pads
+
+                d = os.path.join(self.index_dir, "dv_updates", gen)
+                t = pads.dataset(d, format="parquet").to_table(
+                    columns=["doc_id", "value"])
+                ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+                vv = np.asarray(t.column("value"), dtype=np.int64)
+                order = np.argsort(ids)
+                self._dvu_cache[gen] = (ids[order], vv[order])
+            out.append(self._dvu_cache[gen])
+        return out
 
     def numeric_range_docs(self, seg: int, col: str, lower, upper,
                            stats: dict | None = None) -> np.ndarray:
@@ -372,7 +408,22 @@ class IndexReader:
         chunk-granularity analog of Lucene's BKD point tree
         (lucene/core/src/java/org/apache/lucene/util/bkd/BKDWriter.java:83):
         row groups whose [min, max] lies outside the range are never
-        decoded. ``stats`` (optional) receives {"chunks": N, "read": M}."""
+        decoded. ``stats`` (optional) receives {"chunks": N, "read": M}.
+
+        A column with doc-values updates bypasses the zone maps entirely —
+        the parquet row-group statistics describe the BASE values, so
+        pruning on them would wrongly skip updated rows (Lucene similarly
+        drops to the updated DocValues instance, not the BKD tree)."""
+        if self._dv_update_rows(col) is not None:
+            vals = self.docvalues(seg, col)
+            mask = np.ones(len(vals), dtype=bool)
+            if lower is not None:
+                mask &= vals >= lower
+            if upper is not None:
+                mask &= vals <= upper
+            if stats is not None:
+                stats.update({"chunks": 0, "read": 0})
+            return np.flatnonzero(mask).astype(np.int64)
         base = 0
         out: list[np.ndarray] = []
         n_chunks = n_read = 0

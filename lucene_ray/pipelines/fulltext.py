@@ -248,6 +248,44 @@ def documents_index_deleted(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def documents_index_dv_updated(sf_dir: str) -> IndexReader:
+    """Build-or-open a copy of the documents index where every doc with
+    lang='fr' has had its n_chars doc-value set to 0 via
+    update_numeric_docvalue — the updateNumericDocValue test surface."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import update_numeric_docvalue
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:dvu-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-dvu-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source", "n_chars"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        if not manifest.dv_updates:
+            update_numeric_docvalue(index_dir, "lang", ["fr"], "n_chars", 0)
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def numeric_range_after_dv_update(sf_dir: str, lower: int, upper: int) -> pa.Table:
+    """NumericRangeQuery over n_chars AFTER a doc-values update zeroed it
+    for lang='fr' docs — exercises the update overlay and the zone-map
+    bypass (stale row-group stats must not prune updated rows)."""
+    from lucene_ray.search.query import NumericRangeQuery
+
+    reader = documents_index_dv_updated(sf_dir)
+    q = NumericRangeQuery("n_chars", lower, upper)
+    gids = _all_matches(sf_dir, q, reader)
+    return _orig_ids(sf_dir, gids, reader)
+
+
 def _searcher(sf_dir: str) -> Searcher:
     return Searcher(documents_index(sf_dir))
 
