@@ -328,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          in_order=False)
         ),
         "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
+        # ComplexPhraseQueryParser: phrase with embedded wildcard + group
+        "ft_complex_phrase_hits": _q(
+            lambda sf: ft.complex_phrase_hits(sf, "(scan table) val*", slop=1)
+        ),
         # surround parser (queryparser/surround): W/N distance ops with
         # numeric prefix (slop = distance-1), prefix + infix forms,
         # truncation expanding to span-OR, boolean composition
@@ -944,6 +948,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_synonym_query_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('hash', 'merge') "
         "ORDER BY doc_id",
+        "ft_complex_phrase_hits": _PT
+        + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
+        "WHERE a.tok IN ('scan', 'table') AND b.tok LIKE 'val%' "
+        "AND b.pos - a.pos BETWEEN 1 AND 2 ORDER BY doc_id",
         "ft_surround_w_hits": _PT
         + "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b USING (doc_id) "
         "WHERE a.tok = 'table' AND b.tok = 'value' "

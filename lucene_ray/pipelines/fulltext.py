@@ -848,6 +848,20 @@ def term_in_set_hits(sf_dir: str, terms: list[str]) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermInSetQuery(terms)))
 
 
+def complex_phrase_hits(sf_dir: str, content: str, slop: int = 0,
+                        in_order: bool = True) -> pa.Table:
+    """Hit set of a complex phrase — quoted phrase whose elements may be
+    wildcards, fuzzy terms or (a b) alternative groups
+    (ComplexPhraseQueryParser.java:61); rewritten to SpanNear over per-
+    position span clauses with the dictionary expansions resolved live."""
+    from lucene_ray.search.complex_phrase import complex_phrase_query
+
+    reader = documents_index(sf_dir)
+    q = complex_phrase_query(content, slop, in_order,
+                             expand=reader.expand_multi_term)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 def surround_hits(sf_dir: str, s: str) -> pa.Table:
     """Hit set of a surround-syntax query (queryparser/surround dialect:
     W/N distance operators, infix + prefix forms, truncation, booleans).
