@@ -129,7 +129,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "geo_knn_top10", "curate_sample_hash",
                      "curate_decontaminate", "ft_uax29_term_hits",
                      "events_sessions", "events_asof_purchase_click",
-                     "events_signup_followups", "classify_nb_lang"]:
+                     "events_signup_followups", "classify_nb_lang",
+                     "text_redact_pii", "pack_sequences", "pack_greedy",
+                     "ft_synonym_query_top10", "ft_surround_w_hits",
+                     "classify_knn_doc7", "rescore_query_top10"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
