@@ -1251,6 +1251,40 @@ def oracle_sql() -> dict[str, str]:
             f"md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint "
             "FROM documents ORDER BY doc_id"
         ),
+        # langid heuristic replayed exactly: marker-stopword ratio per lang
+        # (DOUBLE division), argmax with first-max-wins over the engine's
+        # dict order en,es,fr,de via a >= cascade, 'en' when all ratios are
+        # zero, then the CJK override (>5% of chars in U+4E00..U+9FFF)
+        "text_langid": (
+            "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+            "tot AS (SELECT doc_id, greatest(1, len(l))::DOUBLE AS nt FROM tl), "
+            "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+            "m AS (SELECT doc_id, "
+            "sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it',"
+            "'that','for') THEN 1 ELSE 0 END)::DOUBLE AS c_en, "
+            "sum(CASE WHEN tok IN ('el','la','de','que','y','en','un','por',"
+            "'con','los') THEN 1 ELSE 0 END)::DOUBLE AS c_es, "
+            "sum(CASE WHEN tok IN ('le','la','de','et','un','les','des','est',"
+            "'que','pour') THEN 1 ELSE 0 END)::DOUBLE AS c_fr, "
+            "sum(CASE WHEN tok IN ('der','die','und','das','von','mit','ist',"
+            "'den','ein','zu') THEN 1 ELSE 0 END)::DOUBLE AS c_de "
+            "FROM toks GROUP BY doc_id), "
+            "r AS (SELECT tl.doc_id, "
+            "coalesce(c_en, 0) / nt AS r_en, coalesce(c_es, 0) / nt AS r_es, "
+            "coalesce(c_fr, 0) / nt AS r_fr, coalesce(c_de, 0) / nt AS r_de "
+            "FROM tl JOIN tot USING (doc_id) LEFT JOIN m USING (doc_id)), "
+            "base AS (SELECT doc_id, CASE "
+            "WHEN greatest(r_en, r_es, r_fr, r_de) = 0 THEN 'en' "
+            "WHEN r_en >= r_es AND r_en >= r_fr AND r_en >= r_de THEN 'en' "
+            "WHEN r_es >= r_fr AND r_es >= r_de THEN 'es' "
+            "WHEN r_fr >= r_de THEN 'fr' ELSE 'de' END AS lp FROM r), "
+            "cjk AS (SELECT doc_id, length(regexp_replace(text, "
+            "'[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE AS nc, "
+            "greatest(1, length(text))::DOUBLE AS lc FROM documents) "
+            "SELECT b.doc_id, CASE WHEN c.nc > 0.05 * c.lc THEN 'zh' "
+            "ELSE b.lp END AS lang_pred "
+            "FROM base b JOIN cjk c USING (doc_id) ORDER BY doc_id"
+        ),
         "text_quality": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "
             f"len({_TOKLIST})::BIGINT AS n_tokens, "

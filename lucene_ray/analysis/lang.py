@@ -123,6 +123,18 @@ STOPWORDS: dict[str, frozenset] = {
         tyto u uz v vam vas vase ve vice vsak z za zde ze"""
         .split()
     ),
+    "fi": frozenset(
+        """ja ei se on etta oli han mutta joka ovat kun niin myos hanen sita
+        mita jos kuin minka tai ole olla seka eli nyt siis sen sille jo ne
+        me he te ken kenen nama noilla naita sina mina taman"""
+        .split()
+    ),
+    "hu": frozenset(
+        """a az es hogy nem is egy van de meg csak mar ha mint ki volt vagy
+        el fel ezt ebben azt itt mert o ok mi ti en te ez azok ezek amely
+        aki ami akik amik lesz lenni volna ugy ott mindig minden"""
+        .split()
+    ),
 }
 
 
@@ -294,6 +306,183 @@ def czech_light_stem(t: str) -> str:
     return t
 
 
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def finnish_light_stem(t: str) -> str:
+    """Light Finnish stemmer (Savoy, CLEF-2003 monolingual tracks; rule
+    shape of FinnishLightStemmer.java in lucene/analysis/common): clitic
+    strip (-kin/-ko), -dellinen/-dellisuus, case/possessive endings with
+    the s-substitutions (nnen→s, ntena→s, den→s+, ksen→s), then two
+    normalization passes (hde→ksi, final t/s/j/e/a/i, long-vowel trim,
+    doubled k/p/t collapse). Operates on folded lowercase ASCII (the Java
+    ä/å→a, ö→o fold is a no-op after fold_text)."""
+    if len(t) < 4:
+        return t
+    # step 1: clitics + -dellinen/-dellisuus
+    while True:
+        if len(t) > 8 and t.endswith("kin"):
+            t = t[:-3]
+            continue
+        if len(t) > 8 and t.endswith("ko"):
+            t = t[:-2]
+            continue
+        break
+    if len(t) > 11:
+        if t.endswith("dellinen"):
+            t = t[:-8]
+        elif t.endswith("dellisuus"):
+            t = t[:-9]
+    # step 2
+    if len(t) > 5:
+        if t.endswith(("lla", "tse", "sti")):
+            t = t[:-3]
+        elif t.endswith("ni"):
+            t = t[:-2]
+        elif t.endswith("aa"):
+            t = t[:-1]
+    # step 3: case endings (first matching rule wins, as in the Java chain)
+    t = _fi_step3(t)
+    # norm 1
+    if len(t) > 5 and t.endswith("hde"):
+        t = t[:-3] + "ksi"
+    if len(t) > 4 and t.endswith(("ei", "at")):
+        t = t[:-2]
+    elif len(t) > 3 and t[-1] in "tsjeai":
+        t = t[:-1]
+    # norm 2
+    if len(t) > 8 and t[-1] in "eou":
+        t = t[:-1]
+    if len(t) > 4:
+        if t[-1] == "i":
+            t = t[:-1]
+        if len(t) > 4:
+            out = [t[0]]
+            for c in t[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            t = "".join(out)
+    return t
+
+
+def _fi_step3(t: str) -> str:
+    if len(t) > 8:
+        if t.endswith("nnen"):
+            return t[:-4] + "s"
+        if t.endswith("ntena"):
+            return t[:-5] + "s"
+        if t.endswith("tten"):
+            return t[:-4]
+        if t.endswith("eiden"):
+            return t[:-5]
+    if len(t) > 6:
+        if t.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return t[:-4]
+        if t[-3] == "h" and t[-2] in _FI_VOWELS and t[-1] == "n":
+            return t[:-3]
+        if t.endswith("den"):
+            return t[:-3] + "s"
+        if t.endswith("ksen"):
+            return t[:-4] + "s"
+        if t.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return t[:-3]
+    if len(t) > 5:
+        if t.endswith(("na", "ne")):
+            return t[:-2]
+        if t.endswith("nei"):
+            return t[:-3]
+    if len(t) > 4:
+        if t.endswith(("ja", "ta")):
+            return t[:-2]
+        if t[-1] == "a":
+            return t[:-1]
+        if t[-1] == "n" and t[-2] in _FI_VOWELS:
+            return t[:-2]
+        if t[-1] == "n":
+            return t[:-1]
+    return t
+
+
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(t: str) -> str:
+    """Light Hungarian stemmer (the UniNE algorithm in Savoy, "Light
+    Stemming Approaches for the French, Portuguese, German and Hungarian
+    Languages", ACM SAC 2006; rule shape of HungarianLightStemmer.java):
+    case ending → possessive → plural → final-vowel normalization, one
+    rule per pass, on folded lowercase ASCII."""
+    return _hu_normalize(_hu_plural(_hu_possessive(_hu_case(t))))
+
+
+def _hu_case(t: str) -> str:
+    if len(t) > 6 and t.endswith("kent"):
+        return t[:-4]
+    if len(t) > 5:
+        if t.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return t[:-3]
+        if t.endswith(("al", "el")) and t[-3] not in _HU_VOWELS and t[-3] == t[-4]:
+            return t[:-3]
+    if len(t) > 4:
+        if t.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return t[:-2]
+        if t.endswith(("on", "en")) and t[-3] not in _HU_VOWELS:
+            return t[:-2]
+        if t[-1] in "tn":
+            return t[:-1]
+        if t[-1] in "ae" and t[-2] == t[-3] and t[-2] not in _HU_VOWELS:
+            return t[:-2]
+    return t
+
+
+def _hu_possessive(t: str) -> str:
+    if len(t) > 6:
+        if t[-5] not in _HU_VOWELS and t.endswith(("atok", "otok", "etek")):
+            return t[:-4]
+        if t.endswith(("itek", "itok")):
+            return t[:-4]
+    if len(t) > 5:
+        if t[-4] not in _HU_VOWELS and t.endswith(("unk", "tok", "tek")):
+            return t[:-3]
+        if t[-4] in _HU_VOWELS and t.endswith("juk"):
+            return t[:-3]
+        if t.endswith("ink"):
+            return t[:-3]
+    if len(t) > 4:
+        if t[-3] not in _HU_VOWELS and t.endswith(("am", "em", "om", "ad",
+                                                   "ed", "od", "uk")):
+            return t[:-2]
+        if t[-3] in _HU_VOWELS and t.endswith(("nk", "ja", "je")):
+            return t[:-2]
+        if t.endswith(("im", "id", "ik")):
+            return t[:-2]
+    if len(t) > 3:
+        if t[-1] in "ae" and t[-2] not in _HU_VOWELS:
+            return t[:-1]
+        if t[-1] in "md" and t[-2] in _HU_VOWELS:
+            return t[:-1]
+        if t[-1] == "i":
+            return t[:-1]
+    return t
+
+
+def _hu_plural(t: str) -> str:
+    if len(t) > 3 and t[-1] == "k":
+        if t[-2] in "aoe" and len(t) > 4:
+            return t[:-2]
+        return t[:-1]
+    return t
+
+
+def _hu_normalize(t: str) -> str:
+    if len(t) > 3 and t[-1] in "aeio":
+        return t[:-1]
+    return t
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
@@ -304,6 +493,8 @@ STEMMERS = {
     "sv": swedish_light_stem,
     "no": norwegian_minimal_stem,
     "cs": czech_light_stem,
+    "fi": finnish_light_stem,
+    "hu": hungarian_light_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))

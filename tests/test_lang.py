@@ -169,3 +169,50 @@ def test_new_packs_round_trip():
     assert no("de fine husene og bilen") == ["fin", "hus", "bil"]
     cs = analyzer_for("cs")
     assert cs("ty velke hrady a zenami") == ["velk", "hrad", "zen"]
+
+
+def test_finnish_light_stem():
+    from lucene_ray.analysis.lang import finnish_light_stem as fi
+
+    # inflected forms reduce toward the noun stem (Savoy CLEF-2003 rules)
+    assert fi("taloissa") == "talo"     # -ssa case, then -i norm
+    assert fi("autolla") == "auto"      # adessive -lla
+    assert fi("autossa") == "auto"      # inessive -ssa
+    assert fi("puhelimeen") == "puhelim"  # illative -een (-seen family)
+    assert fi("kahdeksannen") == "kahdeksa"  # -nnen -> s, then norm
+    assert fi("talo") == "talo"         # bare stem untouched
+    assert fi("tee") == "tee"           # < 4 chars untouched
+    # the doubled k/p/t collapse only engages past length 4 (rule guard),
+    # so a 4-char result keeps its doubled consonant
+    assert fi("kukka") == "kukk"
+    assert fi("kukkaa") == "kukk"       # -aa then -a, still len 4 at collapse
+    assert fi("pakkaus") == "pakau"     # -s norm, then kk -> k collapse
+
+
+def test_hungarian_light_stem():
+    from lucene_ray.analysis.lang import hungarian_light_stem as hu
+
+    assert hu("hazakban") == "haz"      # -ban case + -k plural + -a norm
+    assert hu("hazunk") == "haz"        # -unk possessive (consonant before)
+    assert hu("hazam") == "haz"         # -am possessive
+    assert hu("kutyaknak") == "kuty"    # -nak case, -k plural, -a norm
+    assert hu("emberek") == "ember"     # -ek plural
+    assert hu("kent") == "kent"         # too short for -kent rule
+    assert hu("haz") == "haz"
+
+
+def test_fi_hu_packs_round_trip():
+    from lucene_ray.analysis.lang import STEMMERS, analyzer_for, language_pack
+
+    for lang in ("fi", "hu"):
+        assert lang in STEMMERS
+        pack = language_pack(lang)
+        assert pack["stopwords"]
+        an = analyzer_for(lang)
+        # stopwords dropped, inflected forms stemmed through the chain
+        probe = {"fi": "autolla", "hu": "hazakban"}[lang]
+        stem = {"fi": "auto", "hu": "haz"}[lang]
+        assert an(probe) == [stem]
+        # stopwords drop through the chain
+        stop = next(iter(pack["stopwords"]))
+        assert an(f"{probe} {stop}") == [stem]
