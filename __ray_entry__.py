@@ -842,14 +842,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM toks WHERE tok IN ('the', 'dup') GROUP BY doc_id "
         "HAVING count(DISTINCT CASE WHEN tok IN (SELECT tok FROM rare) "
         "THEN tok END) = (SELECT count(*) FROM rare) ORDER BY doc_id",
+        # when NO term classifies rare, CommonTermsQuery degenerates to a
+        # conjunction over the common terms (CommonTermsQuery.java:175-183)
+        # — the HAVING must then require ALL query terms, not >= 0 rare ones
         "ft_common_terms_all_common": _TOKS
         + ", dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
         "WHERE tok IN ('the', 'join') GROUP BY tok), "
         "rare AS (SELECT tok FROM dfs "
         "WHERE df <= 0.4 * (SELECT count(*) FROM documents)) "
         "SELECT doc_id FROM toks WHERE tok IN ('the', 'join') GROUP BY doc_id "
-        "HAVING count(DISTINCT CASE WHEN tok IN (SELECT tok FROM rare) "
-        "THEN tok END) = (SELECT count(*) FROM rare) ORDER BY doc_id",
+        "HAVING CASE WHEN (SELECT count(*) FROM rare) = 0 "
+        "THEN count(DISTINCT tok) = (SELECT count(*) FROM dfs) "
+        "ELSE count(DISTINCT CASE WHEN tok IN (SELECT tok FROM rare) "
+        "THEN tok END) = (SELECT count(*) FROM rare) END ORDER BY doc_id",
         # span [pos, pos+1) ends at pos+1 <= 10
         "ft_span_first_hits": (
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
