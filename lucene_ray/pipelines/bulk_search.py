@@ -115,6 +115,52 @@ class QueryShardActor:
                 out.append((seg, qid, gids, scores, keys))
         return out
 
+    def facet_batch(self, plans, facet_col: str, value_col: str | None = None,
+                    edges: list | None = None):
+        """Per-segment facet aggregation COLLECTED DURING MATCH — the
+        FacetsCollector shape (facet/FacetsCollector.java:36): the hit set
+        never leaves the actor; only (label, count[, sum, max]) rows do.
+        ``edges`` switches to numeric range binning (label = bin index,
+        values below edges[0] uncounted, as in LongRangeFacetCounts)."""
+        out = []
+        edge_arr = np.asarray(edges) if edges is not None else None
+        for seg in self.segs:
+            dv = vv = None
+            for qid, q, all_terms, scorers, ph, pf in plans:
+                need_pos = needs_positions(q)
+                ss = self.searcher.segment_scorer(
+                    seg, all_terms, scorers, ph, pf, need_pos)
+                docs, _ = ss.evaluate(q)
+                if dv is None:
+                    dv = np.asarray(self.reader.docvalues(seg, facet_col))
+                    if value_col is not None:
+                        vv = np.asarray(self.reader.docvalues(seg, value_col),
+                                        dtype=np.int64)
+                labels = dv[docs]
+                if edge_arr is not None:
+                    idx = np.searchsorted(edge_arr, labels, side="right") - 1
+                    keep = idx >= 0
+                    idx, docs_k = idx[keep], docs[keep]
+                    uniq, inv = np.unique(idx, return_inverse=True)
+                    names = uniq.tolist()
+                    vals = vv[docs_k] if vv is not None else None
+                else:
+                    uniq, inv = np.unique(labels, return_inverse=True)
+                    names = uniq.tolist()
+                    vals = vv[docs] if vv is not None else None
+                cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                if vals is not None and len(uniq):
+                    sums = np.bincount(inv, weights=vals,
+                                       minlength=len(uniq)).astype(np.int64)
+                    maxs = np.full(len(uniq), np.iinfo(np.int64).min,
+                                   dtype=np.int64)
+                    np.maximum.at(maxs, inv, vals)
+                    out.append((seg, qid, names, cnt.tolist(),
+                                sums.tolist(), maxs.tolist()))
+                else:
+                    out.append((seg, qid, names, cnt.tolist(), None, None))
+        return out
+
     def match_batch(self, plans):
         """plans: [(qid, q, all_terms, scorers, ph, pf)] ->
         {qid: global ids of ALL matches in this actor's segs}."""
@@ -186,6 +232,32 @@ class ShardPool:
             arrs = [p[qid] for p in parts if qid in p]
             ids = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
             out[qid] = np.sort(ids)
+        return out
+
+    def facets(self, queries: list[tuple[int, Query]], facet_col: str,
+               value_col: str | None = None, edges: list | None = None
+               ) -> dict[int, dict]:
+        """qid -> {label: [n_docs, sum, max]} facet aggregates over the hit
+        set, computed per segment inside the actors (the hit set itself
+        never reaches the driver; only label-level partials merge here).
+        With ``edges``, labels are range-bin indices."""
+        ref = self._plans(queries)
+        parts = ray.get([
+            a.facet_batch.remote(ref, facet_col, value_col, edges)
+            for a in self.actors
+        ])
+        out: dict[int, dict] = {qid: {} for qid, _ in queries}
+        for rows in parts:
+            for _seg, qid, names, cnts, sums, maxs in rows:
+                agg = out[qid]
+                for i, name in enumerate(names):
+                    cur = agg.get(name)
+                    if cur is None:
+                        cur = agg[name] = [0, 0, None]
+                    cur[0] += cnts[i]
+                    if sums is not None:
+                        cur[1] += sums[i]
+                        cur[2] = maxs[i] if cur[2] is None else max(cur[2], maxs[i])
         return out
 
     def diversified(self, queries: list[tuple[int, Query]], key_col: str,

@@ -685,14 +685,15 @@ def facet_path_counts(sf_dir: str, term: str) -> pa.Table:
     from lucene_ray.search.query import TermQuery
 
     reader = documents_taxonomy_index(sf_dir)
-    gids = _all_matches(sf_dir, TermQuery(term), reader)
+    # leaf-label counts aggregate inside the actors; the driver only rolls
+    # DISTINCT taxonomy labels up to their ancestors (taxonomy size, never
+    # hit count — the TaxonomyFacetCounts rollup shape)
+    agg = _pool(reader).facets([(0, TermQuery(term))], "cat")[0]
     counts: Counter = Counter()
-    if len(gids):
-        rows = reader.lookup_docs(gids, columns=["doc_id", "cat"])
-        for v in rows.column("cat").to_pylist():
-            segs = v.split("/")
-            for L in range(1, len(segs) + 1):
-                counts["/".join(segs[:L])] += 1
+    for label, (n, _s, _m) in agg.items():
+        segs = label.split("/")
+        for L in range(1, len(segs) + 1):
+            counts["/".join(segs[:L])] += n
     paths = sorted(counts)
     return pa.table(
         {
@@ -979,19 +980,15 @@ def facet_numeric_ranges(sf_dir: str, term: str, col: str,
     the doc-values column of the matching docs."""
     from lucene_ray.search.query import TermQuery
 
-    gids = _all_matches(sf_dir, TermQuery(term))
     reader = documents_index(sf_dir)
     labels = [f"[{edges[i]},{edges[i + 1]})" for i in range(len(edges) - 1)]
     labels.append(f"[{edges[-1]},inf)")
-    if len(gids) == 0:
-        counts = np.zeros(len(labels), dtype=np.int64)
-    else:
-        vals = np.asarray(
-            reader.lookup_docs(gids, columns=["doc_id", col]).column(col)
-        )
-        idx = np.searchsorted(np.asarray(edges, dtype=np.int64), vals, side="right") - 1
-        idx = idx[idx >= 0]  # below the first edge: uncounted (as in Lucene)
-        counts = np.bincount(idx, minlength=len(labels)).astype(np.int64)
+    # binned per segment inside the actors (values below edges[0] uncounted,
+    # as in Lucene); only (bin, count) partials reach the driver
+    agg = _pool(reader).facets([(0, TermQuery(term))], col, edges=edges)[0]
+    counts = np.zeros(len(labels), dtype=np.int64)
+    for b, (n, _s, _m) in agg.items():
+        counts[int(b)] += n
     return pa.table(
         {
             "range": pa.array(labels, pa.string()),
@@ -1009,28 +1006,21 @@ def facet_associations(sf_dir: str, term: str, facet_col: str = "lang",
     (Lucene's getTopChildren value ordering with a deterministic tie-break)."""
     from lucene_ray.search.query import TermQuery
 
-    gids = _all_matches(sf_dir, TermQuery(term))
     reader = documents_index(sf_dir)
-    if len(gids) == 0:
+    agg = _pool(reader).facets([(0, TermQuery(term))], facet_col,
+                               value_col=value_col)[0]
+    if not agg:
         return pa.table({facet_col: pa.array([], pa.string()),
                          "sum_value": pa.array([], pa.int64()),
                          "max_value": pa.array([], pa.int64()),
                          "n_docs": pa.array([], pa.int64())})
-    t = reader.lookup_docs(gids, columns=["doc_id", facet_col, value_col])
-    labels = np.asarray(t.column(facet_col))
-    vals = np.asarray(t.column(value_col), dtype=np.int64)
-    uniq, inv = np.unique(labels, return_inverse=True)
-    sums = np.bincount(inv, weights=vals).astype(np.int64)
-    cnts = np.bincount(inv).astype(np.int64)
-    maxs = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
-    np.maximum.at(maxs, inv, vals)
-    order = np.lexsort((uniq, -sums))
+    keys = sorted(agg, key=lambda k: (-agg[k][1], k))
     return pa.table(
         {
-            facet_col: pa.array(uniq[order], pa.string()),
-            "sum_value": pa.array(sums[order], pa.int64()),
-            "max_value": pa.array(maxs[order], pa.int64()),
-            "n_docs": pa.array(cnts[order], pa.int64()),
+            facet_col: pa.array(keys, pa.string()),
+            "sum_value": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "max_value": pa.array([agg[k][2] for k in keys], pa.int64()),
+            "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
         }
     )
 
@@ -1089,24 +1079,18 @@ def collection_stats(sf_dir: str) -> pa.Table:
 
 def facet_counts(sf_dir: str, term: str, facet_col: str = "lang") -> pa.Table:
     """Facet counts over a query's hit set (FacetsCollector analog,
-    SURVEY §2.5): count matching docs per value of a docvalues-style
-    column."""
-    from collections import Counter
-
+    SURVEY §2.5): counted per segment INSIDE the shard actors (the hit set
+    never ships to the driver — only label partials merge), exactly the
+    collected-during-match shape of facet/FacetsCollector.java:36."""
     from lucene_ray.search.query import TermQuery
 
-    gids = _all_matches(sf_dir, TermQuery(term))
-    if len(gids) == 0:
-        return pa.table({facet_col: pa.array([], pa.string()),
-                         "n_docs": pa.array([], pa.int64())})
     reader = documents_index(sf_dir)
-    rows = reader.lookup_docs(gids, columns=["doc_id", facet_col])
-    counts = Counter(rows.column(facet_col).to_pylist())
-    keys = sorted(counts)
+    agg = _pool(reader).facets([(0, TermQuery(term))], facet_col)[0]
+    keys = sorted(agg)
     return pa.table(
         {
             facet_col: pa.array(keys, pa.string()),
-            "n_docs": pa.array([counts[k] for k in keys], pa.int64()),
+            "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
         }
     )
 
