@@ -115,6 +115,30 @@ class QueryShardActor:
                 out.append((seg, qid, gids, scores, keys))
         return out
 
+    def sort_field_batch(self, plans, col: str, k: int, reverse: bool):
+        """Per-segment top-k of each query's hit set ordered by a numeric
+        doc-values column, ties by original doc id ascending (the
+        TopFieldCollector per-leaf phase) — at most k rows per (seg, qid)
+        leave the actor."""
+        out = []
+        for seg in self.segs:
+            vals = orig = None
+            for qid, q, all_terms, scorers, ph, pf in plans:
+                need_pos = needs_positions(q)
+                ss = self.searcher.segment_scorer(
+                    seg, all_terms, scorers, ph, pf, need_pos)
+                docs, _ = ss.evaluate(q)
+                if vals is None:
+                    vals = np.asarray(self.reader.docvalues(seg, col),
+                                      dtype=np.int64)
+                    orig = np.asarray(
+                        self.reader.docvalues(seg, "doc_id_orig"),
+                        dtype=np.int64)
+                v, o = vals[docs], orig[docs]
+                order = np.lexsort((o, -v if reverse else v))[:k]
+                out.append((seg, qid, o[order].tolist(), v[order].tolist()))
+        return out
+
     def facet_batch(self, plans, facet_col: str, value_col: str | None = None,
                     edges: list | None = None):
         """Per-segment facet aggregation COLLECTED DURING MATCH — the
@@ -232,6 +256,30 @@ class ShardPool:
             arrs = [p[qid] for p in parts if qid in p]
             ids = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
             out[qid] = np.sort(ids)
+        return out
+
+    def sort_field_topk(self, queries: list[tuple[int, Query]], col: str,
+                        k: int, reverse: bool) -> dict[int, tuple]:
+        """qid -> (orig_ids, values): global top-k by the column, merged
+        from the per-segment partials (<= segments x k rows ever reach the
+        driver — the TopFieldCollector reduce)."""
+        ref = self._plans(queries)
+        parts = ray.get([
+            a.sort_field_batch.remote(ref, col, k, reverse)
+            for a in self.actors
+        ])
+        out = {}
+        for qid, _ in queries:
+            oo, vv = [], []
+            for rows in parts:
+                for _seg, rqid, o, v in rows:
+                    if rqid == qid:
+                        oo.extend(o)
+                        vv.extend(v)
+            o_arr = np.asarray(oo, dtype=np.int64)
+            v_arr = np.asarray(vv, dtype=np.int64)
+            order = np.lexsort((o_arr, -v_arr if reverse else v_arr))[:k]
+            out[qid] = (o_arr[order], v_arr[order])
         return out
 
     def facets(self, queries: list[tuple[int, Query]], facet_col: str,

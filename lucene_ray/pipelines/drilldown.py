@@ -24,12 +24,13 @@ from lucene_ray.search.query import BooleanQuery, TermQuery
 
 
 def _facet_counts_for(sf_dir: str, q, facet_col: str) -> Counter:
-    gids = _all_matches(sf_dir, q)
-    if len(gids) == 0:
-        return Counter()
+    # per-segment counting inside the shard actors (FacetsCollector shape);
+    # only label partials reach the driver
+    from lucene_ray.pipelines.fulltext import _pool
+
     reader = documents_index(sf_dir)
-    rows = reader.lookup_docs(gids, columns=["doc_id", facet_col])
-    return Counter(rows.column(facet_col).to_pylist())
+    agg = _pool(reader).facets([(0, q)], facet_col)[0]
+    return Counter({label: v[0] for label, v in agg.items()})
 
 
 def _drill_query(term: str, filters: dict, skip_dim: str | None = None):

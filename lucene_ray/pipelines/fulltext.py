@@ -1125,24 +1125,19 @@ def sort_by_field_topk(sf_dir: str, term: str, col: str, k: int = 10,
     (search/SortField.java): top-k of the term's hit set ordered by the
     column, ties broken by doc id ascending (Lucene's index-order
     tie-break). Like Lucene without an index sort, every hit's comparator
-    value is visited; at cluster scale this runs as per-segment partial
-    top-k in the shard actors with a tiny driver merge (the BM25 top-k
-    shape), so no full hit set crosses the wire."""
+    value is visited — but per SEGMENT inside the shard actors, each of
+    which returns at most k rows for the driver's tiny merge (the
+    TopFieldCollector per-leaf + reduce shape); no full hit set crosses
+    the wire."""
     from lucene_ray.search.query import TermQuery
 
-    gids = _all_matches(sf_dir, TermQuery(term))
-    if len(gids) == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         col: pa.array([], pa.int64())})
     reader = documents_index(sf_dir)
-    t = reader.lookup_docs(gids, columns=["doc_id", "doc_id_orig", col])
-    vals = np.asarray(t.column(col).combine_chunks())
-    orig = np.asarray(t.column("doc_id_orig").combine_chunks())
-    order = np.lexsort((orig, -vals if reverse else vals))[:k]
+    orig, vals = _pool(reader).sort_field_topk(
+        [(0, TermQuery(term))], col, k, reverse)[0]
     return pa.table(
         {
-            "doc_id": pa.array(orig[order], pa.int64()),
-            col: pa.array(vals[order], pa.int64()),
+            "doc_id": pa.array(orig, pa.int64()),
+            col: pa.array(vals, pa.int64()),
         }
     )
 
