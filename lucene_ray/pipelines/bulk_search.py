@@ -140,12 +140,14 @@ class QueryShardActor:
         return out
 
     def facet_batch(self, plans, facet_col: str, value_col: str | None = None,
-                    edges: list | None = None):
+                    edges: list | None = None, agg_scores: bool = False):
         """Per-segment facet aggregation COLLECTED DURING MATCH — the
         FacetsCollector shape (facet/FacetsCollector.java:36): the hit set
         never leaves the actor; only (label, count[, sum, max]) rows do.
         ``edges`` switches to numeric range binning (label = bin index,
-        values below edges[0] uncounted, as in LongRangeFacetCounts)."""
+        values below edges[0] uncounted, as in LongRangeFacetCounts).
+        ``agg_scores`` aggregates the query's float32 SCORES per label
+        instead of a doc-values column (the JoinUtil score-mode reduce)."""
         out = []
         edge_arr = np.asarray(edges) if edges is not None else None
         for seg in self.segs:
@@ -154,13 +156,23 @@ class QueryShardActor:
                 need_pos = needs_positions(q)
                 ss = self.searcher.segment_scorer(
                     seg, all_terms, scorers, ph, pf, need_pos)
-                docs, _ = ss.evaluate(q)
+                docs, scores = ss.evaluate(q)
                 if dv is None:
                     dv = np.asarray(self.reader.docvalues(seg, facet_col))
                     if value_col is not None:
                         vv = np.asarray(self.reader.docvalues(seg, value_col),
                                         dtype=np.int64)
                 labels = dv[docs]
+                if agg_scores:
+                    uniq, inv = np.unique(labels, return_inverse=True)
+                    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                    sv = scores.astype(np.float64)
+                    sums = np.bincount(inv, weights=sv, minlength=len(uniq))
+                    maxs = np.full(len(uniq), -np.inf)
+                    np.maximum.at(maxs, inv, sv)
+                    out.append((seg, qid, uniq.tolist(), cnt.tolist(),
+                                sums.tolist(), maxs.tolist()))
+                    continue
                 if edge_arr is not None:
                     idx = np.searchsorted(edge_arr, labels, side="right") - 1
                     keep = idx >= 0
@@ -283,15 +295,16 @@ class ShardPool:
         return out
 
     def facets(self, queries: list[tuple[int, Query]], facet_col: str,
-               value_col: str | None = None, edges: list | None = None
-               ) -> dict[int, dict]:
+               value_col: str | None = None, edges: list | None = None,
+               agg_scores: bool = False) -> dict[int, dict]:
         """qid -> {label: [n_docs, sum, max]} facet aggregates over the hit
         set, computed per segment inside the actors (the hit set itself
         never reaches the driver; only label-level partials merge here).
-        With ``edges``, labels are range-bin indices."""
+        With ``edges``, labels are range-bin indices; with ``agg_scores``,
+        sum/max aggregate the query's scores (float)."""
         ref = self._plans(queries)
         parts = ray.get([
-            a.facet_batch.remote(ref, facet_col, value_col, edges)
+            a.facet_batch.remote(ref, facet_col, value_col, edges, agg_scores)
             for a in self.actors
         ])
         out: dict[int, dict] = {qid: {} for qid, _ in queries}

@@ -32,40 +32,34 @@ def join_to_parent(sf_dir: str, child_query, parent_col: str = "source",
 
     reader: IndexReader = documents_index(sf_dir)
     q = parse_query(child_query) if isinstance(child_query, str) else child_query
-    td = Searcher(reader).search(q, 10**9, total_hits_threshold=None)
-    if len(td.doc_ids) == 0:
+    # per-parent (count, score-sum, score-max) aggregate per SEGMENT inside
+    # the shard actors; the child hit set never reaches the driver — only
+    # one partial row per (segment, parent key) merges here
+    from lucene_ray.pipelines.fulltext import _pool
+
+    agg = _pool(reader).facets([(0, q)], parent_col, agg_scores=True)[0]
+    if not agg:
         cols = {"parent": pa.array([], pa.string()),
                 "n_children": pa.array([], pa.int64())}
         if score_mode != "none":
             cols["score"] = pa.array([], pa.float64())
         return pa.table(cols)
-    rows = reader.lookup_docs(td.doc_ids, columns=["doc_id", parent_col])
-    m = dict(zip(rows.column("doc_id").to_pylist(), rows.column(parent_col).to_pylist()))
-    parents = np.array([m[int(g)] for g in td.doc_ids], dtype=object)
-    order = np.argsort(parents, kind="stable")
-    p_s = parents[order]
-    s_s = td.scores[order].astype(np.float64)
-    chg = np.empty(len(p_s), dtype=bool)
-    chg[0] = True
-    chg[1:] = p_s[1:] != p_s[:-1]
-    starts = np.flatnonzero(chg)
-    counts = np.diff(np.append(starts, len(p_s)))
-    keys = p_s[starts]
+    keys = sorted(agg)
+    counts = np.array([agg[k][0] for k in keys], dtype=np.int64)
     cols = {
-        "parent": pa.array(keys.tolist(), pa.string()),
+        "parent": pa.array(keys, pa.string()),
         "n_children": pa.array(counts, pa.int64()),
     }
     if score_mode != "none":
-        sums = np.add.reduceat(s_s, starts)
+        sums = np.array([agg[k][1] for k in keys], dtype=np.float64)
         if score_mode == "total":
             score = sums
         elif score_mode == "avg":
             score = sums / counts
         else:  # max
-            score = np.maximum.reduceat(s_s, starts)
+            score = np.array([agg[k][2] for k in keys], dtype=np.float64)
         cols["score"] = pa.array(np.round(score, 6), pa.float64())
-    t = pa.table(cols)
-    return t.take(pa.compute.sort_indices(t, sort_keys=[("parent", "ascending")]))
+    return pa.table(cols)
 
 
 def block_join(sf_dir: str, child_query, score_mode: str = "count") -> pa.Table:
