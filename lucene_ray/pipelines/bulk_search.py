@@ -115,6 +115,43 @@ class QueryShardActor:
                 out.append((seg, qid, gids, scores, keys))
         return out
 
+    def grouped_topk_batch(self, plans, group_col: str, per_group: int):
+        """Per-segment top-``per_group`` docs per group value by
+        (score desc, global doc asc) — the grouping module's per-leaf
+        phase; at most per_group rows per (segment, group) leave the
+        actor, and the driver re-applies the same kernel (exact: a doc
+        outside its segment's per-group top-N can never enter the global
+        per-group top-N)."""
+        out = []
+        for seg in self.segs:
+            dv = orig = None
+            for qid, q, all_terms, scorers, ph, pf in plans:
+                need_pos = needs_positions(q)
+                ss = self.searcher.segment_scorer(
+                    seg, all_terms, scorers, ph, pf, need_pos)
+                docs, scores = ss.evaluate(q)
+                if dv is None:
+                    dv = np.asarray(self.reader.docvalues(seg, group_col))
+                    orig = np.asarray(
+                        self.reader.docvalues(seg, "doc_id_orig"),
+                        dtype=np.int64)
+                labels = dv[docs]
+                gids = ss.ctx.global_ids[docs]
+                order = np.lexsort((gids, -scores, labels))
+                l_s = labels[order]
+                new_run = np.r_[True, l_s[1:] != l_s[:-1]] if len(l_s) else \
+                    np.zeros(0, dtype=bool)
+                run_id = np.cumsum(new_run) - 1
+                run_start = np.flatnonzero(new_run)
+                pos = np.arange(len(l_s)) - run_start[run_id] if len(l_s) else \
+                    np.zeros(0, dtype=np.int64)
+                keep = order[pos < per_group]
+                out.append((seg, qid, labels[keep].tolist(),
+                            gids[keep].tolist(),
+                            scores[keep].astype(np.float32).tolist(),
+                            orig[docs][keep].tolist()))
+        return out
+
     def sort_field_batch(self, plans, col: str, k: int, reverse: bool):
         """Per-segment top-k of each query's hit set ordered by a numeric
         doc-values column, ties by original doc id ascending (the
@@ -268,6 +305,31 @@ class ShardPool:
             arrs = [p[qid] for p in parts if qid in p]
             ids = np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
             out[qid] = np.sort(ids)
+        return out
+
+    def grouped_topk(self, queries: list[tuple[int, Query]], group_col: str,
+                     per_group: int) -> dict[int, dict]:
+        """qid -> {group: [(orig_id, score), ...]} global per-group top-N,
+        merged from per-segment partials by the same (score desc, gid asc)
+        kernel."""
+        ref = self._plans(queries)
+        parts = ray.get([
+            a.grouped_topk_batch.remote(ref, group_col, per_group)
+            for a in self.actors
+        ])
+        acc: dict[int, dict] = {qid: {} for qid, _ in queries}
+        for rows in parts:
+            for _seg, qid, labels, gids, scores, origs in rows:
+                d = acc[qid]
+                for lab, g, s, o in zip(labels, gids, scores, origs):
+                    d.setdefault(lab, []).append((-np.float32(s), int(g), int(o)))
+        out: dict[int, dict] = {}
+        for qid, groups in acc.items():
+            res = {}
+            for lab, rows_ in groups.items():
+                rows_.sort()
+                res[lab] = [(o, float(-negs)) for negs, _g, o in rows_[:per_group]]
+            out[qid] = res
         return out
 
     def sort_field_topk(self, queries: list[tuple[int, Query]], col: str,

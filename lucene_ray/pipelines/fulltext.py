@@ -1161,25 +1161,15 @@ def grouped_bm25_topk(sf_dir: str, term: str, group_col: str = "lang",
     from lucene_ray.search.query import TermQuery
 
     reader = documents_index(sf_dir)
-    s = Searcher(reader)
-    td = s.search(TermQuery(term), k=reader.collection_stats().doc_count)
-    if len(td.doc_ids) == 0:
+    # per-segment per-group partial top-N inside the shard actors; the
+    # driver merges <= segments x groups x N rows (never the hit set)
+    rows = _pool(reader).grouped_topk([(0, TermQuery(term))], group_col,
+                                      per_group)[0]
+    if not rows:
         return pa.table({group_col: pa.array([], pa.string()),
                          "doc_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float32())})
-    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig", group_col])
-    m = {int(d): (o, g) for d, o, g in zip(
-        t.column("doc_id").to_pylist(),
-        t.column("doc_id_orig").to_pylist(),
-        t.column(group_col).to_pylist(),
-    )}
-    rows: dict[str, list] = {}
-    for gid, sc in zip(td.doc_ids, td.scores):  # already (score desc, doc asc)
-        orig, grp = m[int(gid)]
-        bucket = rows.setdefault(grp, [])
-        if len(bucket) < per_group:
-            bucket.append((orig, float(sc)))
     groups = sorted(rows)
     return pa.table(
         {
