@@ -22,21 +22,45 @@ def highlight_first(sf_dir: str, term: str, width: int = 20) -> pa.Table:
     snips = snippet_first_occurrence(sf_dir, term)
     if snips.num_rows == 0:
         return snips.append_column("fragment", pa.array([], pa.string()))
-    wanted = snips.column("doc_id").to_pylist()
-    starts = snips.column("start_offset").to_pylist()
-    ends = snips.column("end_offset").to_pylist()
-    # point-read ONLY the matched docs' text from the source table
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    # broadcast the (doc_id -> offsets) map once (ray.put, ~16 B per HIT —
+    # the prepare.py kept-id-broadcast bound applies); fragment slicing runs
+    # as a streaming map_batches over the source parquet, so neither the
+    # texts nor the per-hit loop ever touch the driver
+    import ray
 
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    src = src.filter(pc.is_in(src.column("doc_id"), value_set=pa.array(wanted)))
-    texts = dict(zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist()))
-    frags = []
-    for d, s, e in zip(wanted, starts, ends):
-        t = texts[d].lower()
-        frags.append(t[max(0, s - width): e + width])
-    return snips.append_column("fragment", pa.array(frags, pa.string()))
+    offs_ref = ray.put(dict(zip(
+        snips.column("doc_id").to_pylist(),
+        zip(snips.column("start_offset").to_pylist(),
+            snips.column("end_offset").to_pylist()),
+    )))
+
+    def frag(batch: pa.Table) -> pa.Table:
+        offs = ray.get(offs_ref)
+        ids, frags = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            se = offs.get(d)
+            if se is None:
+                continue
+            s, e = se
+            ids.append(d)
+            frags.append(t.lower()[max(0, s - width): e + width])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fragment": pa.array(frags, pa.string())})
+
+    parts = [
+        ray.get(r) for r in ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(frag, batch_format="pyarrow").to_arrow_refs()
+    ]
+    ft = pa.concat_tables([p for p in parts if len(p)]).sort_by("doc_id")
+    frag_by_id = dict(zip(ft.column("doc_id").to_pylist(),
+                          ft.column("fragment").to_pylist()))
+    return snips.append_column(
+        "fragment",
+        pa.array([frag_by_id[d] for d in snips.column("doc_id").to_pylist()],
+                 pa.string()),
+    )
 
 
 class _PassageTask:
