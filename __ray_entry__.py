@@ -175,6 +175,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
 
+    def _ann_pq(sf_dir):
+        import hashlib
+        import os
+
+        from lucene_ray.ops.pq import PqIndex
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:pq-v1".encode()).hexdigest()[:16]
+        pq_dir = f"/tmp/lucene_ray_cache/pq-{key}"
+        if os.path.exists(os.path.join(pq_dir, "pq.json")):
+            idx = PqIndex.open(pq_dir)
+        else:
+            idx = PqIndex.build(_emb(sf_dir), pq_dir, m=8, k=256, iters=3)
+        return idx.search(_query_vec(sf_dir), k=10, oversample=4,
+                          source_parquet=src).select(["rank", "vec_id"])
+
     def _classify_nb(sf_dir):
         from lucene_ray.ops.classify import classify_documents
 
@@ -633,6 +649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_top10": _q(_ann),
         "ann_ivf_top10": _q(_ann_ivf),
+        # product quantization (Jegou et al. TPAMI 2011): ADC scan over
+        # M-byte codes + exact float rescore; rows-only (recall-oracle
+        # pytest covers accuracy, as for IVF/HNSW)
+        "ann_pq_top10": _q(_ann_pq),
         "ann_hnsw_top10": _q(_ann_hnsw),
         # --- relational operators over the TPC-H-ish tables ---
         "agg_lineitem_pricing": _q(rel.lineitem_pricing_summary),
@@ -1404,6 +1424,18 @@ def oracle_sql() -> dict[str, str]:
         "AND 10 * (n_lines - n_distinct_lines) <= 3 * n_lines "
         "AND 5 * top2_num <= top2_den "
         "ORDER BY doc_id",
+        # PQ with exact rescore recovers the exact brute top-10 whenever the
+        # true top-10 survive the ADC candidate stage (recall 1.0 at the
+        # contract scales, asserted — the oversampled rescore contract)
+        "ann_pq_top10": (
+            "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id = 0)) DESC, vec_id)::BIGINT AS rank, "
+            "vec_id FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
         "ann_cosine_top10": (
             "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
