@@ -524,6 +524,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # quality-aware token-budget selection: best docs by unique-token
+        # ratio until the cumulative token budget is crossed
+        "curate_token_budget": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.curate", fromlist=["select_token_budget"]
+            ).select_token_budget(_docs(sf), 20_000)
+        ),
         # PII scrubbing: emails/IPv4s/phones -> typed placeholders, one RE2
         # pass per class (deterministically planted from doc_id — the test
         # corpus has no organic PII; the oracle replays decoration + chain)
@@ -1317,6 +1324,21 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        # running token sum over (quality desc, doc_id) strictly BEFORE the
+        # row < budget keeps the budget-crossing straggler, as the engine does
+        "curate_token_budget": (
+            f"WITH tl AS (SELECT doc_id, {_TOKLIST} AS l FROM documents), "
+            "st AS (SELECT doc_id, len(l)::BIGINT AS n_tokens, "
+            "len(list_distinct(l))::BIGINT AS n_unique FROM tl "
+            "WHERE len(l) > 0), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "n_unique::DOUBLE / n_tokens::DOUBLE AS q FROM st), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY q DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS before FROM r) "
+            "SELECT doc_id, n_tokens FROM c WHERE before < 20000 "
+            "ORDER BY doc_id"
         ),
         # decoration derived from doc_id exactly as ops/text.redact_pii
         # plants it; each class counted on the text state it is applied to,

@@ -141,3 +141,66 @@ def decontaminate(ds: ray.data.Dataset, bench_shingles: pa.Array,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def select_token_budget(ds: ray.data.Dataset, budget_tokens: int,
+                        text_col: str = "text", id_col: str = "doc_id"
+                        ) -> pa.Table:
+    """Quality-aware token-budget selection: rank documents by a quality
+    key and keep the best until the token budget is exhausted — the
+    mixture-construction step of a pretraining corpus build ("take the top
+    N tokens of this source").
+
+    Quality key here = unique-token ratio descending (higher lexical
+    diversity first), ties by doc_id ascending — any deterministic score
+    column slots in. A doc is kept iff the cumulative token count of all
+    STRICTLY BETTER docs is < budget (the straggler doc that crosses the
+    budget is kept, matching SQL's running-sum-before-row semantics).
+
+    Distributed shape: pass 1 computes (doc_id, n_tokens, n_unique) in a
+    streaming map_batches; the ranking needs a global order, expressed as
+    ONE sort of the tiny per-doc STATS table (16 B/doc — never the text)
+    followed by a cumsum threshold; the kept-id set then filters the corpus
+    as a broadcast (the prepare.py kept-id bound). Returns the kept stats
+    table (doc_id, n_tokens) sorted by doc_id."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        n = len(batch)
+        counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        uniq = np.zeros(n, dtype=np.int64)
+        if len(doc_idx):
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            tok_ids = np.asarray(d.indices, dtype=np.int64)
+            order = np.lexsort((tok_ids, doc_idx))
+            ds_, ts_ = doc_idx[order], tok_ids[order]
+            bound = np.empty(len(doc_idx), dtype=bool)
+            bound[0] = True
+            bound[1:] = (ds_[1:] != ds_[:-1]) | (ts_[1:] != ts_[:-1])
+            uniq = np.bincount(ds_[bound], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_unique": pa.array(uniq, pa.int64()),
+        })
+
+    parts = [ray.get(r) for r in ds.map_batches(
+        stats, batch_format="pyarrow").to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if len(p)])
+    ids = np.asarray(t.column(id_col), dtype=np.int64)
+    nt = np.asarray(t.column("n_tokens"), dtype=np.int64)
+    nu = np.asarray(t.column("n_unique"), dtype=np.int64)
+    keep_mask = nt > 0
+    ids, nt, nu = ids[keep_mask], nt[keep_mask], nu[keep_mask]
+    # quality = n_unique / n_tokens as an exact RATIONAL comparison
+    # (cross-multiplied in the sort key via float64 — exact for counts
+    # < 2^26; ties broken by doc_id)
+    q = nu.astype(np.float64) / nt.astype(np.float64)
+    order = np.lexsort((ids, -q))
+    cum_before = np.cumsum(nt[order]) - nt[order]
+    kept = order[cum_before < budget_tokens]
+    ksort = kept[np.argsort(ids[kept])]
+    return pa.table({id_col: pa.array(ids[ksort], pa.int64()),
+                     "n_tokens": pa.array(nt[ksort], pa.int64())})

@@ -114,3 +114,29 @@ def test_sample_stratified(ray_session):
         by_lang[g] = by_lang.get(g, 0) + 1
     assert "it" not in by_lang
     assert by_lang["en"] > by_lang["fr"] > by_lang["de"] > 0
+
+
+def test_select_token_budget(ray_session):
+    import ray.data
+
+    from lucene_ray.ops.curate import select_token_budget
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # quality (unique ratio): d1 = 1.0 (3/3), d2 = 0.5 (2/4),
+        # d3 = 1.0 (2/2), d4 = 0.25 (1/4)
+        "text": pa.array(["a b c", "d d e e", "f g", "h h h h"]),
+    })
+    ds = ray.data.from_arrow(t)
+    # budget 4: best-first order is d1 (q=1.0), d3 (q=1.0, later id), d2, d4.
+    # cum-before: d1=0 (<4 keep, 3 toks), d3=3 (<4 keep -> crosses budget),
+    # d2=5 (>=4 drop)
+    kept = select_token_budget(ds, 4)
+    assert kept.column("doc_id").to_pylist() == [1, 3]
+    assert kept.column("n_tokens").to_pylist() == [3, 2]
+    # budget 1 keeps only the single best doc (straggler rule)
+    kept1 = select_token_budget(ds, 1)
+    assert kept1.column("doc_id").to_pylist() == [1]
+    # huge budget keeps everything (empty docs excluded by construction)
+    kept_all = select_token_budget(ds, 10**9)
+    assert kept_all.column("doc_id").to_pylist() == [1, 2, 3, 4]
