@@ -191,6 +191,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return idx.search(_query_vec(sf_dir), k=10, oversample=4,
                           source_parquet=src).select(["rank", "vec_id"])
 
+    def _ann_ivfpq(sf_dir):
+        import hashlib
+        import os
+
+        from lucene_ray.ops.pq import IvfPqIndex
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:ivfpq-v1".encode()).hexdigest()[:16]
+        d = f"/tmp/lucene_ray_cache/ivfpq-{key}"
+        if os.path.exists(os.path.join(d, "pqcodes", "pq.json")):
+            idx = IvfPqIndex.open(d)
+        else:
+            idx = IvfPqIndex.build(_emb(sf_dir), d, n_clusters=8, m=8,
+                                   k=256, iters=3)
+        return idx.search(_query_vec(sf_dir), k=10, nprobe=4,
+                          oversample=4).select(["rank", "vec_id"])
+
     def _classify_nb(sf_dir):
         from lucene_ray.ops.classify import classify_documents
 
@@ -660,6 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M-byte codes + exact float rescore; rows-only (recall-oracle
         # pytest covers accuracy, as for IVF/HNSW)
         "ann_pq_top10": _q(_ann_pq),
+        # IVF-PQ: coarse bucket pruning + M-byte ADC scan + exact rescore
+        # from the probed buckets only (rows-only: nprobe makes the hit set
+        # approximate in general; recall asserted by pytest)
+        "ann_ivfpq_top10": _q(_ann_ivfpq),
         "ann_hnsw_top10": _q(_ann_hnsw),
         # --- relational operators over the TPC-H-ish tables ---
         "agg_lineitem_pricing": _q(rel.lineitem_pricing_summary),

@@ -255,3 +255,154 @@ class PqIndex:
                          "rank": pa.array(ranks, pa.int64()),
                          id_col: pa.array(out_id, pa.int64()),
                          "cosine": pa.array(out_cos, pa.float64())})
+
+
+class IvfPqIndex:
+    """IVF-PQ — the composition FAISS runs at billion scale and the natural
+    100-TB shape here: the IVF coarse quantizer prunes to ``nprobe`` bucket
+    DIRECTORIES (partition pruning), and within the probed buckets the scan
+    reads M-byte PQ codes instead of 4d-byte floats (ADC), with exact float
+    re-scoring of the oversampled candidates from the probed buckets'
+    float files only. Layout::
+
+        index_dir/ivf/bucket=N/*.parquet    (float vectors, from IvfIndex)
+        index_dir/codes/bucket=N/*.parquet  (vec ids + M-byte codes)
+        index_dir/pq.json                   (codebooks)
+    """
+
+    def __init__(self, ivf, pq: PqIndex):
+        self.ivf = ivf
+        self.pq = pq
+
+    @classmethod
+    def build(cls, ds: ray.data.Dataset, index_dir: str, n_clusters: int = 8,
+              m: int = 8, k: int = 256, iters: int = 3,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 42) -> "IvfPqIndex":
+        from lucene_ray.ops.ann import IvfIndex
+
+        ivf = IvfIndex.build(ds, os.path.join(index_dir, "ivf"),
+                             n_clusters=n_clusters, iters=iters,
+                             vec_col=vec_col, id_col=id_col, seed=seed)
+        pq = PqIndex.build(ds, os.path.join(index_dir, "pqcodes"), m=m, k=k,
+                           iters=iters, vec_col=vec_col, id_col=id_col,
+                           seed=seed)
+        # re-encode per bucket so codes co-partition with the IVF layout:
+        # stream each bucket's float file through the SAME encoder
+        step = pq.dim // pq.m
+        bref = ray.put(pq.codebooks)
+        for b in range(n_clusters):
+            bdir = os.path.join(index_dir, "ivf", f"bucket={b}")
+            if not os.path.isdir(bdir):
+                continue
+            out_dir = os.path.join(index_dir, "codes", f"bucket={b}")
+
+            def encode(batch: pa.Table) -> pa.Table:
+                bk = ray.get(bref)
+                mat = _normalize(_list_matrix(batch.column(vec_col)))
+                codes = _assign_all(mat, bk, step).astype(np.uint8)
+                mm = codes.shape[1]
+                raw = codes.tobytes()
+                return pa.table({
+                    id_col: batch.column(id_col),
+                    "codes": pa.array([raw[j * mm:(j + 1) * mm]
+                                       for j in range(len(mat))], pa.binary()),
+                })
+
+            ray.data.read_parquet(bdir).map_batches(
+                encode, batch_format="pyarrow").write_parquet(out_dir)
+        return cls(ivf, pq)
+
+    @classmethod
+    def open(cls, index_dir: str) -> "IvfPqIndex":
+        from lucene_ray.ops.ann import IvfIndex
+
+        return cls(IvfIndex.open(os.path.join(index_dir, "ivf")),
+                   PqIndex.open(os.path.join(index_dir, "pqcodes")))
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+               oversample: int = 4) -> pa.Table:
+        """Probed-bucket ADC scan + exact rescore from the probed buckets'
+        float files (both reads pruned to nprobe/n_clusters of the data;
+        the code read is a further ~4d/M times smaller)."""
+        import pyarrow.compute as pc
+
+        float_paths = self.ivf.probed_paths(queries, nprobe)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          self.pq.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not float_paths:
+            return empty
+        code_dirs = sorted({
+            p.replace(os.sep + "ivf" + os.sep,
+                      os.sep + "codes" + os.sep).rsplit(os.sep, 1)[0]
+            for p in float_paths
+        })
+        # a LIST of paths is treated as files by read_parquet: expand dirs
+        code_files = [
+            os.path.join(d, f)
+            for d in code_dirs
+            if os.path.isdir(d)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        luts = self.pq.adc_tables(queries)
+        lref = ray.put(luts)
+        m = self.pq.m
+        id_col = self.pq.id_col
+        kk = k * max(1, oversample)
+
+        def scan(batch: pa.Table) -> pa.Table:
+            lt = ray.get(lref)
+            raw = b"".join(batch.column("codes").to_pylist())
+            codes = np.frombuffer(raw, dtype=np.uint8).reshape(-1, m)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            qids, cids, scores = [], [], []
+            ar = np.arange(m)
+            for qi in range(lt.shape[0]):
+                s = lt[qi][ar[None, :], codes].sum(axis=1)
+                top = np.argsort(-s, kind="stable")[:kk]
+                qids.extend([qi] * len(top))
+                cids.extend(ids[top].tolist())
+                scores.extend(s[top].tolist())
+            return pa.table({"query_id": pa.array(qids, pa.int64()),
+                             id_col: pa.array(cids, pa.int64()),
+                             "approx": pa.array(scores, pa.float64())})
+
+        parts = [ray.get(r) for r in ray.data.read_parquet(code_files).map_batches(
+            scan, batch_format="pyarrow").to_arrow_refs()]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return empty
+        cand = pa.concat_tables(parts)
+        # exact rescore from ONLY the probed buckets' float files
+        src = pa.concat_tables([
+            pq_.read_table(p, columns=[id_col, self.pq.vec_col])
+            for p in float_paths
+        ])
+        all_ids = pa.array(sorted(set(cand.column(id_col).to_pylist())))
+        src = src.filter(pc.is_in(src.column(id_col), value_set=all_ids))
+        vid = np.asarray(src.column(id_col), dtype=np.int64)
+        vecs = _normalize(_list_matrix(src.column(self.pq.vec_col)))
+        pos = {int(v): i for i, v in enumerate(vid)}
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(len(queries)):
+            mask = np.asarray(cand.column("query_id")) == qi
+            ids_q = np.asarray(cand.column(id_col))[mask]
+            idx = np.array([pos[int(i)] for i in ids_q])
+            cos = vecs[idx] @ qn[qi]
+            order = np.lexsort((ids_q, -cos))[:k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids_q[order].tolist())
+            out_cos.extend(np.round(cos[order], 6).tolist())
+        ranks = []
+        seen: dict[int, int] = {}
+        for q_ in out_q:
+            seen[q_] = seen.get(q_, 0) + 1
+            ranks.append(seen[q_])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_cos, pa.float64())})

@@ -114,3 +114,56 @@ def test_pq_open_round_trip(pq_index, vectors):
     a = idx.search(m[11:12], k=5, source_parquet=src)
     b = reopened.search(m[11:12], k=5, source_parquet=src)
     assert a.equals(b)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(ray_session, vectors, tmp_path_factory):
+    from lucene_ray.ops.pq import IvfPqIndex
+
+    tbl, _ = vectors
+    d = tmp_path_factory.mktemp("ivfpq")
+    src = str(d / "emb.parquet")
+    pq.write_table(tbl, src, row_group_size=100)
+    idx_dir = str(d / "idx")
+    idx = IvfPqIndex.build(ray.data.read_parquet(src), idx_dir,
+                           n_clusters=6, m=8, k=256, iters=3)
+    return idx, src
+
+
+def test_ivfpq_layout_copartitions_codes(ivfpq_index):
+    idx, _ = ivfpq_index
+    base = os.path.dirname(idx.pq.index_dir)
+    ivf_buckets = sorted(os.listdir(os.path.join(base, "ivf")))
+    code_buckets = sorted(os.listdir(os.path.join(base, "codes")))
+    ivf_buckets = [b for b in ivf_buckets if b.startswith("bucket=")]
+    assert code_buckets == ivf_buckets and len(code_buckets) >= 2
+
+
+def test_ivfpq_probes_prune_code_read(ivfpq_index, vectors):
+    idx, _ = ivfpq_index
+    _, m = vectors
+    paths = idx.ivf.probed_paths(m[:1], nprobe=2)
+    buckets = {p.split("bucket=")[1].split(os.sep)[0] for p in paths}
+    assert len(buckets) <= 2  # nprobe caps the directories touched
+
+
+def test_ivfpq_recall_and_exact_rescore(ivfpq_index, vectors):
+    from lucene_ray.ops.ann import _normalize
+
+    idx, src = ivfpq_index
+    _, m = vectors
+    queries = m[:4]
+    res = idx.search(queries, k=10, nprobe=4, oversample=5)
+    mn = _normalize(m)
+    qn = _normalize(queries)
+    hits = 0
+    for qi in range(len(queries)):
+        true = set(np.argsort(-(mn @ qn[qi]))[:10].tolist())
+        sub = res.filter(pa.compute.equal(res.column("query_id"), qi))
+        got = set(np.asarray(sub.column("vec_id")).tolist())
+        hits += len(true & got)
+        # rescore contract: returned cosines are the exact float cosines
+        for vid, cos in zip(sub.column("vec_id").to_pylist(),
+                            sub.column("cosine").to_pylist()):
+            assert abs(cos - round(float(mn[vid] @ qn[qi]), 6)) < 1e-9
+    assert hits / 40 >= 0.9
