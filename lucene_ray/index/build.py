@@ -44,6 +44,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -1257,6 +1258,56 @@ def load_tombstones(index_dir: str, manifest: Manifest | None = None) -> np.ndar
     return np.unique(np.concatenate(parts))
 
 
+def snapshot_commit(index_dir: str) -> int:
+    """Pin the CURRENT commit generation so its data files survive future
+    compactions — the SnapshotDeletionPolicy analog (lucene/core/src/java/
+    org/apache/lucene/index/SnapshotDeletionPolicy.java): every generation
+    manifest is retained anyway; snapshotting additionally protects the
+    segment files it references from the merge-time delete. Returns the
+    pinned generation; open it with ``IndexReader(dir, generation=g)``."""
+    manifest = Manifest.load(index_dir)
+    snaps = _load_snapshots(index_dir)
+    if manifest.generation not in snaps:
+        snaps.append(manifest.generation)
+    _save_snapshots(index_dir, snaps)
+    return manifest.generation
+
+
+def release_snapshot(index_dir: str, generation: int) -> None:
+    """Unpin a snapshot; its files become deletable at the next compaction
+    (IndexDeletionPolicy release semantics)."""
+    snaps = [g for g in _load_snapshots(index_dir) if g != generation]
+    _save_snapshots(index_dir, snaps)
+
+
+def _load_snapshots(index_dir: str) -> list[int]:
+    p = os.path.join(index_dir, "snapshots.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return list(json.load(f))
+
+
+def _save_snapshots(index_dir: str, snaps: list[int]) -> None:
+    p = os.path.join(index_dir, "snapshots.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(set(snaps)), f)
+    os.replace(tmp, p)
+
+
+def _snapshot_protected_segs(index_dir: str) -> set[int]:
+    """Segment ids referenced by any pinned snapshot generation."""
+    out: set[int] = set()
+    for g in _load_snapshots(index_dir):
+        try:
+            m = Manifest.load(index_dir, generation=g)
+        except FileNotFoundError:
+            continue
+        out.update(s["seg"] for s in m.segments)
+    return out
+
+
 def compact_segments(index_dir: str, seg_ids: list[int],
                      expunge_deletes: bool = True) -> Manifest:
     """Merge segments into one — the TieredMergePolicy/SegmentMerger analog
@@ -1304,7 +1355,12 @@ def compact_segments(index_dir: str, seg_ids: list[int],
     # manifest referencing deleted postings (SegmentInfos two-phase commit
     # semantics, SegmentInfos.java:55-64)
     manifest.save()
+    # snapshotted commits keep their segment files alive (the reference-
+    # counting of IndexFileDeleter under SnapshotDeletionPolicy)
+    protected = _snapshot_protected_segs(index_dir)
     for sid in seg_ids:
+        if sid in protected:
+            continue
         shutil.rmtree(os.path.join(index_dir, "postings", f"seg={sid}"),
                       ignore_errors=True)
     return manifest

@@ -85,12 +85,22 @@ class Manifest:
         )
 
     @classmethod
-    def load(cls, index_dir: str) -> "Manifest":
-        ptr_path = os.path.join(index_dir, "manifest.json")
-        with open(ptr_path) as f:
-            ptr = json.load(f)
-        with open(os.path.join(index_dir, ptr["path"])) as f:
-            payload = json.load(f)
+    def load(cls, index_dir: str, generation: int | None = None) -> "Manifest":
+        """Load the latest commit, or — with ``generation`` — a PINNED older
+        commit point (DirectoryReader.open(IndexCommit) semantics): every
+        manifest-<gen>.json is retained, so any generation whose data files
+        still exist (see ``snapshot_commit``) can serve a point-in-time
+        reader, including its own tombstone/dv-update lists."""
+        if generation is not None:
+            gen_path = os.path.join(index_dir, f"manifest-{generation:06d}.json")
+            with open(gen_path) as f:
+                payload = json.load(f)
+        else:
+            ptr_path = os.path.join(index_dir, "manifest.json")
+            with open(ptr_path) as f:
+                ptr = json.load(f)
+            with open(os.path.join(index_dir, ptr["path"])) as f:
+                payload = json.load(f)
         m = cls(index_dir=index_dir)
         m.generation = payload["generation"]
         m.config = payload["config"]

@@ -52,9 +52,14 @@ def _levenshtein_within(a: str, b: str, d: int) -> bool:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, segments: list[int] | None = None):
+    def __init__(self, index_dir: str, segments: list[int] | None = None,
+                 generation: int | None = None):
+        """``generation`` opens a point-in-time reader over a pinned older
+        commit (snapshot_commit / DirectoryReader.open(IndexCommit)):
+        searches see exactly that generation's segments, tombstones and
+        doc-values updates."""
         self.index_dir = index_dir
-        self.manifest = Manifest.load(index_dir)
+        self.manifest = Manifest.load(index_dir, generation=generation)
         all_segs = [s["seg"] for s in self.manifest.segments]
         self.segs = all_segs if segments is None else [s for s in all_segs if s in set(segments)]
         self._seg_info = {s["seg"]: s for s in self.manifest.segments}
