@@ -361,6 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          in_order=False)
         ),
         "ft_span_not_hits": _q(lambda sf: ft.span_not_hits(sf, "scan", "join")),
+        # ContextSuggestField: completions ranked by in-context doc count
+        "ft_suggest_context": _q(
+            lambda sf: ft.suggest_terms_in_context(sf, "s", "lang", "fr", 10)
+        ),
         # ComplexPhraseQueryParser: phrase with embedded wildcard + group
         "ft_complex_phrase_hits": _q(
             lambda sf: ft.complex_phrase_hits(sf, "(scan table) val*", slop=1)
@@ -854,6 +858,17 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
         "ORDER BY doc_freq DESC, term LIMIT 10",
+        # two-stage like the engine: top-50 candidates by GLOBAL df, then
+        # ranked by in-context (lang='fr') doc count
+        "ft_suggest_context": _TOKS
+        + ", cand AS (SELECT tok FROM (SELECT tok, "
+        "count(DISTINCT doc_id) AS gdf FROM toks "
+        "WHERE tok LIKE 's%' AND tok NOT LIKE '%:%' GROUP BY tok "
+        "ORDER BY gdf DESC, tok LIMIT 50)) "
+        "SELECT tok AS term, count(DISTINCT t.doc_id)::BIGINT AS doc_freq "
+        "FROM toks t JOIN documents d USING (doc_id) JOIN cand USING (tok) "
+        "WHERE d.lang = 'fr' "
+        "GROUP BY tok ORDER BY doc_freq DESC, term LIMIT 10",
         "ft_spell_joib": _TOKS
         + "SELECT tok AS term, levenshtein(tok, 'joib')::BIGINT AS dist, "
         "count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks "

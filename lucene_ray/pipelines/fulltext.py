@@ -373,6 +373,38 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def suggest_terms_in_context(sf_dir: str, prefix: str,
+                             context_col: str = "lang",
+                             context_val: str = "fr", k: int = 10,
+                             max_candidates: int = 50) -> pa.Table:
+    """Context-filtered completions — the ContextSuggestField surface
+    (lucene/suggest/src/java/org/apache/lucene/search/suggest/document/
+    ContextSuggestField.java): suggestions ranked by how often the term
+    occurs in docs MATCHING the context (a keyword field), not globally.
+    Candidates come from the range-pruned dictionary scan; their in-context
+    doc counts are exact hit totals computed per segment in the shard
+    actors (one count row per (segment, candidate) — never a hit set)."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    reader = documents_index(sf_dir)
+    cands = suggest_terms(sf_dir, prefix, max_candidates).column("term").to_pylist()
+    if not cands:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_freq": pa.array([], pa.int64())})
+    ctx = TermQuery(f"{context_col}:{context_val}")
+    queries = [
+        (i, BooleanQuery(must=(TermQuery(t),), filter=(ctx,)))
+        for i, t in enumerate(cands)
+    ]
+    tds = _pool(reader).search(queries, k=1, total_hits_threshold=None)
+    rows = [(cands[i], tds[i].total_hits) for i, _ in enumerate(cands)
+            if tds[i].total_hits > 0]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({"term": pa.array([r[0] for r in rows], pa.string()),
+                     "doc_freq": pa.array([r[1] for r in rows], pa.int64())})
+
+
 def suggest_fuzzy(sf_dir: str, typed: str, k: int = 10,
                   max_edits: int = 1) -> pa.Table:
     """Fuzzy completion — the AnalyzingSuggester/FuzzySuggester shape
