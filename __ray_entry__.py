@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # ordered funnel: greedy earliest-match per step, strict ts ordering
+        "events_funnel_depths": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.windows", fromlist=["funnel"]
+            ).funnel(ray.data.read_parquet(f"{sf}/events.parquet"),
+                     ["view", "click", "purchase"])
+        ),
         # quality-aware token-budget selection: best docs by unique-token
         # ratio until the cumulative token budget is crossed
         "curate_token_budget": _q(
@@ -1360,6 +1367,24 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        # sequential greedy funnel: each step's earliest event strictly
+        # after the previous step's matched event
+        "events_funnel_depths": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 GROUP BY e.user_id) "
+            "SELECT u.user_id, CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+            "ELSE 0 END::BIGINT AS steps_completed "
+            "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id) ORDER BY user_id"
         ),
         # running token sum over (quality desc, doc_id) strictly BEFORE the
         # row < budget keeps the budget-crossing straggler, as the engine does

@@ -282,3 +282,49 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset,
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def funnel(events: ray.data.Dataset, steps: list[str],
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", id_col: str = "event_id",
+           n_buckets: int = 64) -> ray.data.Dataset:
+    """Ordered funnel completion per entity: how many of ``steps`` the
+    entity completed IN ORDER, matching each step to its EARLIEST event
+    strictly after the previous matched step (the standard greedy funnel
+    semantics of behavioral analytics engines). Equal-timestamp events do
+    not advance the funnel (strict ordering, deterministic).
+
+    One bucketed shuffle (hash(entity) % n_buckets), then per-step
+    vectorized min-scans inside each group — len(steps) passes over the
+    group, no per-entity Python. Returns (key, steps_completed)."""
+    keep = [key_col, ts_col, type_col]
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "steps_completed": pa.array([], pa.int64())})
+        u = _np_i64(group.column(key_col))
+        ts = _np_i64(group.column(ts_col))
+        et = np.asarray(group.column(type_col))
+        users, uidx = np.unique(u, return_inverse=True)
+        prev = np.full(len(users), -np.inf)
+        depth = np.zeros(len(users), dtype=np.int64)
+        for si, step in enumerate(steps):
+            rows = np.flatnonzero(et == step)
+            cand = rows[(ts[rows] > prev[uidx[rows]])
+                        & (depth[uidx[rows]] == si)]
+            best = np.full(len(users), np.inf)
+            np.minimum.at(best, uidx[cand], ts[cand])
+            hit = np.isfinite(best)
+            prev[hit] = best[hit]
+            depth[hit] = si + 1
+        return pa.table({
+            key_col: pa.array(users, pa.int64()),
+            "steps_completed": pa.array(depth, pa.int64()),
+        })
+
+    return (
+        _with_bucket(events.select_columns(keep), key_col, n_buckets)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

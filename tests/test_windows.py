@@ -125,3 +125,34 @@ def test_sessionize_gap_boundary(ray_session):
     assert got["n_events"].tolist() == [2, 1]
     assert got["session_start"].tolist() == [0, 21]
     assert got["session_end"].tolist() == [10, 21]
+
+
+def test_funnel_greedy_strict_ordering(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.ops.windows import funnel
+
+    # user 1: A t=1, B t=2, C t=3 -> 3 steps
+    # user 2: B t=1, A t=2, B t=5, C t=4 -> A@2, B@5, C? none after 5 -> 2
+    # user 3: A t=1, B t=1 (equal ts does NOT advance), C t=2 -> 1
+    # user 4: only C events -> 0
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+        (2, 1, "B"), (2, 2, "A"), (2, 5, "B"), (2, 4, "C"),
+        (3, 1, "A"), (3, 1, "B"), (3, 2, "C"),
+        (4, 1, "C"), (4, 2, "C"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    out = pa.concat_tables([
+        __import__("ray").get(r) for r in
+        funnel(ray.data.from_arrow(t), ["A", "B", "C"]).to_arrow_refs()
+    ]).sort_by("user_id")
+    got = dict(zip(out.column("user_id").to_pylist(),
+                   out.column("steps_completed").to_pylist()))
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
