@@ -545,6 +545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # weekly cohort retention triangle (distinct users per cohort/offset)
+        "events_retention": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.windows", fromlist=["retention"]
+            ).retention(ray.data.read_parquet(f"{sf}/events.parquet"))
+        ),
         # ordered funnel: greedy earliest-match per step, strict ts ordering
         "events_funnel_depths": _q(
             lambda sf: __import__(
@@ -1367,6 +1373,15 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        "events_retention": (
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "epoch_us(date_trunc('week', ts))::BIGINT AS wk FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id) "
+            "SELECT f.cohort AS cohort_week, "
+            "((w.wk - f.cohort) // (7 * 86400000000))::BIGINT AS week_offset, "
+            "count(*)::BIGINT AS n_users "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # sequential greedy funnel: each step's earliest event strictly
         # after the previous step's matched event

@@ -328,3 +328,70 @@ def funnel(events: ray.data.Dataset, steps: list[str],
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def retention(events: ray.data.Dataset, key_col: str = "user_id",
+              ts_col: str = "ts", n_buckets: int = 64) -> pa.Table:
+    """Weekly cohort retention: cohort = the entity's first active ISO week
+    (Monday-truncated, matching SQL date_trunc('week')); one output row per
+    (cohort_week, week_offset) with the distinct-entity count active that
+    many weeks after their cohort week — the classic retention triangle.
+
+    Per bucketed group: per-entity first week + distinct (entity, week)
+    pairs reduce to partial (cohort, offset, n) counts; only those tiny
+    partials merge on the driver (entities hash-partition, so a
+    (cohort, offset, entity) triple never spans buckets — partial counts
+    add exactly). Timestamps are epoch-us; weeks computed in integer
+    arithmetic (epoch day 0 = Thursday, hence the +3 Monday shift)."""
+    DAY = 86_400_000_000
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        u = _np_i64(group.column(key_col))
+        ts = _np_i64(group.column(ts_col))
+        days = ts // DAY
+        week = (((days + 3) // 7) * 7 - 3) * DAY  # Monday 00:00 epoch-us
+        # distinct (user, week)
+        uw = np.unique(np.stack([u, week], axis=1), axis=0)
+        uu, ww = uw[:, 0], uw[:, 1]
+        users, uidx = np.unique(uu, return_inverse=True)
+        first = np.full(len(users), np.iinfo(np.int64).max)
+        np.minimum.at(first, uidx, ww)
+        cohort = first[uidx]
+        offset = (ww - cohort) // (7 * DAY)
+        # count distinct users per (cohort, offset): uw rows are already
+        # distinct per (user, week) => per (cohort, offset, user) unique
+        key = np.stack([cohort, offset], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "cohort_week": pa.array(uniq[:, 0], pa.int64()),
+            "week_offset": pa.array(uniq[:, 1], pa.int64()),
+            "n_users": pa.array(n, pa.int64()),
+        })
+
+    parts = [
+        ray.get(r) for r in _with_bucket(
+            events.select_columns([key_col, ts_col]), key_col, n_buckets
+        ).groupby("__bucket").map_groups(
+            per_bucket, batch_format="pyarrow").to_arrow_refs()
+    ]
+    t = pa.concat_tables([p for p in parts if len(p)])
+    if len(t) == 0:
+        return pa.table({"cohort_week": pa.array([], pa.int64()),
+                         "week_offset": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    cw = np.asarray(t.column("cohort_week"))
+    wo = np.asarray(t.column("week_offset"))
+    nn = np.asarray(t.column("n_users"))
+    key = np.stack([cw, wo], axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    tot = np.bincount(inv, weights=nn).astype(np.int64)
+    return pa.table({
+        "cohort_week": pa.array(uniq[:, 0], pa.int64()),
+        "week_offset": pa.array(uniq[:, 1], pa.int64()),
+        "n_users": pa.array(tot, pa.int64()),
+    })

@@ -156,3 +156,33 @@ def test_funnel_greedy_strict_ordering(ray_session):
     got = dict(zip(out.column("user_id").to_pylist(),
                    out.column("steps_completed").to_pylist()))
     assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_retention_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.ops.windows import retention
+
+    DAY = 86_400_000_000
+    wk = 7 * DAY
+    # epoch-us Mondays: 1970-01-05 is day 4
+    m0 = 4 * DAY
+    rows = [
+        # user 1: cohort week0, active weeks 0, 1, 3
+        (1, m0 + 1), (1, m0 + 2 * DAY), (1, m0 + wk), (1, m0 + 3 * wk),
+        # user 2: cohort week0, active week 0 only
+        (2, m0),
+        # user 3: cohort week1, active weeks 1 and 2
+        (3, m0 + wk + DAY), (3, m0 + 2 * wk),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    out = retention(ray.data.from_arrow(t))
+    got = {(c, o): n for c, o, n in zip(out.column("cohort_week").to_pylist(),
+                                        out.column("week_offset").to_pylist(),
+                                        out.column("n_users").to_pylist())}
+    assert got == {(m0, 0): 2, (m0, 1): 1, (m0, 3): 1,
+                   (m0 + wk, 0): 1, (m0 + wk, 1): 1}
