@@ -545,6 +545,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
+        # tumbling-window top-k entities by event count (daily windows)
+        "events_windowed_top3": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.windows", fromlist=["windowed_topk"]
+            ).windowed_topk(ray.data.read_parquet(f"{sf}/events.parquet"),
+                            86_400_000_000, k=3)
+        ),
         # weekly cohort retention triangle (distinct users per cohort/offset)
         "events_retention": _q(
             lambda sf: __import__(
@@ -1373,6 +1380,17 @@ def oracle_sql() -> dict[str, str]:
             "length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit_chars, "
             f"coalesce(list_max(list_transform({_TOKLIST}, x -> length(x))), 0)::BIGINT "
             "AS max_token_len FROM documents ORDER BY doc_id"
+        ),
+        "events_windowed_top3": (
+            "WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 "
+            "AS window_start, user_id, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT window_start, user_id, n_events, "
+            "row_number() OVER (PARTITION BY window_start "
+            "ORDER BY n_events DESC, user_id)::BIGINT AS rank FROM c) "
+            "SELECT window_start::BIGINT AS window_start, rank, user_id, "
+            "n_events FROM r WHERE rank <= 3 "
+            "ORDER BY window_start, rank"
         ),
         "events_retention": (
             "WITH w AS (SELECT DISTINCT user_id, "

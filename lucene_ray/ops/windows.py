@@ -395,3 +395,61 @@ def retention(events: ray.data.Dataset, key_col: str = "user_id",
         "week_offset": pa.array(uniq[:, 1], pa.int64()),
         "n_users": pa.array(tot, pa.int64()),
     })
+
+
+def windowed_topk(events: ray.data.Dataset, window_us: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  k: int = 3, n_buckets: int = 64) -> pa.Table:
+    """Top-k entities by event count per tumbling window — the streaming
+    "trending now" aggregate. Two cheap exchanges, neither row-scale on the
+    driver: (1) bucketed (entity) groups emit per-(window, entity) counts —
+    exact, because an entity's events live in one bucket; (2) the
+    (window, entity, n) partial table (one row per active entity-window,
+    orders of magnitude below event count) reduces to per-window top-k,
+    ties by entity ascending. Returns (window_start, rank, key, n_events)."""
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"window_start": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        u = _np_i64(group.column(key_col))
+        ts = _np_i64(group.column(ts_col))
+        win = (ts // window_us) * window_us
+        key = np.stack([win, u], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "window_start": pa.array(uniq[:, 0], pa.int64()),
+            key_col: pa.array(uniq[:, 1], pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    parts = [
+        ray.get(r) for r in _with_bucket(
+            events.select_columns([key_col, ts_col]), key_col, n_buckets
+        ).groupby("__bucket").map_groups(
+            per_bucket, batch_format="pyarrow").to_arrow_refs()
+    ]
+    t = pa.concat_tables([p for p in parts if len(p)])
+    if len(t) == 0:
+        return pa.table({"window_start": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         key_col: pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    win = np.asarray(t.column("window_start"))
+    u = np.asarray(t.column(key_col))
+    n = np.asarray(t.column("n_events"))
+    order = np.lexsort((u, -n, win))
+    w_s = win[order]
+    new_w = np.r_[True, w_s[1:] != w_s[:-1]]
+    run_start = np.flatnonzero(new_w)
+    run_id = np.cumsum(new_w) - 1
+    pos = np.arange(len(w_s)) - run_start[run_id]
+    keep = pos < k
+    sel = order[keep]
+    return pa.table({
+        "window_start": pa.array(win[sel], pa.int64()),
+        "rank": pa.array(pos[keep] + 1, pa.int64()),
+        key_col: pa.array(u[sel], pa.int64()),
+        "n_events": pa.array(n[sel], pa.int64()),
+    })

@@ -186,3 +186,31 @@ def test_retention_hand_checked(ray_session):
                                         out.column("n_users").to_pylist())}
     assert got == {(m0, 0): 2, (m0, 1): 1, (m0, 3): 1,
                    (m0 + wk, 0): 1, (m0 + wk, 1): 1}
+
+
+def test_windowed_topk_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.ops.windows import windowed_topk
+
+    W = 100
+    rows = [
+        # window 0: u1 x3, u2 x2, u3 x1, u4 x1 -> top3 = u1, u2, u3 (tie->id)
+        (1, 5), (1, 10), (1, 50), (2, 7), (2, 8), (3, 99), (4, 98),
+        # window 1: u2 x2, u5 x1
+        (2, 100), (2, 150), (5, 199),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    out = windowed_topk(ray.data.from_arrow(t), W, k=3)
+    got = list(zip(out.column("window_start").to_pylist(),
+                   out.column("rank").to_pylist(),
+                   out.column("user_id").to_pylist(),
+                   out.column("n_events").to_pylist()))
+    assert got == [
+        (0, 1, 1, 3), (0, 2, 2, 2), (0, 3, 3, 1),
+        (100, 1, 2, 2), (100, 2, 5, 1),
+    ]
