@@ -148,6 +148,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir):
         return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
+    def _wdf_decorated(sf_dir):
+        # append a deterministic camelCase/digit/possessive tail per doc
+        # (the test tables are all-lowercase, so the word_delimiter grammar
+        # needs injected structure to be differentially tested — same
+        # decoration pattern as text_redact_pii)
+        import pyarrow as pa
+        import pyarrow.compute as pc2
+
+        def dec(b: "pa.Table") -> "pa.Table":
+            tail = pc2.binary_join_element_wise(
+                pa.array([" DocID"] * len(b), pa.string()),
+                pc2.cast(b.column("doc_id"), pa.string()),
+                pa.array(["XMLTag iPhone4S O'Brien's"] * len(b), pa.string()),
+                "",
+            )
+            new_text = pc2.binary_join_element_wise(
+                pc2.cast(b.column("text"), pa.string()), tail, ""
+            )
+            return b.set_column(
+                b.schema.get_field_index("text"), "text", new_text
+            )
+
+        return _docs(sf_dir).map_batches(dec, batch_format="pyarrow")
+
     def _emb(sf_dir):
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -542,6 +566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- text analysis ---
         "text_token_stats": _q(lambda sf: text.doc_token_stats(_docs(sf))),
+        "text_wdf_token_stats": _q(
+            lambda sf: text.doc_token_stats(_wdf_decorated(sf),
+                                            grammar="word_delimiter")
+        ),
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
@@ -1338,6 +1366,29 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_distinct({_TOKLIST}))::BIGINT AS n_unique_tokens, "
             f"md5(array_to_string({_TOKLIST}, ' ')) AS fingerprint "
             "FROM documents ORDER BY doc_id"
+        ),
+        # word_delimiter grammar replayed exactly in SQL: possessive-'s
+        # removal (applied twice — chains like 's's consume their trailing
+        # context), then case/acronym/digit boundary spaces, then lowercase
+        # split on non-alnum; fuzz-verified identical to the tokenizer
+        "text_wdf_token_stats": (
+            "WITH d AS (SELECT doc_id, text || ' DocID' || "
+            "CAST(doc_id AS VARCHAR) || 'XMLTag iPhone4S O''Brien''s' "
+            "AS t FROM documents), "
+            "w AS (SELECT doc_id, list_filter(string_split_regex(lower("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(t, "
+            "'''[sS]([^A-Za-z0-9]|$)', '\\1', 'g'), "
+            "'''[sS]([^A-Za-z0-9]|$)', '\\1', 'g'), "
+            "'([a-z])([A-Z])', '\\1 \\2', 'g'), "
+            "'([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'), "
+            "'([A-Za-z])([0-9])', '\\1 \\2', 'g'), "
+            "'([0-9])([A-Za-z])', '\\1 \\2', 'g')"
+            "), '[^a-z0-9]+'), x -> x <> '') AS l FROM d) "
+            "SELECT doc_id, len(l)::BIGINT AS n_tokens, "
+            "len(list_distinct(l))::BIGINT AS n_unique_tokens, "
+            "md5(array_to_string(l, ' ')) AS fingerprint "
+            "FROM w ORDER BY doc_id"
         ),
         # langid heuristic replayed exactly: marker-stopword ratio per lang
         # (DOUBLE division), argmax with first-max-wins over the engine's

@@ -202,6 +202,7 @@ def run_build_only(num_cpus: int) -> dict:
         # per-partition Stage-A wall ms: separates uniform slowdown (median
         # shifts) from straggler skew (max >> median) in the scaling proof
         task_ms = sorted(m.get("ms", 0) for m in manifest.partials_done.values())
+        cpu_ms = sorted(m.get("cpu_ms", 0) for m in manifest.partials_done.values())
         dist = {}
         if task_ms:
             dist = {
@@ -210,6 +211,9 @@ def run_build_only(num_cpus: int) -> dict:
                 "max": task_ms[-1],
                 "sum": sum(task_ms),
                 "n": len(task_ms),
+                # cpu beside wall: wall>>cpu = starvation, cpu~wall = stalls
+                "cpu_p50": cpu_ms[len(cpu_ms) // 2],
+                "cpu_sum": sum(cpu_ms),
             }
         return {
             "metric": "index_build_sec", "value": round(build_sec, 2),

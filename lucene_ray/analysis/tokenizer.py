@@ -105,6 +105,48 @@ class StandardLikeAnalyzer:
         return Counter(self.tokens(text))
 
 # ---------------------------------------------------------------------------
+# Word-delimiter grammar ("word_delimiter")
+#
+# Lucene's WordDelimiterGraphFilter default behavior (GENERATE_WORD_PARTS |
+# GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+# STEM_ENGLISH_POSSESSIVE; lucene/analysis/common/src/java/org/apache/
+# lucene/analysis/miscellaneous/WordDelimiterGraphFilter.java:64-120,
+# WordDelimiterIterator.java) applied at index time (graph flattened: each
+# subword at its own position), fused with the tokenizer: tokens are
+# [A-Za-z0-9] runs (``_`` and every other byte delimit), subdivided at
+# lower→Upper, acronym-end (``NASARover`` → NASA|Rover) and letter↔digit
+# transitions, trailing possessive ``'s`` dropped, then lowercased.
+# ---------------------------------------------------------------------------
+
+_WDF_POSS_RE = re.compile(r"'[sS](?![A-Za-z0-9])")
+_WDF_RUN_RE = re.compile(r"[A-Za-z0-9]+")
+_WDF_SUB_RE = re.compile(r"[0-9]+|[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+")
+
+
+class WordDelimiterTokenizer:
+    """``text -> list[str]`` under the word_delimiter grammar. Scalar
+    reference twin of ``invert._tokenize_column_wdf`` — used on the query
+    side (``analyzer=`` seam) and as the parity oracle in tests."""
+
+    grammar = "word_delimiter"
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.max_token_length = max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        m = self.max_token_length
+        out: list[str] = []
+        for run in _WDF_RUN_RE.findall(_WDF_POSS_RE.sub("", text)):
+            for sub in _WDF_SUB_RE.findall(run):
+                sub = sub.lower()
+                if len(sub) <= m:
+                    out.append(sub)
+                else:
+                    out.extend(sub[i: i + m] for i in range(0, len(sub), m))
+        return out
+
+
+# ---------------------------------------------------------------------------
 # UAX#29-style multilingual grammar ("uax29")
 #
 # A practical port of StandardTokenizer's *behavior* (StandardTokenizer.java

@@ -106,12 +106,15 @@ class IndexConfig:
     stopwords: tuple = ()
     # tokenizer grammar: "code" (pinned ASCII identifier runs), "uax29",
     # "cjk_bigram" (uax29 + CJKBigramFilter semantics — the CJKAnalyzer
-    # default chain: overlapping han/hiragana character bigrams), or "dict"
+    # default chain: overlapping han/hiragana character bigrams), "dict"
     # (multilingual StandardTokenizer behavior — unigram CJK/hiragana,
-    # katakana/hangul runs, Unicode alphanumerics; see analysis/tokenizer.py).
-    # Identical to "code" on pure-ASCII text. Query analysis must use the
-    # matching tokenizer (UnicodeTokenizer for "uax29", DictTokenizer with
-    # the SAME lexicon for "dict").
+    # katakana/hangul runs, Unicode alphanumerics; see analysis/tokenizer.py),
+    # or "word_delimiter" (WordDelimiterGraphFilter default-flag semantics:
+    # camelCase/acronym/letter-digit splits, '_' delimits, possessive 's
+    # dropped). "uax29"/"dict" are identical to "code" on pure-ASCII text.
+    # Query analysis must use the matching tokenizer (UnicodeTokenizer for
+    # "uax29", DictTokenizer with the SAME lexicon for "dict",
+    # WordDelimiterTokenizer for "word_delimiter").
     grammar: str = "code"
     # "dict" grammar lexicon: CJK words merged from uax29 unigrams by greedy
     # longest match (the kuromoji/nori/smartcn dictionary-segmentation seam,
@@ -461,7 +464,8 @@ class _StageA:
             _tune_allocators()
             self._tuned = True
         cfg = self.cfg
-        out = {"pid": [], "rows": [], "tokens": [], "terms": [], "sec": []}
+        out = {"pid": [], "rows": [], "tokens": [], "terms": [], "sec": [],
+               "cpu": []}
         # env-gated sub-phase profile (scripts/diag_stage_a.py): appends one
         # JSON line per partition to $STAGEA_PROFILE/<pid-of-process>.jsonl
         _prof_dir = os.environ.get("STAGEA_PROFILE")
@@ -469,6 +473,7 @@ class _StageA:
             _prof: dict = {}
             _pt = time.time()
             _spec_t0 = _pt
+            _spec_c0 = time.process_time()
             pid = spec["pid"]
             block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
@@ -627,8 +632,11 @@ class _StageA:
             out["tokens"].append(int(lengths.sum()))
             out["terms"].append(len(partials))
             # per-partition wall ms: lets the scaling harness separate
-            # "every task slower" (host/memory) from "stragglers" (skew)
+            # "every task slower" (host/memory) from "stragglers" (skew).
+            # cpu ms beside it separates memory-stall inflation (cpu tracks
+            # wall) from scheduling/steal starvation (wall >> cpu).
             out["sec"].append(int((time.time() - _spec_t0) * 1000))
+            out["cpu"].append(int((time.process_time() - _spec_c0) * 1000))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
@@ -992,6 +1000,7 @@ def build_index(
                         "tokens": row["tokens"],
                         "terms": row["terms"],
                         "ms": row.get("sec", 0),
+                        "cpu_ms": row.get("cpu", 0),
                     }
                 manifest.save()
 

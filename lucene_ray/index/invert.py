@@ -37,6 +37,21 @@ _TOKEN_BYTE = np.zeros(256, dtype=bool)
 for _c in b"abcdefghijklmnopqrstuvwxyz0123456789_":
     _TOKEN_BYTE[_c] = True
 
+# word_delimiter grammar byte classes — case is significant, so these are
+# consulted on the ORIGINAL (pre-lowercase) bytes; '_' is a delimiter here
+# (WordDelimiterIterator treats it as a subword separator), unlike the code
+# grammar where it joins identifier runs
+_WDF_TOKEN = np.zeros(256, dtype=bool)
+_WDF_UPPER = np.zeros(256, dtype=bool)
+_WDF_LOWER = np.zeros(256, dtype=bool)
+_WDF_DIGIT = np.zeros(256, dtype=bool)
+for _c in range(ord("A"), ord("Z") + 1):
+    _WDF_TOKEN[_c] = _WDF_UPPER[_c] = True
+for _c in range(ord("a"), ord("z") + 1):
+    _WDF_TOKEN[_c] = _WDF_LOWER[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _WDF_TOKEN[_c] = _WDF_DIGIT[_c] = True
+
 
 def tokenize_column(
     contents: pa.ChunkedArray | pa.Array,
@@ -73,6 +88,9 @@ def tokenize_column(
     if grammar == "dict":
         return _tokenize_column_dict(contents, max_token_length, stopwords,
                                      with_offsets, dict_lexicon)
+    if grammar == "word_delimiter":
+        return _tokenize_column_wdf(contents, max_token_length, stopwords,
+                                    with_offsets)
     if grammar != "code":
         raise ValueError(f"unknown tokenizer grammar {grammar!r}")
     n_docs = len(contents)
@@ -177,6 +195,187 @@ def tokenize_column(
         pref = np.zeros(nbytes + 1, dtype=np.int64)
         np.cumsum(nb_mask, out=pref[1:])
         doc_char_base = pref[doc_offsets - base]  # per doc
+        start_chars = pref[starts] - doc_char_base[doc_idx]
+        end_chars = pref[ends] - doc_char_base[doc_idx]
+
+    if stopwords:
+        stop_arr = pa.array(sorted(stopwords), type=pa.string())
+        is_stop = np.asarray(pc.is_in(flat, value_set=stop_arr))
+        keep3 = ~is_stop
+        flat = flat.filter(pa.array(keep3))
+        doc_idx = doc_idx[keep3]
+        positions = positions[keep3]
+        if with_offsets:
+            start_chars = start_chars[keep3]
+            end_chars = end_chars[keep3]
+
+    if with_offsets:
+        return flat, doc_idx, positions, start_chars, end_chars
+    return flat, doc_idx, positions
+
+
+def _tokenize_column_wdf(
+    contents: pa.Array,
+    max_token_length: int,
+    stopwords: frozenset[str] | None,
+    with_offsets: bool,
+) -> tuple:
+    """word_delimiter-grammar column tokenization.
+
+    The index-time semantics of Lucene's ``WordDelimiterGraphFilter`` with
+    its default flags (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS |
+    SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE,
+    lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    miscellaneous/WordDelimiterGraphFilter.java:64-120 and
+    WordDelimiterIterator.java) after index-time graph flattening: every
+    subword occupies its own position. Splits, applied to the ORIGINAL
+    (case-preserving) bytes, then lowercased:
+
+    - token bytes are ``[A-Za-z0-9]`` — any other byte (incl. ``_``) is a
+      subword delimiter;
+    - lower→Upper transition starts a new subword (``PowerShot``);
+    - the LAST upper of an upper run followed by lower starts a new subword
+      (``NASARover`` → ``NASA|Rover``);
+    - letter↔digit transitions split (``mp3Player`` → ``mp|3|Player``);
+    - a subword that is exactly ``s``/``S`` preceded by an apostrophe and
+      followed by a non-token byte is dropped (English possessive:
+      ``O'Neil's`` → ``o|neil``).
+
+    Same vectorized shape as the code grammar: byte-class masks over the
+    Arrow data buffer, no per-row Python.
+    """
+    n_docs = len(contents)
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    bufs = contents.buffers()
+    empty = pa.array([], pa.string())
+    z = np.zeros(0, np.int64)
+    if n_docs == 0 or bufs[2] is None:
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
+    doc_offsets = np.frombuffer(
+        bufs[1], dtype=np.int32, count=len(contents) + contents.offset + 1
+    )[contents.offset:].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    base = doc_offsets[0]
+    lo, hi = doc_offsets[0], doc_offsets[-1]
+    nbytes = hi - lo
+    if nbytes == 0:
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
+    b = data[lo:hi]
+
+    is_tok = _WDF_TOKEN[b].copy()
+    u, lw, dg = _WDF_UPPER[b], _WDF_LOWER[b], _WDF_DIGIT[b]
+    letter = u | lw
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty_like(is_tok)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    pu = np.empty_like(u)
+    pu[0] = False
+    pu[1:] = u[:-1]
+    pl = np.empty_like(lw)
+    pl[0] = False
+    pl[1:] = lw[:-1]
+    pd = np.empty_like(dg)
+    pd[0] = False
+    pd[1:] = dg[:-1]
+    nl = np.empty_like(lw)
+    nl[-1] = False
+    nl[:-1] = lw[1:]
+    # docs are byte-adjacent in the Arrow buffer: the forward-looking
+    # acronym rule must not see the first byte of the NEXT document
+    dbs = doc_offsets[1:-1] - base
+    db = dbs[(dbs > 0) & (dbs < nbytes)]
+    if len(db):
+        nl[db - 1] = False
+    # interior split points: byte i starts a new subword
+    split = (u & pl) | (u & pu & nl) | (dg & (pu | pl)) | (letter & pd)
+    split &= is_tok & prev
+    start_mask = (is_tok & ~prev) | split
+    end_mask = is_tok & ~nxt
+    end_mask[:-1] |= split[1:]
+    # force token breaks at document boundaries
+    if len(db):
+        inner = db[is_tok[db] & is_tok[db - 1]]
+        start_mask[inner] = True
+        end_mask[inner - 1] = True
+    starts = np.flatnonzero(start_mask).astype(np.int64)
+    ends = np.flatnonzero(end_mask).astype(np.int64) + 1
+    lengths = ends - starts
+
+    # English possessive: drop the dangling s, clearing its byte from the
+    # token mask so the concat-by-mask gather below stays exact
+    if lengths.size:
+        doc_of = np.searchsorted(doc_offsets, starts + base, side="right") - 1
+        doc_lo = doc_offsets[doc_of] - base
+        doc_hi = doc_offsets[doc_of + 1] - base
+        poss = (lengths == 1) & ((b[starts] == 0x73) | (b[starts] == 0x53))
+        m = poss & (starts > doc_lo)  # apostrophe must be in the SAME doc
+        poss = np.zeros(len(starts), dtype=bool)
+        poss[m] = b[starts[m] - 1] == 0x27
+        follow_tok = np.zeros(len(starts), dtype=bool)
+        m2 = ends < doc_hi  # a byte in the next doc never joins this word
+        follow_tok[m2] = is_tok[ends[m2]]
+        poss &= ~follow_tok
+        if poss.any():
+            is_tok[starts[poss]] = False
+            keep = ~poss
+            starts, ends, lengths = starts[keep], ends[keep], lengths[keep]
+
+    # rare path: split over-long subwords at max_token_length intervals
+    if lengths.size and lengths.max() > max_token_length:
+        long_idx = np.flatnonzero(lengths > max_token_length)
+        new_s, new_e = [], []
+        prev_end = 0
+        for li in long_idx:
+            new_s.append(starts[prev_end:li])
+            new_e.append(ends[prev_end:li])
+            cs = np.arange(starts[li], ends[li], max_token_length, dtype=np.int64)
+            ce = np.minimum(cs + max_token_length, ends[li])
+            new_s.append(cs)
+            new_e.append(ce)
+            prev_end = li + 1
+        new_s.append(starts[prev_end:])
+        new_e.append(ends[prev_end:])
+        starts = np.concatenate(new_s)
+        ends = np.concatenate(new_e)
+        lengths = ends - starts
+
+    total = len(starts)
+    if total == 0:
+        return (empty, z, z, z, z) if with_offsets else (empty, z, z)
+    doc_idx = (np.searchsorted(doc_offsets, starts + base, side="right") - 1).astype(np.int32)
+    tok_offsets = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lengths, out=tok_offsets[1:])
+    tok_data = b[is_tok]
+    if len(tok_data) != tok_offsets[-1]:
+        raise AssertionError("token byte accounting mismatch")
+    if tok_offsets[-1] < 2**31 - 1:
+        flat = pa.Array.from_buffers(
+            pa.string(), total,
+            [None, pa.py_buffer(tok_offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(tok_data.tobytes())],
+        )
+    else:
+        flat = pa.Array.from_buffers(
+            pa.large_string(), total,
+            [None, pa.py_buffer(tok_offsets.tobytes()),
+             pa.py_buffer(tok_data.tobytes())],
+        )
+    flat = pc.utf8_lower(flat)  # LowerCaseFilter after the splits
+
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    doc_first = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_first[1:])
+    positions = (np.arange(total, dtype=np.int64) - doc_first[doc_idx]).astype(np.int32)
+
+    if with_offsets:
+        nb_mask = (b & 0xC0) != 0x80
+        pref = np.zeros(nbytes + 1, dtype=np.int64)
+        np.cumsum(nb_mask, out=pref[1:])
+        doc_char_base = pref[doc_offsets - base]
         start_chars = pref[starts] - doc_char_base[doc_idx]
         end_chars = pref[ends] - doc_char_base[doc_idx]
 

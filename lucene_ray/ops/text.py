@@ -50,17 +50,21 @@ def _count_byte_class(offs: np.ndarray, data: np.ndarray, mask: np.ndarray) -> n
 
 
 def doc_token_stats(ds: ray.data.Dataset, text_col: str = "text",
-                    id_col: str = "doc_id") -> ray.data.Dataset:
+                    id_col: str = "doc_id",
+                    grammar: str = "code") -> ray.data.Dataset:
     """(id, n_tokens, n_unique_tokens, fingerprint) per document.
 
     ``fingerprint`` = md5 hex of the space-joined token stream — a
     deterministic document fingerprint with an exact SQL equivalent. The
     joined byte stream is assembled with one vectorized scatter; only the
-    md5 calls themselves loop (one per doc).
+    md5 calls themselves loop (one per doc). ``grammar`` selects the
+    tokenizer (e.g. "word_delimiter" for WordDelimiterGraphFilter-style
+    camelCase/digit splitting).
     """
 
     def stats(batch: pa.Table) -> pa.Table:
-        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col),
+                                           grammar=grammar)
         n = len(batch)
         counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
 

@@ -87,10 +87,11 @@ def _body_worker(specs, out_root, barrier, outq) -> None:
     t0 = time.time()
     res = sa(batch)
     ms = res.column("sec").to_pylist() if "sec" in res.column_names else []
-    outq.put((sum(s["num_rows"] for s in specs), time.time() - t0, ms))
+    cpu = res.column("cpu").to_pylist() if "cpu" in res.column_names else []
+    outq.put((sum(s["num_rows"] for s in specs), time.time() - t0, ms, cpu))
 
 
-def run_body_level(n_procs: int, corpus: str) -> tuple:
+def run_body_level(n_procs: int, corpus: str, spawn: bool = False) -> tuple:
     import shutil
 
     from lucene_ray.index.build import IndexConfig, plan_partitions
@@ -108,10 +109,13 @@ def run_body_level(n_procs: int, corpus: str) -> tuple:
     shutil.rmtree(out_root, ignore_errors=True)
     chunks = [specs[i::n_procs] for i in range(n_procs)]
     chunks = [c for c in chunks if c]
-    barrier = mp.Barrier(len(chunks))
-    out_q = mp.Queue()
+    # spawn=True: exec fresh interpreters (no fork COW page sharing) — the
+    # process model Ray workers actually run under; fork is the default twin
+    ctx = mp.get_context("spawn" if spawn else "fork")
+    barrier = ctx.Barrier(len(chunks))
+    out_q = ctx.Queue()
     procs = [
-        mp.Process(target=_body_worker, args=(c, out_root, barrier, out_q))
+        ctx.Process(target=_body_worker, args=(c, out_root, barrier, out_q))
         for c in chunks
     ]
     for p in procs:
@@ -122,11 +126,15 @@ def run_body_level(n_procs: int, corpus: str) -> tuple:
     rows_total = sum(r[0] for r in res)
     wall = max(r[1] for r in res)
     all_ms = sorted(m for r in res for m in r[2])
+    all_cpu = sorted(m for r in res for m in r[3])
     dist = {}
     if all_ms:
         dist = {"p50": all_ms[len(all_ms) // 2],
                 "p90": all_ms[int(len(all_ms) * 0.9)],
                 "max": all_ms[-1], "sum": sum(all_ms), "n": len(all_ms)}
+    if all_cpu:
+        dist["cpu_p50"] = all_cpu[len(all_cpu) // 2]
+        dist["cpu_sum"] = sum(all_cpu)
     return rows_total / wall, dist
 
 
@@ -139,6 +147,9 @@ def main() -> None:
     ap.add_argument("--body", action="store_true",
                     help="run the full Stage-A body over the bench corpus "
                          "instead of the pure invert kernel")
+    ap.add_argument("--spawn", action="store_true",
+                    help="body workers via spawn (exec, no fork COW) — the "
+                         "Ray-worker process model")
     ap.add_argument("--corpus", type=str, default="")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
@@ -148,11 +159,13 @@ def main() -> None:
         if not corpus:
             rows = int(os.environ.get("BENCH_CORPUS_ROWS", "300000"))
             corpus = f"/tmp/lucene_ray_bench/corpus_{rows}.parquet"
-        pairs = {str(n): run_body_level(n, corpus) for n in levels}
+        pairs = {str(n): run_body_level(n, corpus, args.spawn) for n in levels}
         results = {k: round(v[0], 1) for k, v in pairs.items()}
         out = {
             "metric": "stage_a_body_docs_per_sec_multiprocessing",
-            "note": "full Stage-A body (read+invert+sha+bucket+write), no Ray",
+            "note": "full Stage-A body (read+invert+sha+bucket+write), no Ray"
+                    + (", spawn (exec) workers" if args.spawn else ""),
+            "start_method": "spawn" if args.spawn else "fork",
             "corpus": corpus,
             "docs_per_sec": results,
             "task_ms": {k: v[1] for k, v in pairs.items()},
