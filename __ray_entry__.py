@@ -664,6 +664,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_blockjoin_counts": _q(
             lambda sf: block_join(sf, "merge", "count")
         ),
+        # inverse block join: parents (block-LAST docs) matching the query
+        # expand to their blocks' child docs (ToChildBlockJoinQuery.java:35)
+        "ft_blockjoin_children": _q(
+            lambda sf: __import__(
+                "lucene_ray.pipelines.joins", fromlist=["block_join_children"]
+            ).block_join_children(sf, "merge")
+        ),
+        # per-doc minimum-should-match from a doc-values formula
+        # (sandbox CoveringQuery.java:47 LongValuesSource)
+        "ft_covering_hits": _q(
+            lambda sf: ft.covering_hits(sf, ["merge", "sort", "join"],
+                                        "1 + (n_chars % 3)")
+        ),
         "ft_blockjoin_scored": _q(
             lambda sf: block_join(sf, "merge", "avg")
         ),
@@ -1190,6 +1203,26 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT d.source AS parent, count(*)::BIGINT AS n_children "
         "FROM documents d JOIN (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge') h "
         "USING (doc_id) GROUP BY 1 ORDER BY parent",
+        # inverse block join: block-last doc per source = max doc_id (stable
+        # sort by block_col keeps file order within a block); parents whose
+        # text matches expand to the block's other docs
+        "ft_blockjoin_children": _TOKS
+        + ", last AS (SELECT source, max(doc_id) AS pid FROM documents "
+        "GROUP BY source), "
+        "par AS (SELECT l.source, l.pid FROM last l JOIN "
+        "(SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge') h "
+        "ON h.doc_id = l.pid) "
+        "SELECT d.doc_id FROM documents d JOIN par p USING (source) "
+        "WHERE d.doc_id <> p.pid ORDER BY d.doc_id",
+        # CoveringQuery: n matching clauses >= 1 + (n_chars % 3) per doc
+        "ft_covering_hits": _TOKS
+        + ", ct AS (SELECT doc_id, "
+        "max(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) + "
+        "max(CASE WHEN tok = 'sort' THEN 1 ELSE 0 END) + "
+        "max(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS n "
+        "FROM toks GROUP BY doc_id) "
+        "SELECT d.doc_id FROM documents d JOIN ct USING (doc_id) "
+        "WHERE ct.n >= 1 + (d.n_chars % 3) ORDER BY d.doc_id",
         "ft_synonym_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok IN ('fast', 'slow') "
         "ORDER BY doc_id",

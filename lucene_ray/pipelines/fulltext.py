@@ -326,6 +326,16 @@ def term_hits(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term)))
 
 
+def covering_hits(sf_dir: str, terms: list[str], min_match: str) -> pa.Table:
+    """Hit set of a CoveringQuery (sandbox/search/CoveringQuery.java): docs
+    matching at least ``min_match(doc)`` of the term clauses, where
+    ``min_match`` is a formula over numeric doc-values columns."""
+    from lucene_ray.search.query import CoveringQuery, TermQuery
+
+    q = CoveringQuery(tuple(TermQuery(t) for t in terms), min_match)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q))
+
+
 def term_hits_after_delete(sf_dir: str, term: str) -> pa.Table:
     """Term hit set over the tombstoned index: deleted docs (doc_id % 7 == 0)
     must be excluded by the live-docs mask."""

@@ -105,3 +105,26 @@ def block_join(sf_dir: str, child_query, score_mode: str = "count") -> pa.Table:
         )
     t = pa.table(cols)
     return t.take(pa.compute.sort_indices(t, sort_keys=[("parent", "ascending")]))
+
+
+def block_join_children(sf_dir: str, parent_query) -> pa.Table:
+    """The inverse block join (ToChildBlockJoinQuery.java:35): parents
+    matching ``parent_query`` (and carrying the parents-bitset flag) expand
+    to every child doc of their block. Returns the children's table doc_ids
+    sorted — the parent itself is excluded (it is the block-LAST doc, not a
+    child)."""
+    from lucene_ray.pipelines.fulltext import documents_block_index
+    from lucene_ray.search.query import ToChildBlockJoinQuery, parse_query
+    from lucene_ray.search.searcher import Searcher
+
+    reader = documents_block_index(sf_dir)
+    parent = (parse_query(parent_query) if isinstance(parent_query, str)
+              else parent_query)
+    td = Searcher(reader).search(
+        ToChildBlockJoinQuery(parent), 10**9, total_hits_threshold=None
+    )
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    rows = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    ids = sorted(rows.column("doc_id_orig").to_pylist())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})

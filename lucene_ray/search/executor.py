@@ -56,6 +56,8 @@ from lucene_ray.search.query import (
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
+    CoveringQuery,
+    ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
 )
 from lucene_ray.search.similarity import BM25Scorer
@@ -295,6 +297,10 @@ class SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, ToParentBlockJoinQuery):
             return self._eval_blockjoin(q)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return self._eval_tochild(q)
+        if isinstance(q, CoveringQuery):
+            return self._eval_covering(q)
         if isinstance(q, DisMaxQuery):
             return self._eval_dismax(q)
         if isinstance(q, SPAN_TYPES):
@@ -686,6 +692,59 @@ class SegmentScorer:
                 acc = acc / counts
             scores = (acc.astype(np.float32)) * boost
         return docs, scores
+
+    def _eval_tochild(self, q: ToChildBlockJoinQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Parent hits expanded to their blocks' child docs, each child
+        scoring its parent's (boosted) score — ToChildBlockJoinQuery.java:35
+        semantics over the parents bitset. Parent hits that are not actual
+        block-last docs are ignored (Lucene throws on a child-matching
+        parent filter; the flat evaluate() contract filters instead).
+        Children are live-docs-filtered by the outer evaluate() pass."""
+        parents = self.ctx.parents
+        if parents is None:
+            raise ValueError(
+                "ToChildBlockJoinQuery requires an index built with "
+                "IndexConfig.block_col (index-time doc blocks)"
+            )
+        pdocs, pscores = self.evaluate(q.parent)
+        if len(pdocs) == 0:
+            return _EMPTY
+        pos = np.searchsorted(parents, pdocs)
+        is_parent = (pos < len(parents)) & (parents[np.minimum(pos, len(parents) - 1)] == pdocs)
+        pdocs, pscores, pos = pdocs[is_parent], pscores[is_parent], pos[is_parent]
+        if len(pdocs) == 0:
+            return _EMPTY
+        starts = np.where(pos > 0, parents[np.maximum(pos - 1, 0)] + 1, 0)
+        counts = pdocs - starts  # children are [block start, parent)
+        keep = counts > 0
+        if not keep.any():
+            return _EMPTY
+        child_docs = _ranges_concat(starts[keep], pdocs[keep]).astype(np.int64)
+        scores = np.repeat(pscores[keep] * np.float32(q.boost), counts[keep])
+        return child_docs, scores.astype(np.float32)
+
+    def _eval_covering(self, q: CoveringQuery) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc minimum-should-match from a doc-values formula
+        (CoveringQuery.java:47 LongValuesSource). Sub-query scores sum in
+        clause order (float32 scatter-add — the SHOULD-sum shape)."""
+        from lucene_ray.search.expressions import compile_expression
+
+        n = self.ctx.num_docs
+        count = np.zeros(n, dtype=np.int64)
+        ssum = np.zeros(n, dtype=np.float32)
+        for c in q.queries:
+            d, s = self.evaluate(c)
+            if len(d):
+                count[d] += 1
+                ssum[d] += s
+        expr = compile_expression(q.min_match)
+        need = np.floor(expr.evaluate(
+            {v: np.asarray(self.ctx.docvalues(v), dtype=np.float64)
+             for v in expr.variables}
+        )).astype(np.int64)
+        need = np.maximum(need, 1)  # minimums < 1 behave as 1
+        docs = np.flatnonzero(count >= need).astype(np.int64)
+        return docs, ssum[docs] * np.float32(q.boost)
 
     def _eval_term(self, q: TermQuery) -> tuple[np.ndarray, np.ndarray]:
         tp = self.ctx.postings(q.term)

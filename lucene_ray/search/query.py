@@ -144,6 +144,40 @@ class ToParentBlockJoinQuery(Query):
 
 
 @dataclass(frozen=True)
+class ToChildBlockJoinQuery(Query):
+    """The inverse block join: a PARENT query's matches are mapped down to
+    every child doc of the matching blocks, each child scoring its parent's
+    score (lucene/join/src/java/org/apache/lucene/search/join/
+    ToChildBlockJoinQuery.java:35 — "the parent's score is applied to each
+    child"). Requires an ``IndexConfig.block_col`` index; parents are the
+    block-LAST docs (the parents-bitset convention)."""
+
+    parent: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Matches docs where the number of matching sub-queries is >= a
+    PER-DOCUMENT minimum (lucene/sandbox/src/java/org/apache/lucene/
+    sandbox/search/CoveringQuery.java:47: ``LongValuesSource
+    minimumNumberMatch``). ``min_match`` is a compiled formula over numeric
+    doc-values columns (the engine's LongValuesSource analog,
+    search/expressions.py). Values < 1 behave as 1 (CoveringQuery.java:
+    minimum clamped), values > len(queries) make the doc unmatchable.
+    Score = sum of the matching sub-queries' scores (SHOULD-sum)."""
+
+    queries: tuple
+    min_match: str
+    boost: float = 1.0
+
+    def __init__(self, queries, min_match: str, boost: float = 1.0):
+        object.__setattr__(self, "queries", tuple(queries))
+        object.__setattr__(self, "min_match", str(min_match))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class DisMaxQuery(Query):
     """Disjunction-max: a doc matching any disjunct scores
     ``max(clause scores) + tie_breaker * (sum of the other matching
@@ -601,10 +635,11 @@ def _collect(q: Query, out: set[str]) -> None:
     elif isinstance(q, BooleanQuery):
         for c in (*q.must, *q.should, *q.must_not, *q.filter):
             _collect(c, out)
-    elif isinstance(q, (ToParentBlockJoinQuery, ConstantScoreQuery)):
+    elif isinstance(q, (ToParentBlockJoinQuery, ToChildBlockJoinQuery,
+                        ConstantScoreQuery)):
         _collect(children(q)[0], out)
-    elif isinstance(q, DisMaxQuery):
-        for c in q.disjuncts:
+    elif isinstance(q, (DisMaxQuery, CoveringQuery)):
+        for c in children(q):
             _collect(c, out)
     elif isinstance(q, (SpanNearQuery, SpanOrQuery)):
         for c in q.clauses:
@@ -624,10 +659,12 @@ def children(q: Query) -> tuple:
         return (*q.must, *q.should, *q.must_not, *q.filter)
     if isinstance(q, ToParentBlockJoinQuery):
         return (q.child,)
+    if isinstance(q, ToChildBlockJoinQuery):
+        return (q.parent,)
     if isinstance(q, ConstantScoreQuery):
         return (q.query,)
-    if isinstance(q, DisMaxQuery):
-        return q.disjuncts
+    if isinstance(q, (DisMaxQuery, CoveringQuery)):
+        return q.disjuncts if isinstance(q, DisMaxQuery) else q.queries
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         return q.clauses
     if isinstance(q, SpanFirstQuery):
@@ -654,6 +691,10 @@ def collect_dv_cols(q: Query) -> set[str]:
     if isinstance(q, GeoDistanceQuery):
         out.add(q.lat_col)
         out.add(q.lon_col)
+    if isinstance(q, CoveringQuery):
+        from lucene_ray.search.expressions import compile_expression
+
+        out |= set(compile_expression(q.min_match).variables)
     for c in children(q):
         out |= collect_dv_cols(c)
     return out

@@ -177,3 +177,48 @@ def test_blockjoin_composes_with_boolean_child(block_index):
                        prow.column("lang").to_pylist()))
     got = {lang_of[int(g)]: int(sc) for g, sc in zip(td.doc_ids, td.scores)}
     assert got == want
+
+
+def test_tochild_matches_bruteforce(block_index):
+    """ToChildBlockJoinQuery: each matching block-last parent's score is
+    applied to every child of its block (ToChildBlockJoinQuery.java:35)."""
+    from lucene_ray.search.query import ToChildBlockJoinQuery
+
+    _, idx = block_index
+    reader = IndexReader(idx)
+    s = Searcher(reader)
+    dm = pq.read_table(docmap_path(idx, 0))
+    gids = dm.column("doc_id").to_pylist()
+    last = dm.column("block_last").to_pylist()
+    blocks, start = [], 0
+    for i, fl in enumerate(last):
+        if fl:
+            blocks.append((start, i))
+            start = i + 1
+    parent_hits = s.search(TermQuery("merge"), 10**9, total_hits_threshold=None)
+    pscore = dict(zip(parent_hits.doc_ids.tolist(), parent_hits.scores.tolist()))
+    exp = {}
+    for a, b in blocks:
+        if gids[b] in pscore:  # only block-LAST hits act as parents
+            for i in range(a, b):
+                exp[gids[i]] = np.float32(pscore[gids[b]])
+    td = s.search(ToChildBlockJoinQuery(TermQuery("merge")), 10**9,
+                  total_hits_threshold=None)
+    got = dict(zip(td.doc_ids.tolist(), td.scores.tolist()))
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g] == pytest.approx(float(exp[g]), rel=1e-6)
+
+
+def test_tochild_requires_block_index(ray_session, tmp_path_factory):
+    from lucene_ray.search.query import ToChildBlockJoinQuery
+
+    d = tmp_path_factory.mktemp("noblk")
+    src = str(d / "c.parquet")
+    pq.write_table(make_corpus(50, seed=5), src)
+    idx = str(d / "idx")
+    build_index(src, idx, IndexConfig(target_rows_per_partition=50))
+    with pytest.raises(Exception, match="block_col"):
+        Searcher(IndexReader(idx)).search(
+            ToChildBlockJoinQuery(TermQuery("merge")), 10,
+            total_hits_threshold=None)
