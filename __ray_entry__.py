@@ -476,6 +476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_nchars_ranges": _q(
             lambda sf: ft.facet_numeric_ranges(sf, "join", "n_chars", [0, 200, 400])
         ),
+        # equi-weight dynamic ranges (DynamicRangeUtil, unit weights)
+        "ft_facet_dynamic_ranges": _q(
+            lambda sf: ft.facet_dynamic_ranges(sf, "merge", "n_chars", 5)
+        ),
         "ft_numeric_set_hits": _q(
             lambda sf: ft.numeric_set_hits(sf, "n_chars", [250, 301, 999])
         ),
@@ -1125,6 +1129,20 @@ def oracle_sql() -> dict[str, str]:
         "WHERE n_chars >= 200 AND n_chars < 400)::BIGINT "
         "UNION ALL SELECT '[400,inf)', (SELECT count(*) FROM j "
         "WHERE n_chars >= 400)::BIGINT",
+        # DynamicRangeUtil with unit weights: the greedy accu >= target
+        # split reduces to value-sorted chunks of ceil(n / min(5, n)) items
+        "ft_facet_dynamic_ranges": _TOKS
+        + ", hits AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge'), "
+        "v AS (SELECT d.n_chars AS val, "
+        "row_number() OVER (ORDER BY d.n_chars) - 1 AS rn, "
+        "count(*) OVER () AS n FROM documents d JOIN hits USING (doc_id)), "
+        "p AS (SELECT val, rn // CAST(ceil(CAST(n AS DOUBLE) / "
+        "LEAST(5, n)) AS BIGINT) AS range_idx FROM v) "
+        "SELECT range_idx, count(*)::BIGINT AS n_docs, "
+        "count(*)::BIGINT AS weight, min(val)::BIGINT AS min_value, "
+        "max(val)::BIGINT AS max_value, "
+        "CAST(sum(val) AS DOUBLE) / count(*) AS centroid "
+        "FROM p GROUP BY 1 ORDER BY 1",
         "ft_numeric_set_hits": (
             "SELECT doc_id FROM documents WHERE n_chars IN (250, 301, 999) "
             "ORDER BY doc_id"

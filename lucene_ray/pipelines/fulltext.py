@@ -1039,6 +1039,99 @@ def facet_numeric_ranges(sf_dir: str, term: str, col: str,
     )
 
 
+def compute_dynamic_numeric_ranges(values, weights, top_n: int) -> list[dict]:
+    """Exact port of DynamicRangeUtil.computeDynamicNumericRanges
+    (lucene/facet/src/java/org/apache/lucene/facet/range/
+    DynamicRangeUtil.java:204-266): sort items by (value, weight), then
+    greedily emit a range whenever the accumulated weight reaches
+    totalWeight / min(topN, len); the remainder becomes a final range.
+    Returns [{count, weight, min, max, centroid}, ...]."""
+    values = np.asarray(values, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.int64)
+    n = len(values)
+    out: list[dict] = []
+    if n == 0 or top_n == 0:
+        return out
+    order = np.lexsort((weights, values))
+    v, w = values[order], weights[order]
+    cw = np.cumsum(w)
+    cv = np.cumsum(v)
+    target = float(cw[-1]) / min(top_n, n)
+    start = 0
+    base_w = base_v = 0
+    while start < n:
+        i = int(np.searchsorted(cw, base_w + target, side="left"))
+        i = min(max(i, start), n - 1)  # remainder range / zero-weight runs
+        count = i - start + 1
+        vsum = int(cv[i]) - base_v
+        out.append({
+            "count": count,
+            "weight": int(cw[i]) - base_w,
+            "min": int(v[start]),
+            "max": int(v[i]),
+            "centroid": vsum / count,
+        })
+        base_w, base_v = int(cw[i]), int(cv[i])
+        start = i + 1
+    return out
+
+
+def facet_dynamic_ranges(sf_dir: str, term: str, col: str,
+                         top_n: int) -> pa.Table:
+    """Equi-weight dynamic range facets over a query's hit set with UNIT
+    weights (DynamicRangeUtil.computeDynamicRanges, facet/range/
+    DynamicRangeUtil.java:55-122, with weightValueSource == constant 1).
+
+    Scale shape: per-value histogram partials aggregate per segment inside
+    the shard actors (only distinct-value rows reach the driver); with unit
+    weights the greedy split reduces to fixed chunks of
+    ``ceil(n / min(topN, n))`` items over the value-sorted stream, so range
+    bounds and centroids come from prefix sums over the HISTOGRAM — no
+    per-doc expansion anywhere."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_index(sf_dir)
+    agg = _pool(reader).facets([(0, TermQuery(term))], col)[0]
+    empty = pa.table({
+        "range_idx": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "weight": pa.array([], pa.int64()),
+        "min_value": pa.array([], pa.int64()),
+        "max_value": pa.array([], pa.int64()),
+        "centroid": pa.array([], pa.float64()),
+    })
+    if not agg or top_n == 0:
+        return empty
+    items = sorted((int(k), int(vv[0])) for k, vv in agg.items())
+    vals = np.array([it[0] for it in items], dtype=np.int64)
+    cnts = np.array([it[1] for it in items], dtype=np.int64)
+    n = int(cnts.sum())
+    k = int(np.ceil(float(n) / min(top_n, n)))  # accu >= target first at ceil
+    starts = np.arange(0, n, k, dtype=np.int64)  # 0-based item index
+    ends = np.minimum(starts + k, n) - 1  # inclusive
+    ccount = np.cumsum(cnts)
+    cvsum = np.cumsum(vals * cnts)
+
+    def vsum_upto(j):  # sum of item values over items [0, j] (j inclusive)
+        g = np.searchsorted(ccount, j, side="right")
+        before = np.where(g > 0, ccount[np.maximum(g - 1, 0)], 0)
+        base = np.where(g > 0, cvsum[np.maximum(g - 1, 0)], 0)
+        return base + (j + 1 - before) * vals[g]
+
+    ge = np.searchsorted(ccount, ends, side="right")
+    gs = np.searchsorted(ccount, starts, side="right")
+    vs = vsum_upto(ends) - np.where(starts > 0, vsum_upto(starts - 1), 0)
+    counts = ends - starts + 1
+    return pa.table({
+        "range_idx": pa.array(np.arange(len(starts)), pa.int64()),
+        "n_docs": pa.array(counts, pa.int64()),
+        "weight": pa.array(counts, pa.int64()),  # unit weights
+        "min_value": pa.array(vals[gs], pa.int64()),
+        "max_value": pa.array(vals[ge], pa.int64()),
+        "centroid": pa.array(vs / counts, pa.float64()),
+    })
+
+
 def facet_associations(sf_dir: str, term: str, facet_col: str = "lang",
                        value_col: str = "n_chars") -> pa.Table:
     """Association facets (facet/taxonomy/TaxonomyFacetIntAssociations.java,
