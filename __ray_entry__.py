@@ -805,6 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_hits": _q(geo_pipe.geo_box_hits),
         "geo_distance_hits": _q(geo_pipe.geo_distance_hits),
         "geo_knn_top10": _q(geo_pipe.geo_knn_top10),
+        # LatLonPoint.newPolygonQuery: non-convex chevron, even-odd crossing
+        "geo_polygon_hits": _q(geo_pipe.geo_polygon_hits),
         # --- intervals (minimal-interval queries, intervals/IntervalQuery) ---
         "ft_interval_ordered_hits": _q(
             lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"])
@@ -1858,6 +1860,19 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT row_number() OVER (ORDER BY d, c_custkey) AS rank, "
         f"c_custkey FROM (SELECT c_custkey, {_GEO_DIST} AS d FROM pts) "
         "ORDER BY d, c_custkey LIMIT 10",
+        # even-odd crossing count replayed edge-by-edge — identical float64
+        # expression shape as ops/geo.point_in_polygon
+        "geo_polygon_hits": _GEO_PTS
+        + "SELECT c_custkey FROM pts WHERE ("
+        + " + ".join(
+            f"(CASE WHEN (({yi} > lat) <> ({yj} > lat)) AND "
+            f"lon < ({xj} - {xi}) * (lat - {yi}) / ({yj} - {yi}) + {xi} "
+            "THEN 1 ELSE 0 END)"
+            for (yi, xi), (yj, xj) in (
+                lambda vs: [(vs[i], vs[i - 1]) for i in range(len(vs))]
+            )([(-10.0, -30.0), (55.0, 0.0), (-10.0, 30.0), (20.0, 0.0)])
+        )
+        + ") % 2 = 1 ORDER BY c_custkey",
         # intervals: for UNIT terms an ordered chain's total gap depends
         # only on its ends (p_last - p_first - (k-1)), so doc-hit level
         # minimal-interval semantics reduce to an increasing-positions join

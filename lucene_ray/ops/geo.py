@@ -148,3 +148,49 @@ def geo_knn(ds: ray.data.Dataset, lat: float, lon: float, k: int = 10,
         id_col: pa.array(parts[id_col].to_numpy(), pa.int64()),
         "dist_m": dist,
     })
+
+
+def point_in_polygon(lat, lon, poly_lats, poly_lons) -> np.ndarray:
+    """Even-odd crossing-number point-in-polygon test — the containment
+    semantics of Lucene's polygon tree (lucene/core/src/java/org/apache/
+    lucene/geo/Polygon2D.java / EdgeTree crossing counts): a point is
+    inside when an eastward ray crosses the boundary an odd number of
+    times. Works for any SIMPLE polygon (convex or not); the closing
+    edge last->first is implicit. Vectorized over the points (one numpy
+    pass per polygon edge; polygons are small)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(poly_lats)
+    j = n - 1
+    for i in range(n):
+        yi, xi = float(poly_lats[i]), float(poly_lons[i])
+        yj, xj = float(poly_lats[j]), float(poly_lons[j])
+        if yi != yj:
+            cross = ((yi > lat) != (yj > lat)) & (
+                lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+            )
+            inside ^= cross
+        j = i
+    return inside
+
+
+def geo_polygon(ds: ray.data.Dataset, poly_lats, poly_lons,
+                lat_col: str = "lat", lon_col: str = "lon") -> ray.data.Dataset:
+    """Docs inside the polygon — LatLonPoint.newPolygonQuery
+    (document/LatLonPoint.java): bounding-box prune, then the exact
+    even-odd test on the surviving points."""
+    min_lat, max_lat = float(min(poly_lats)), float(max(poly_lats))
+    min_lon, max_lon = float(min(poly_lons)), float(max(poly_lons))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        blat = np.asarray(batch.column(lat_col), dtype=np.float64)
+        blon = np.asarray(batch.column(lon_col), dtype=np.float64)
+        mask = _box_mask(blat, blon, min_lat, max_lat, min_lon, max_lon)
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            mask[idx] = point_in_polygon(blat[idx], blon[idx],
+                                         poly_lats, poly_lons)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

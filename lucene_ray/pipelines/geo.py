@@ -79,3 +79,15 @@ def geo_knn_top10(sf_dir: str) -> pa.Table:
     t = geo.geo_knn(customer_points(sf_dir), CENTER_LAT, CENTER_LON, k=10,
                     id_col="c_custkey")
     return t.select(["rank", "c_custkey"])
+
+
+# non-convex chevron (lat, lon) — exercises the even-odd crossing path;
+# vertices picked far from the 0.01-degree derived-point lattice edges
+POLY_LATS = (-10.0, 55.0, -10.0, 20.0)
+POLY_LONS = (-30.0, 0.0, 30.0, 0.0)
+
+
+def geo_polygon_hits(sf_dir: str) -> pa.Table:
+    """Customers inside the pinned chevron polygon, sorted by key
+    (LatLonPoint.newPolygonQuery; even-odd crossing containment)."""
+    return _ids(geo.geo_polygon(customer_points(sf_dir), POLY_LATS, POLY_LONS))

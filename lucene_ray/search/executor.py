@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     ConstantScoreQuery,
     DisMaxQuery,
     GeoDistanceQuery,
+    GeoPolygonQuery,
     IntervalQuery,
     MatchAllQuery,
     MultiPhraseQuery,
@@ -323,6 +324,19 @@ class SegmentScorer:
             if len(idx):
                 d = haversine_m(lat[idx], lon[idx], q.lat, q.lon)
                 mask[idx] = d <= q.radius_m
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, GeoPolygonQuery):
+            from lucene_ray.ops.geo import _box_mask, point_in_polygon
+
+            lat = np.asarray(self.ctx.docvalues(q.lat_col), dtype=np.float64)
+            lon = np.asarray(self.ctx.docvalues(q.lon_col), dtype=np.float64)
+            mask = _box_mask(lat, lon, min(q.poly_lats), max(q.poly_lats),
+                             min(q.poly_lons), max(q.poly_lons))
+            idx = np.flatnonzero(mask)
+            if len(idx):
+                mask[idx] = point_in_polygon(lat[idx], lon[idx],
+                                             q.poly_lats, q.poly_lons)
             docs = np.flatnonzero(mask).astype(np.int64)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericSetQuery):

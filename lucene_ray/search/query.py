@@ -506,6 +506,27 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery(Query):
+    """Docs whose (lat_col, lon_col) doc-values point lies inside the
+    polygon — LatLonPoint.newPolygonQuery (document/LatLonPoint.java) with
+    even-odd crossing containment (geo/Polygon2D.java). Constant score."""
+
+    lat_col: str
+    lon_col: str
+    poly_lats: tuple = ()
+    poly_lons: tuple = ()
+    boost: float = 1.0
+
+    def __init__(self, lat_col: str, lon_col: str, poly_lats, poly_lons,
+                 boost: float = 1.0):
+        object.__setattr__(self, "lat_col", lat_col)
+        object.__setattr__(self, "lon_col", lon_col)
+        object.__setattr__(self, "poly_lats", tuple(float(v) for v in poly_lats))
+        object.__setattr__(self, "poly_lons", tuple(float(v) for v in poly_lons))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """Wraps any query: same hit set, every hit scores ``boost``
     (ConstantScoreQuery.java)."""
@@ -688,7 +709,7 @@ def collect_dv_cols(q: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(q, (NumericRangeQuery, NumericSetQuery, FeatureQuery)):
         out.add(q.col)
-    if isinstance(q, GeoDistanceQuery):
+    if isinstance(q, (GeoDistanceQuery, GeoPolygonQuery)):
         out.add(q.lat_col)
         out.add(q.lon_col)
     if isinstance(q, CoveringQuery):

@@ -211,3 +211,69 @@ def test_geo_pipeline_contract_shapes(ray_session):
     knn = geo_knn_top10(SF)
     assert knn.column("rank").to_pylist() == list(range(1, 11))
     assert knn.schema.names == ["rank", "c_custkey"]
+
+
+def _pip_scalar(y, x, plats, plons):
+    """Scalar even-odd reference (independent loop formulation)."""
+    inside = False
+    n = len(plats)
+    j = n - 1
+    for i in range(n):
+        yi, xi = plats[i], plons[i]
+        yj, xj = plats[j], plons[j]
+        if (yi > y) != (yj > y):
+            if x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                inside = not inside
+        j = i
+    return inside
+
+
+def test_point_in_polygon_chevron():
+    from lucene_ray.ops.geo import point_in_polygon
+
+    # chevron: notch at (20, 0) — (15, 0) is OUTSIDE despite being inside
+    # the convex hull
+    plats = (-10.0, 55.0, -10.0, 20.0)
+    plons = (-30.0, 0.0, 30.0, 0.0)
+    pts = [
+        ((40.0, 0.0), True),    # above the notch
+        ((15.0, 0.0), False),   # inside hull, inside notch -> out
+        ((0.0, -22.0), True),   # left wing (spans lon [-25.4, -20] at lat 0)
+        ((0.0, 22.0), True),    # right wing
+        ((0.0, -15.0), False),  # between notch and left wing
+        ((60.0, 0.0), False),   # above apex
+        ((-20.0, 0.0), False),  # below base
+    ]
+    lat = np.array([p[0][0] for p in pts])
+    lon = np.array([p[0][1] for p in pts])
+    got = point_in_polygon(lat, lon, plats, plons)
+    assert list(got) == [p[1] for p in pts]
+
+
+def test_point_in_polygon_random_vs_scalar():
+    from lucene_ray.ops.geo import point_in_polygon
+
+    rng = np.random.default_rng(3)
+    plats = (-10.0, 55.0, -10.0, 20.0)
+    plons = (-30.0, 0.0, 30.0, 0.0)
+    lat = rng.uniform(-90, 90, 500)
+    lon = rng.uniform(-180, 180, 500)
+    got = point_in_polygon(lat, lon, plats, plons)
+    exp = [_pip_scalar(y, x, plats, plons) for y, x in zip(lat, lon)]
+    assert list(got) == exp
+
+
+def test_geo_polygon_query_executor(geo_index):
+    from lucene_ray.ops.geo import point_in_polygon
+    from lucene_ray.search.query import GeoPolygonQuery
+    from lucene_ray.search.searcher import Searcher
+
+    reader, paths, lat, lon = geo_index
+    plats = (-10.0, 55.0, -10.0, 20.0)
+    plons = (-30.0, 0.0, 30.0, 0.0)
+    q = GeoPolygonQuery("lat", "lon", plats, plons, boost=1.5)
+    td = Searcher(reader).search(q, 10**9, total_hits_threshold=None)
+    got = sorted(_gid_to_path(reader, td.doc_ids))
+    exp = sorted(np.asarray(paths)[point_in_polygon(lat, lon, plats, plons)])
+    assert got == list(exp)
+    assert all(s == np.float32(1.5) for s in td.scores)
