@@ -405,15 +405,17 @@ def _write_baseline_md(result: dict) -> None:
             "1.0 means Ray's pipeline scaled exactly as well as the identical",
             "work without Ray.",
             "",
-            "| run | pipeline eff 8->32 | kernel eff | body eff | pipe/kernel | pipe/body |",
-            "|---|---|---|---|---|---|",
+            "| run | pipeline eff 8->32 | kernel eff | body eff (fork) | body eff (spawn/exec) | pipe/kernel | pipe/fork-body | pipe/spawn-body |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for h in proof:
             lines.append(
                 f"| {h.get('ts', '-')} | {h.get('pipeline_eff_8_32', '-')} | "
                 f"{h.get('micro_eff_8_32', '-')} | {h.get('body_eff_8_32', '-')} | "
+                f"{h.get('spawn_body_eff_8_32', '-')} | "
                 f"{h.get('ratio_pipeline_over_micro', '-')} | "
-                f"{h.get('ratio_pipeline_over_body', '-')} |"
+                f"{h.get('ratio_pipeline_over_body', '-')} | "
+                f"{h.get('ratio_pipeline_over_spawn', '-')} |"
             )
         import statistics as _st
 

@@ -213,6 +213,70 @@ class LMDirichletSimilarity:
         return MultiScorer(self._one(boost, collection_stats, ts) for ts in term_stats)
 
 
+class LMJelinekMercerScorer:
+    """Vectorized Jelinek-Mercer-smoothed language-model scorer:
+    score = boost * log(1 + ((1-lambda)*freq/docLen) / (lambda*p_collection))
+    — double math then one float32 cast, clamped at 0 (SimilarityBase's
+    score pipeline)."""
+
+    __slots__ = ("boost", "mix_over_len", "denom")
+
+    def __init__(self, boost: float, mix_over_len: np.ndarray, denom: float):
+        self.boost = float(boost)
+        self.mix_over_len = mix_over_len  # float64[256]: (1-lambda)/len
+        self.denom = denom  # lambda * collectionProbability (double)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        freqs = np.asarray(freqs, dtype=np.float64)
+        per = self.mix_over_len[np.asarray(norm_bytes, dtype=np.uint8)]
+        s = self.boost * np.log1p(freqs * per / self.denom)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "LMJelinekMercerScorer":
+        return LMJelinekMercerScorer(self.boost * float(boost),
+                                     self.mix_over_len, self.denom)
+
+
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer linear-interpolation smoothing (Zhai & Lafferty 2001)
+    — lucene/core/src/java/org/apache/lucene/search/similarities/
+    LMJelinekMercerSimilarity.java:67-75:
+
+    - p(w|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1)  [LMSimilarity.java:58-63]
+    - score  = boost * log(1 + ((1-lambda)*freq/docLen) / (lambda*p(w|C)))
+
+    lambda in (0, 1]; near 0 acts conjunction-like, near 1 disjunction-like.
+    Fourth implementation through the Similarity seam."""
+
+    def __init__(self, lambda_: float = 0.1):
+        if not (0 < lambda_ <= 1) or math.isnan(lambda_):
+            raise ValueError(f"lambda must be in the range (0 .. 1]: {lambda_}")
+        self.lambda_ = float(lambda_)
+
+    def _one(self, boost, collection_stats, ts) -> LMJelinekMercerScorer:
+        p = (ts.total_term_freq + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
+        with np.errstate(divide="ignore"):
+            mix = (1.0 - self.lambda_) / LENGTH_TABLE.astype(np.float64)
+        # norm byte 0 decodes to docLen 0, which never co-occurs with a
+        # real posting (freq > 0 implies length > 0); pin it to score 0 so
+        # the SimScorer contract stays finite over all 256 norm bytes
+        mix[0] = 0.0
+        return LMJelinekMercerScorer(boost, mix, self.lambda_ * p)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStats,
+        *term_stats: TermStats,
+    ):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts) for ts in term_stats)
+
+
 class BooleanScorer:
     """score = boost for every match, freq and length ignored
     (BooleanSimilarity.java:42-49)."""

@@ -60,18 +60,21 @@ def micro_dps(ncpu: int) -> float:
     return float(r["docs_per_sec"][str(ncpu)])
 
 
-def body_dps(ncpu: int) -> tuple:
+def body_dps(ncpu: int, spawn: bool = False) -> tuple:
     """Full Stage-A body under plain multiprocessing — the no-Ray twin of
     the pipeline's ingest stage (identical per-task work). Pipeline-vs-body
     is the zero-overhead test; body-vs-kernel shows how much of the
     efficiency gap is the host's memory path on the body's IO+allocation
-    profile rather than anything the engine does."""
+    profile rather than anything the engine does. ``spawn`` runs the same
+    body under exec'd (non-fork, no COW page sharing) workers — the process
+    model Ray workers actually use; fork-vs-spawn in the SAME window
+    isolates the host's non-COW process penalty from everything else."""
     env = dict(os.environ, BENCH_CORPUS_ROWS=str(PROOF_ROWS))
-    r = _run_json(
-        [sys.executable, os.path.join(REPO, "scripts", "microbench_invert.py"),
-         "--body", "--levels", str(ncpu)],
-        env,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "microbench_invert.py"),
+           "--body", "--levels", str(ncpu)]
+    if spawn:
+        cmd.append("--spawn")
+    r = _run_json(cmd, env)
     return (float(r["docs_per_sec"][str(ncpu)]),
             r.get("task_ms", {}).get(str(ncpu), {}))
 
@@ -81,10 +84,12 @@ def one_round(rnd: int) -> dict:
     pipe: dict[str, float] = {}
     micro: dict[str, float] = {}
     body: dict[str, float] = {}
+    spawnb: dict[str, float] = {}
     stage_a: dict[str, float] = {}
     stages: dict[str, dict] = {}
     task_ms: dict[str, dict] = {}
     body_ms: dict[str, dict] = {}
+    spawn_ms: dict[str, dict] = {}
     for n in levels:
         r = pipeline_dps(n)
         pipe[str(n)] = float(r["docs_per_sec"])
@@ -95,9 +100,11 @@ def one_round(rnd: int) -> dict:
             stage_a[str(n)] = round(PROOF_ROWS / sa, 1)
         micro[str(n)] = micro_dps(n)
         body[str(n)], body_ms[str(n)] = body_dps(n)
+        spawnb[str(n)], spawn_ms[str(n)] = body_dps(n, spawn=True)
     pipe_eff = pipe["32"] / pipe["8"] / 4
     micro_eff = micro["32"] / micro["8"] / 4
     body_eff = body["32"] / body["8"] / 4
+    spawn_eff = spawnb["32"] / spawnb["8"] / 4
     out = {
         "metric": "scaling_proof_interleaved",
         "corpus_rows": PROOF_ROWS,
@@ -105,14 +112,18 @@ def one_round(rnd: int) -> dict:
         "micro_docs_per_sec": micro,
         "body_docs_per_sec": body,
         "stage_a_docs_per_sec": stage_a,
+        "spawn_body_docs_per_sec": spawnb,
         "pipeline_eff_8_32": round(pipe_eff, 3),
         "micro_eff_8_32": round(micro_eff, 3),
         "body_eff_8_32": round(body_eff, 3),
+        "spawn_body_eff_8_32": round(spawn_eff, 3),
         "ratio_pipeline_over_micro": round(pipe_eff / micro_eff, 3) if micro_eff else None,
         "ratio_pipeline_over_body": round(pipe_eff / body_eff, 3) if body_eff else None,
+        "ratio_pipeline_over_spawn": round(pipe_eff / spawn_eff, 3) if spawn_eff else None,
         "stage_seconds": stages,
         "stage_a_task_ms": task_ms,
         "body_task_ms": body_ms,
+        "spawn_body_task_ms": spawn_ms,
     }
     if stage_a.get("8") and stage_a.get("32"):
         # Ray Stage A vs the identical no-Ray body: the zero-overhead test

@@ -18,6 +18,7 @@ from lucene_ray.search.similarity import (
     ClassicSimilarity,
     CollectionStats,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
     TermStats,
 )
 
@@ -94,8 +95,8 @@ def test_length_table_values():
 @pytest.mark.parametrize(
     "sim",
     [BM25Similarity(), ClassicSimilarity(), LMDirichletSimilarity(),
-     BooleanSimilarity()],
-    ids=["bm25", "classic", "lmdirichlet", "boolean"],
+     LMJelinekMercerSimilarity(), BooleanSimilarity()],
+    ids=["bm25", "classic", "lmdirichlet", "lmjm", "boolean"],
 )
 @pytest.mark.parametrize("stats", CORPUS_SHAPES)
 def test_similarity_contract_all_norms(sim, stats):
@@ -189,8 +190,9 @@ def test_boolean_similarity_scores_boost_only():
 
 
 @pytest.mark.parametrize(
-    "sim", [LMDirichletSimilarity(), BooleanSimilarity()],
-    ids=["lmdirichlet", "boolean"],
+    "sim", [LMDirichletSimilarity(), LMJelinekMercerSimilarity(0.3),
+            BooleanSimilarity()],
+    ids=["lmdirichlet", "lmjm", "boolean"],
 )
 def test_new_similarities_end_to_end_seam(ray_session, built_index, sim):
     """Search through the unchanged engine with each additional similarity
@@ -236,3 +238,24 @@ def test_boost_and_param_validation():
     a = s1.score(np.array([3]), np.array([10]))[0]
     b2 = s2.score(np.array([3]), np.array([10]))[0]
     assert b2 == np.float32(2.0) * a or abs(b2 - 2 * a) < 1e-6
+
+
+def test_lmjelinekmercer_exact_formula():
+    # score = boost*log(1 + ((1-lam)*f/len) / (lam*p)), p=(ttf+1)/(sum+1)
+    # (LMJelinekMercerSimilarity.java:67-75)
+    lam = 0.1
+    sim = LMJelinekMercerSimilarity(lam)
+    stats = CollectionStats(doc_count=100, sum_total_term_freq=9999)
+    scorer = sim.scorer(1.0, stats, TermStats(doc_freq=10, total_term_freq=500))
+    p = (500 + 1.0) / (9999 + 1.0)
+    for freq, nb in [(1, 3), (50, 3), (5, 200), (255, 255)]:
+        ln = float(LENGTH_TABLE[nb])
+        expected = np.float32(math.log(1 + ((1 - lam) * freq / ln) / (lam * p)))
+        got = scorer.score(np.array([freq]), np.array([nb]))[0]
+        assert got == expected, (freq, nb)
+    # lambda = 1: pure collection model, every score is exactly 0
+    flat = LMJelinekMercerSimilarity(1.0).scorer(1.0, stats, TermStats(10, 500))
+    assert flat.score(np.array([100]), np.array([50]))[0] == np.float32(0.0)
+    for bad in (0.0, -0.5, 1.5, float("nan")):
+        with pytest.raises(ValueError):
+            LMJelinekMercerSimilarity(bad)
