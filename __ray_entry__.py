@@ -535,6 +535,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
         ),
+        # FunctionScoreQuery: scores replaced by an expression over _score
+        # and doc values (queries/function surface)
+        "ft_function_score_top10": _q(
+            lambda sf: _score_r6(ft.function_score_topk(
+                sf, "merge", "_score * 0.5 + (n_chars % 97)", 10))
+        ),
         # --- dedup family ---
         "dedup_exact": _q(lambda sf: dedup.exact_dedup(_docs(sf))),
         "dedup_minhash_pairs": _q(
@@ -1987,6 +1993,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # FunctionScoreQuery: float64 expression over (float32 _score, dv),
+    # narrowed once to float32 — same op order as the engine's evaluate
+    out["ft_function_score_top10"] = _bm25_cte(["merge"]) + (
+        ", fs AS (SELECT sc.doc_id, CAST(CAST(sc.s AS DOUBLE) * 0.5 + "
+        "(d.n_chars % 97) AS REAL) AS s FROM sc "
+        "JOIN documents d USING (doc_id)) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM fs) "
         "WHERE rank <= 10 ORDER BY rank"
     )
     out["ft_bm25_top10_bool"] = _bm25_cte(["join", "vector"]) + (

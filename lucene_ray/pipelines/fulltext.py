@@ -326,6 +326,18 @@ def term_hits(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term)))
 
 
+def function_score_topk(sf_dir: str, term: str, source: str,
+                        k: int = 10) -> pa.Table:
+    """Top-k under a FunctionScoreQuery (queries/function/
+    FunctionScoreQuery.java:47): hit set of ``term``, scores REPLACED by the
+    expression (``_score`` binds the term's BM25 score). Single-phase —
+    unlike the two-pass ``expression_rescore`` window, every hit is scored
+    by the formula. Returns (doc_id, rank, score)."""
+    from lucene_ray.search.query import FunctionScoreQuery, TermQuery
+
+    return _scored_topk(sf_dir, FunctionScoreQuery(TermQuery(term), source), k)
+
+
 def covering_hits(sf_dir: str, terms: list[str], min_match: str) -> pa.Table:
     """Hit set of a CoveringQuery (sandbox/search/CoveringQuery.java): docs
     matching at least ``min_match(doc)`` of the term clauses, where

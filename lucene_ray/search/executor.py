@@ -58,6 +58,7 @@ from lucene_ray.search.query import (
     TermInSetQuery,
     TermQuery,
     CoveringQuery,
+    FunctionScoreQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
 )
@@ -348,6 +349,21 @@ class SegmentScorer:
         if isinstance(q, ConstantScoreQuery):
             docs, _ = self.evaluate(q.query)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, FunctionScoreQuery):
+            from lucene_ray.search.expressions import compile_expression
+
+            docs, sub_scores = self.evaluate(q.query)
+            if len(docs) == 0:
+                return _EMPTY
+            expr = compile_expression(q.source)
+            bindings = {
+                v: np.asarray(self.ctx.docvalues(v), dtype=np.float64)[docs]
+                for v in expr.variables if v != "_score"
+            }
+            if "_score" in expr.variables:
+                bindings["_score"] = sub_scores.astype(np.float64)
+            vals = expr.evaluate(bindings)
+            return docs, (vals * np.float64(q.boost)).astype(np.float32)
         if isinstance(q, SynonymQuery):
             return self._eval_synonym(q)
         if isinstance(q, FeatureQuery):

@@ -506,6 +506,21 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Matches the wrapped query's docs but REPLACES their scores with a
+    compiled expression over numeric doc-values columns — the
+    queries/function surface (lucene/queries/src/java/org/apache/lucene/
+    queries/function/FunctionScoreQuery.java:47: "scores ... derived from a
+    DoubleValuesSource"). The variable ``_score`` binds the wrapped query's
+    own score (DoubleValuesSource.SCORES / fromScorer), so boost-by-field
+    composes: ``FunctionScoreQuery(q, "_score * log(1 + n_chars)")``."""
+
+    query: "Query"
+    source: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class GeoPolygonQuery(Query):
     """Docs whose (lat_col, lon_col) doc-values point lies inside the
     polygon — LatLonPoint.newPolygonQuery (document/LatLonPoint.java) with
@@ -657,7 +672,7 @@ def _collect(q: Query, out: set[str]) -> None:
         for c in (*q.must, *q.should, *q.must_not, *q.filter):
             _collect(c, out)
     elif isinstance(q, (ToParentBlockJoinQuery, ToChildBlockJoinQuery,
-                        ConstantScoreQuery)):
+                        ConstantScoreQuery, FunctionScoreQuery)):
         _collect(children(q)[0], out)
     elif isinstance(q, (DisMaxQuery, CoveringQuery)):
         for c in children(q):
@@ -682,7 +697,7 @@ def children(q: Query) -> tuple:
         return (q.child,)
     if isinstance(q, ToChildBlockJoinQuery):
         return (q.parent,)
-    if isinstance(q, ConstantScoreQuery):
+    if isinstance(q, (ConstantScoreQuery, FunctionScoreQuery)):
         return (q.query,)
     if isinstance(q, (DisMaxQuery, CoveringQuery)):
         return q.disjuncts if isinstance(q, DisMaxQuery) else q.queries
@@ -716,6 +731,10 @@ def collect_dv_cols(q: Query) -> set[str]:
         from lucene_ray.search.expressions import compile_expression
 
         out |= set(compile_expression(q.min_match).variables)
+    if isinstance(q, FunctionScoreQuery):
+        from lucene_ray.search.expressions import compile_expression
+
+        out |= set(compile_expression(q.source).variables) - {"_score"}
     for c in children(q):
         out |= collect_dv_cols(c)
     return out

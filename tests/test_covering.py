@@ -91,3 +91,28 @@ def test_covering_formula_minimum(cov_index):
                                        t.column("text").to_pylist())
            if sum(term in text.split() for term in TERMS) >= (k % 2 + 1)}
     assert got == exp
+
+
+def test_function_score_query(cov_index):
+    """FunctionScoreQuery replaces scores with the expression; _score binds
+    the wrapped query's own score (FunctionScoreQuery.java:47)."""
+    from lucene_ray.search.query import FunctionScoreQuery
+
+    _, idx = cov_index
+    s = Searcher(IndexReader(idx))
+    base = s.search(TermQuery("alpha"), 10**9, total_hits_threshold=None)
+    fs = s.search(
+        FunctionScoreQuery(TermQuery("alpha"), "_score * 2.0 + k", boost=1.0),
+        10**9, total_hits_threshold=None)
+    assert sorted(fs.doc_ids.tolist()) == sorted(base.doc_ids.tolist())
+    kv = IndexReader(idx).lookup_docs(base.doc_ids, columns=["doc_id", "k"])
+    kmap = dict(zip(kv.column("doc_id").to_pylist(), kv.column("k").to_pylist()))
+    bmap = dict(zip(base.doc_ids.tolist(), base.scores.tolist()))
+    for g, sc in zip(fs.doc_ids.tolist(), fs.scores.tolist()):
+        exp = np.float32(np.float64(bmap[g]) * 2.0 + kmap[g])
+        assert sc == pytest.approx(float(exp), rel=1e-6)
+    # pure-dv expression ignores the sub-score entirely
+    pure = s.search(FunctionScoreQuery(TermQuery("alpha"), "k * k"),
+                    10**9, total_hits_threshold=None)
+    for g, sc in zip(pure.doc_ids.tolist(), pure.scores.tolist()):
+        assert sc == np.float32(kmap[g] * kmap[g])
