@@ -428,12 +428,29 @@ def _no_probe_ramp():
 
 
 def _tune_allocators() -> None:
-    """Keep freed pages resident in long-lived workers: Arrow's jemalloc
-    decay off (pages retained for reuse). Fresh page faults are expensive on
-    virtualized memory; the inverter's sliced working set then runs entirely
-    in already-faulted pages."""
+    """Keep freed pages resident in long-lived workers. Root-caused on the
+    bench host (BENCH/BASELINE.md "allocator experiment"): pyarrow's default
+    jemalloc pool returns every task's LARGE buffers to the OS on free (oversize
+    allocations bypass the decay=-1 retention), so every Stage-A/C task
+    re-faults ~10^5 pages; on virtualized memory the per-fault cost is both
+    slow and erratic (200ms..6s per task for the SAME fault count), which
+    was the dominant 32-way scaling noise. Fix: route Arrow through glibc
+    (system pool) and pin glibc's trim/mmap thresholds at runtime via
+    mallopt so freed memory stays in the process — steady-state fault count
+    drops to ZERO (profiled: merge_flt 36k -> 0 after the first build).
+    The cost is worker RSS holding its peak working set — bounded by one
+    task's buffers, the deliberate trade for fault-free steady state."""
     try:
-        pa.jemalloc_set_decay_ms(-1)
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(-1, 2**31 - 1)  # M_TRIM_THRESHOLD: never trim
+        libc.mallopt(-3, 2**31 - 1)  # M_MMAP_THRESHOLD: never mmap-per-alloc
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
+    try:
+        pa.jemalloc_set_decay_ms(-1)  # harmless if jemalloc stays unused
     except Exception:
         pass
 
@@ -480,11 +497,21 @@ class _StageA:
                 [*cfg.id_cols, *block, *cfg.index_sort, *cfg.keyword_cols,
                  *cfg.path_cols, cfg.content_col]
             ))
+            if _prof_dir is not None:
+                import resource as _res
+
+                _flt = _res.getrusage(_res.RUSAGE_SELF).ru_minflt
+
             def _mark(name: str) -> None:
-                nonlocal _pt
+                nonlocal _pt, _flt
                 if _prof_dir is not None:
+                    import resource as _res
+
                     now = time.time()
                     _prof[name] = _prof.get(name, 0) + int((now - _pt) * 1000)
+                    f = _res.getrusage(_res.RUSAGE_SELF).ru_minflt
+                    _prof[name + "_flt"] = _prof.get(name + "_flt", 0) + (f - _flt)
+                    _flt = f
                     _pt = now
 
             pf = pq.ParquetFile(spec["file"])
@@ -1436,6 +1463,7 @@ class _StageCTask:
         self._ctx = None
         self._merger = None
         self._hot_set = None
+        self._tuned = False  # tune lazily IN the worker (instance is pickled)
 
     @property
     def ctx(self) -> dict:
@@ -1591,6 +1619,9 @@ class _StageCTask:
         return total_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._tuned:
+            _tune_allocators()  # fault-free steady state (see docstring)
+            self._tuned = True
         out = {"seg": [], "bucket": [], "chunks": []}
         for spec in batch.to_pylist():
             n = self._one(int(spec["seg"]), int(spec["bucket"]),

@@ -76,6 +76,9 @@ class QueryShardActor:
     real serving tier these actors get dedicated nodes instead."""
 
     def __init__(self, index_dir: str, segs: list[int]):
+        from lucene_ray.index.build import _tune_allocators
+
+        _tune_allocators()  # fault-free steady state for decode buffers
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader)
         self.segs = segs
