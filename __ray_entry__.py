@@ -548,6 +548,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # EXACT n-gram Jaccard via prefix filtering (SSJoin/PPJoin) — the
         # oracle-checkable sibling of the MinHash estimate
+        # substring-duplication profile (Lee et al. dedup shape at shingle
+        # granularity): fraction of a doc's distinct 3-gram shingles found
+        # in >= 2 distinct docs
+        "dedup_substring_stats": _q(
+            lambda sf: dedup.substring_dup_stats(_docs(sf), k=3)
+        ),
         "dedup_ngram_jaccard": _q(
             lambda sf: dedup.ngram_jaccard_pairs(_docs(sf), threshold=0.5)
         ),
@@ -813,6 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn_top10": _q(geo_pipe.geo_knn_top10),
         # LatLonPoint.newPolygonQuery: non-convex chevron, even-odd crossing
         "geo_polygon_hits": _q(geo_pipe.geo_polygon_hits),
+        # LatLonPoint.newDistanceFeatureQuery: boost*pivot/(pivot+distance)
+        "geo_distance_feature_top10": _q(geo_pipe.geo_distance_feature_top10),
         # --- intervals (minimal-interval queries, intervals/IntervalQuery) ---
         "ft_interval_ordered_hits": _q(
             lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"])
@@ -1314,6 +1322,21 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT doc_id, 'gamma_or_scan_not_join' FROM s "
         "WHERE doc_id NOT IN (SELECT doc_id FROM j)"
         ") ORDER BY doc_id, query",
+        "dedup_substring_stats": (
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
+            "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl), "
+            "sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s "
+            "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+            "dsh AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "cnt AS (SELECT s, count(*) AS nd FROM dsh GROUP BY s) "
+            "SELECT d.doc_id, count(*)::BIGINT AS n_unique_shingles, "
+            "sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles, "
+            "round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE "
+            "/ count(*), 6) AS dup_fraction "
+            "FROM dsh d JOIN cnt c USING (s) GROUP BY 1 ORDER BY 1"
+        ),
         "text_shingle_top20": (
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
             "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
@@ -1865,6 +1888,13 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn_top10": _GEO_PTS
         + f"SELECT row_number() OVER (ORDER BY d, c_custkey) AS rank, "
         f"c_custkey FROM (SELECT c_custkey, {_GEO_DIST} AS d FROM pts) "
+        "ORDER BY d, c_custkey LIMIT 10",
+        # distance feature: float64 pivot/(pivot+d) narrowed once to float32
+        "geo_distance_feature_top10": _GEO_PTS
+        + f"SELECT row_number() OVER (ORDER BY d, c_custkey) AS rank, "
+        f"c_custkey, round(CAST(CAST(1000000.0 / (1000000.0 + d) AS REAL) "
+        f"AS DOUBLE), 6) AS score_r6 "
+        f"FROM (SELECT c_custkey, {_GEO_DIST} AS d FROM pts) "
         "ORDER BY d, c_custkey LIMIT 10",
         # even-odd crossing count replayed edge-by-edge — identical float64
         # expression shape as ops/geo.point_in_polygon

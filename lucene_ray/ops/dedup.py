@@ -737,3 +737,99 @@ def _embedding_lsh_pairs(ds, threshold, vec_col, id_col, tables, bits, seed,
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _np_i64(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(a, dtype=np.int64)
+
+
+def substring_dup_stats(ds: ray.data.Dataset, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_buckets: int = 64) -> pa.Table:
+    """Per-document substring-duplication profile: the fraction of a doc's
+    DISTINCT k-token shingles that also occur in at least one OTHER
+    document — the scalable proxy for substring-level training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": duplicated-span detection; here at shingle granularity so the
+    exact answer is one shuffle pair, no suffix array).
+
+    Scale shape: (1) map_batches emits DISTINCT (shingle-hash bucket, doc)
+    pair partials; (2) one groupby(bucket) with a vectorized kernel counts
+    distinct docs per shingle and flags each pair; (3) per-(bucket, doc)
+    partial sums (<= n_buckets rows per doc) reduce by doc in a tiny final
+    groupby. No broadcast set, no driver materialization of pairs.
+
+    Returns (doc_id, n_unique_shingles, n_dup_shingles, dup_fraction) for
+    docs with >= 1 shingle, sorted by doc_id.
+    """
+    from lucene_ray.ops.shingles import make_shingles
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from lucene_ray.index.invert import tokenize_column
+
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        sh, docs = make_shingles(flat, doc_idx, k)
+        ids = _np_i64(batch.column(id_col))
+        if len(sh) == 0:
+            return pa.table({"shingle": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64())})
+        t = pa.table({"shingle": sh,
+                      id_col: pa.array(ids[docs], pa.int64())})
+        # a doc never spans batches -> batch-local distinct is global
+        return t.group_by(["shingle", id_col]).aggregate([])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # vectorized crc32 (PYTHONHASHSEED-independent, no per-row Python)
+        from lucene_ray.index.build import _term_crc32
+
+        b = _term_crc32(batch.column("shingle"))
+        return batch.append_column(
+            "__bucket", pa.array((b % n_buckets).astype(np.int32), pa.int32()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int64())})
+        sh = group.column("shingle")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        d = sh.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        sid = np.asarray(d.indices, dtype=np.int64)
+        docs = _np_i64(group.column(id_col))
+        ndocs = np.bincount(sid)  # pairs are distinct (shingle, doc)
+        is_dup = (ndocs[sid] >= 2).astype(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "dup": pa.array(np.bincount(inv, weights=is_dup).astype(np.int64),
+                            pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    out = (
+        partials.groupby(id_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("dup", alias_name="dup"))
+        .to_pandas()
+    )
+    out = out.sort_values(id_col).reset_index(drop=True)
+    n = out["n"].astype("int64")
+    dup = out["dup"].astype("int64")
+    return pa.table({
+        id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+        "n_unique_shingles": pa.array(n.to_numpy(), pa.int64()),
+        "n_dup_shingles": pa.array(dup.to_numpy(), pa.int64()),
+        "dup_fraction": pa.array(
+            np.round(dup.to_numpy() / n.to_numpy(), 6), pa.float64()),
+    })

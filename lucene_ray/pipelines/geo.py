@@ -91,3 +91,24 @@ def geo_polygon_hits(sf_dir: str) -> pa.Table:
     """Customers inside the pinned chevron polygon, sorted by key
     (LatLonPoint.newPolygonQuery; even-odd crossing containment)."""
     return _ids(geo.geo_polygon(customer_points(sf_dir), POLY_LATS, POLY_LONS))
+
+
+PIVOT_M = 1_000_000.0
+
+
+def geo_distance_feature_top10(sf_dir: str) -> pa.Table:
+    """Top-10 customers by the distance-feature score
+    ``boost * pivot / (pivot + haversine)`` (LatLonPoint.
+    newDistanceFeatureQuery, LatLonPointDistanceFeatureQuery.java) from the
+    pinned center with a 1000 km pivot. Returns (rank, c_custkey, score_r6);
+    float64 formula narrowed once to float32, like the executor path."""
+    t = geo.geo_knn(customer_points(sf_dir), CENTER_LAT, CENTER_LON, k=10,
+                    id_col="c_custkey", round_digits=None)
+    d = np.asarray(t.column("dist_m"), dtype=np.float64)
+    score = (PIVOT_M / (PIVOT_M + d)).astype(np.float32)
+    return pa.table({
+        "rank": t.column("rank"),
+        "c_custkey": t.column("c_custkey"),
+        "score_r6": pa.array(np.round(score.astype(np.float64), 6),
+                             pa.float64()),
+    })

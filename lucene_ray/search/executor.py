@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     ConstantScoreQuery,
     DisMaxQuery,
     GeoDistanceQuery,
+    GeoDistanceFeatureQuery,
     GeoPolygonQuery,
     IntervalQuery,
     MatchAllQuery,
@@ -327,6 +328,15 @@ class SegmentScorer:
                 mask[idx] = d <= q.radius_m
             docs = np.flatnonzero(mask).astype(np.int64)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, GeoDistanceFeatureQuery):
+            from lucene_ray.ops.geo import haversine_m
+
+            lat = np.asarray(self.ctx.docvalues(q.lat_col), dtype=np.float64)
+            lon = np.asarray(self.ctx.docvalues(q.lon_col), dtype=np.float64)
+            d = haversine_m(lat, lon, q.lat, q.lon)
+            docs = np.arange(self.ctx.num_docs, dtype=np.int64)
+            scores = (np.float64(q.boost) * q.pivot_m / (q.pivot_m + d))
+            return docs, scores.astype(np.float32)
         if isinstance(q, GeoPolygonQuery):
             from lucene_ray.ops.geo import _box_mask, point_in_polygon
 

@@ -506,6 +506,23 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoDistanceFeatureQuery(Query):
+    """Proximity-boosting feature query — LatLonPoint.newDistanceFeatureQuery
+    (document/LatLonPoint.java:257, LatLonPointDistanceFeatureQuery.java):
+    matches every doc carrying the point, scoring
+    ``boost * pivot_m / (pivot_m + haversine(doc, origin))`` — score decays
+    from ``boost`` at the origin to ``boost/2`` at the pivot distance.
+    Composes as a SHOULD clause next to a scored text query."""
+
+    lat_col: str
+    lon_col: str
+    lat: float = 0.0
+    lon: float = 0.0
+    pivot_m: float = 1000.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
     """Matches the wrapped query's docs but REPLACES their scores with a
     compiled expression over numeric doc-values columns — the
@@ -724,7 +741,8 @@ def collect_dv_cols(q: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(q, (NumericRangeQuery, NumericSetQuery, FeatureQuery)):
         out.add(q.col)
-    if isinstance(q, (GeoDistanceQuery, GeoPolygonQuery)):
+    if isinstance(q, (GeoDistanceQuery, GeoPolygonQuery,
+                      GeoDistanceFeatureQuery)):
         out.add(q.lat_col)
         out.add(q.lon_col)
     if isinstance(q, CoveringQuery):

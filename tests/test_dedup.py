@@ -253,3 +253,44 @@ def test_ngram_jaccard_skew_guard_chains_identical_cluster(ray_session):
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert {(i, i + 1) for i in range(49)} <= pairs
     assert len(pairs) < 50 * 49 // 2
+
+
+def test_substring_dup_stats_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.ops.dedup import substring_dup_stats
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox ran away"),          # shares 'quick brown fox'
+        (2, "totally unique words here friend"),
+        (3, "the quick brown fox jumps again"),     # shares 4-gram prefix
+        (4, "xy"),                                  # too short for k=3
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    out = substring_dup_stats(ray.data.from_arrow(t).repartition(3), k=3)
+
+    # brute force
+    sh_by_doc = {}
+    for did, text in docs:
+        toks = text.split()
+        sh_by_doc[did] = {" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)}
+    from collections import Counter
+
+    counts = Counter(s for v in sh_by_doc.values() for s in v)
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    for did, shs in sh_by_doc.items():
+        if not shs:
+            assert did not in got
+            continue
+        dup = sum(1 for s in shs if counts[s] >= 2)
+        assert got[did]["n_unique_shingles"] == len(shs), did
+        assert got[did]["n_dup_shingles"] == dup, did
+        assert got[did]["dup_fraction"] == round(dup / len(shs), 6)
+    assert any(r["n_dup_shingles"] > 0 for r in out.to_pylist())
+    assert any(r["n_dup_shingles"] == 0 for r in out.to_pylist())

@@ -277,3 +277,32 @@ def test_geo_polygon_query_executor(geo_index):
     exp = sorted(np.asarray(paths)[point_in_polygon(lat, lon, plats, plons)])
     assert got == list(exp)
     assert all(s == np.float32(1.5) for s in td.scores)
+
+
+def test_geo_distance_feature_query_executor(geo_index):
+    from lucene_ray.search.query import BooleanQuery, GeoDistanceFeatureQuery
+    from lucene_ray.search.searcher import Searcher
+
+    reader, paths, lat, lon = geo_index
+    q = GeoDistanceFeatureQuery("lat", "lon", lat=30.0, lon=50.0,
+                                pivot_m=1e6, boost=2.0)
+    td = Searcher(reader).search(q, 10**9, total_hits_threshold=None)
+    assert len(td.doc_ids) == len(paths)  # feature query matches every doc
+    d = haversine_m(lat, lon, 30.0, 50.0)
+    exp = (2.0 * 1e6 / (1e6 + d)).astype(np.float32)
+    got_paths = _gid_to_path(reader, td.doc_ids)
+    exp_by_path = dict(zip(paths, exp))
+    for p, s in zip(got_paths, td.scores):
+        assert s == pytest.approx(float(exp_by_path[p]), rel=1e-6)
+    # composes as a SHOULD clause: score = term score + feature score
+    from lucene_ray.search.query import TermQuery
+
+    term = Searcher(reader).search(TermQuery("merge"), 10**9,
+                                   total_hits_threshold=None)
+    both = Searcher(reader).search(
+        BooleanQuery(must=(TermQuery("merge"),), should=(q,)),
+        10**9, total_hits_threshold=None)
+    t_map = dict(zip(_gid_to_path(reader, term.doc_ids), term.scores))
+    for p, s in zip(_gid_to_path(reader, both.doc_ids), both.scores):
+        assert s == pytest.approx(
+            float(np.float32(t_map[p] + exp_by_path[p])), rel=1e-5)
