@@ -1152,6 +1152,176 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
     return manifest
 
 
+_ADDIDX_COMPAT_KEYS = (
+    "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
+    "max_token_length", "with_positions", "with_offsets", "keyword_cols",
+    "path_cols", "index_sort", "block_col", "compute_sha256", "merge_buckets",
+    "id_cols",
+)
+
+
+def add_indexes(index_dir: str, source_index_dirs: list[str]) -> Manifest:
+    """Merge other lucene_ray indexes into this one — the
+    ``IndexWriter.addIndexes(Directory...)`` analog
+    (lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:3191:
+    "Adds all segments from an array of indexes into this index").
+
+    Analysis/layout configs must be compatible (same tokenizer grammar,
+    filter chain, postings options and merge_buckets — validated, like
+    addIndexes requiring consistent field semantics). The merge is
+    metadata + column rewrites, not re-tokenization: each source
+    partition's durable Stage-A artifacts are re-pid'd into the
+    destination (docmap ``doc_id`` and partials ``pid`` columns rewritten
+    in parallel Ray tasks; doc offsets are partition-local so nothing else
+    changes), source segments join the manifest under fresh seg ids, the
+    source's tombstones / dv-update sidecars are remapped, then Stage B
+    re-aggregates global stats and Stage C encodes ONLY the new segments
+    (reusing the merge operator, exactly as compaction does)."""
+    manifest = Manifest.load(index_dir)
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in manifest.config.items()})
+
+    def _norm(v):
+        return list(v) if isinstance(v, tuple) else v
+
+    new_pids_all: list[int] = []
+    new_seg_ids: list[int] = []
+    rewrite_specs: list[dict] = []
+    for src_dir in source_index_dirs:
+        src = Manifest.load(src_dir)
+        for k in _ADDIDX_COMPAT_KEYS:
+            if _norm(src.config.get(k)) != _norm(manifest.config.get(k)):
+                raise ValueError(
+                    f"incompatible index config {k!r}: "
+                    f"{src.config.get(k)!r} != {manifest.config.get(k)!r}"
+                )
+        if not src.postings_done:
+            raise ValueError(f"source index {src_dir} is not fully built")
+        base_pid = len(manifest.partitions)
+        pid_map = {p["pid"]: base_pid + i
+                   for i, p in enumerate(src.partitions)}
+        for p in src.partitions:
+            q = dict(p)
+            q["pid"] = pid_map[p["pid"]]
+            manifest.partitions.append(q)
+            manifest.partials_done[str(q["pid"])] = dict(
+                src.partials_done.get(str(p["pid"]), {"rows": p["num_rows"],
+                                                      "tokens": 0, "terms": 0})
+            )
+            rewrite_specs.append({
+                "src_dir": src_dir, "old_pid": p["pid"], "new_pid": q["pid"],
+            })
+            new_pids_all.append(q["pid"])
+        base_seg = 1 + max((s["seg"] for s in manifest.segments), default=-1)
+        for j, s in enumerate(src.segments):
+            manifest.segments.append({
+                "seg": base_seg + j,
+                "pids": [pid_map[pid] for pid in s["pids"]],
+                "num_docs": s["num_docs"],
+            })
+            new_seg_ids.append(base_seg + j)
+        # tombstones / dv updates: remap the pid half of each global doc_id
+        for kind, entries in (("tombstones", src.tombstones),
+                              ("dv_updates", src.dv_updates)):
+            for ent in entries:
+                gen_name = ent if kind == "tombstones" else ent["gen"]
+                src_d = os.path.join(src_dir, kind, gen_name)
+                if not os.path.isdir(src_d):
+                    continue
+                import pyarrow.dataset as pads
+
+                t = pads.dataset(src_d, format="parquet").to_table()
+                gids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+                old_pid = (gids >> np.uint64(32)).astype(np.int64)
+                off = gids & np.uint64(0xFFFFFFFF)
+                remap = np.array([pid_map[int(p)] for p in
+                                  np.unique(old_pid)], dtype=np.uint64)
+                lut = dict(zip(np.unique(old_pid).tolist(), remap.tolist()))
+                new_gid = (np.array([lut[int(p)] for p in old_pid],
+                                    dtype=np.uint64) << np.uint64(32)) | off
+                t = t.set_column(t.schema.get_field_index("doc_id"),
+                                 "doc_id", pa.array(new_gid, pa.uint64()))
+                if kind == "tombstones":
+                    n = 1 + max((int(x.split("-")[-1])
+                                 for x in manifest.tombstones),
+                                default=manifest.generation)
+                    gen2 = f"ts-{n:06d}"
+                else:
+                    n = 1 + max((int(e["gen"].split("-")[-1])
+                                 for e in manifest.dv_updates),
+                                default=manifest.generation)
+                    gen2 = f"dvu-{n:06d}"
+                dst_d = os.path.join(index_dir, kind, gen2)
+                os.makedirs(dst_d + ".tmp", exist_ok=True)
+                pq.write_table(t, os.path.join(dst_d + ".tmp", "part-0.parquet"))
+                shutil.rmtree(dst_d, ignore_errors=True)
+                os.replace(dst_d + ".tmp", dst_d)
+                if kind == "tombstones":
+                    manifest.tombstones.append(gen2)
+                else:
+                    manifest.dv_updates.append({**ent, "gen": gen2})
+
+    if not rewrite_specs:
+        return manifest
+
+    class _Repid:
+        """Per-partition column rewrite: docmap doc_id gets the new pid in
+        its high half; partials pid column is replaced. Bucket-sorted row
+        groups are preserved (Stage C's pruned reads rely on them)."""
+
+        def __init__(self, dst_dir: str, compression: str):
+            self.dst = dst_dir
+            self.compression = compression
+            self._tuned = False
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self._tuned:
+                _tune_allocators()
+                self._tuned = True
+            done = []
+            for spec in batch.to_pylist():
+                src_dir, old_pid, new_pid = (spec["src_dir"],
+                                             spec["old_pid"], spec["new_pid"])
+                dm = pq.read_table(docmap_path(src_dir, old_pid))
+                off = np.asarray(dm.column("offset"), dtype=np.uint64)
+                gid = (np.uint64(new_pid) << np.uint64(32)) | off
+                dm = dm.set_column(dm.schema.get_field_index("doc_id"),
+                                   "doc_id", pa.array(gid, pa.uint64()))
+                _atomic_write_table(dm, docmap_path(self.dst, new_pid),
+                                    self.compression, row_group_size=8192)
+                pt = pq.read_table(partials_path(src_dir, old_pid))
+                pt = pt.set_column(
+                    pt.schema.get_field_index("pid"), "pid",
+                    pa.array(np.full(len(pt), new_pid, dtype=np.int32),
+                             pa.int32()),
+                )
+                _atomic_write_bucketed(pt, partials_path(self.dst, new_pid),
+                                       self.compression)
+                done.append(new_pid)
+            return pa.table({"pid": pa.array(done, pa.int64())})
+
+    with _no_probe_ramp():
+        ds = ray.data.from_items(rewrite_specs,
+                                 override_num_blocks=len(rewrite_specs))
+        for _ in ds.map_batches(_Repid(index_dir, cfg.compression),
+                                batch_format="pyarrow",
+                                batch_size=1, num_cpus=1).iter_batches():
+            pass
+
+    manifest.term_stats_done = False
+    manifest.save()
+    _run_stage_b(index_dir, manifest)
+    _run_stage_c(index_dir, manifest, cfg, only_pids=new_pids_all, append=True)
+    manifest.stats = {
+        "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
+        "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
+        "field": cfg.content_col,
+        "stage_seconds": manifest.stats.get("stage_seconds", {}),
+    }
+    manifest.save()
+    return manifest
+
+
 def delete_by_term(index_dir: str, col: str, values: list) -> Manifest:
     """Delete every document whose stored field ``col`` is in ``values`` —
     the ``IndexWriter.deleteDocuments(Term...)`` analog
