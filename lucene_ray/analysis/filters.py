@@ -95,6 +95,24 @@ class EdgeNGramFilter(TokenFilter):
         return tuple(term[:n] for n in range(self.min_gram, top + 1))
 
 
+class StemKeepOriginalFilter(TokenFilter):
+    """The KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    chain (lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    miscellaneous/KeywordRepeatFilter.java:29 — "emit each incoming token
+    twice, one ... keyword and once non-keyword", the keyword copy passing
+    through the stemmer unchanged, then RemoveDuplicatesTokenFilter.java
+    collapsing same-position duplicates): every token is indexed in BOTH
+    its original and stemmed form at the same position, so exact-form and
+    stemmed queries both match. The injected stem is position-increment-0
+    (does not count toward field length), matching the chain's norms."""
+
+    spec = ("stem_keep_original",)
+
+    def synonyms(self, term: str) -> tuple:
+        st = porter_stem(term)
+        return (st,) if st != term else ()
+
+
 _SOUNDEX_CODE = {c: d for c, d in zip("abcdefghijklmnopqrstuvwxyz",
                                       "01230120022455012623010202")}
 
@@ -161,6 +179,8 @@ def build_filters(specs) -> tuple:
         kind = spec[0]
         if kind == "porter_stem":
             out.append(PorterStemFilter())
+        elif kind == "stem_keep_original":
+            out.append(StemKeepOriginalFilter())
         elif kind == "ascii_fold":
             out.append(AsciiFoldingFilter())
         elif kind == "synonyms":

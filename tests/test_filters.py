@@ -101,3 +101,33 @@ def test_invert_edge_ngram_positions_match_source():
         grams.column("pos_enc")[by_term["bb"]].as_py()
         == grams.column("pos_enc")[by_term["bbb"]].as_py()
     )
+
+
+def test_stem_keep_original():
+    """KeywordRepeatFilter + Porter + RemoveDuplicates chain: original AND
+    stem indexed at the same position; identical forms not duplicated."""
+    docs = pa.array(["running dogs run", "runs"], pa.string())
+    t, lengths, norms = invert_partition(
+        docs, token_filters=build_filters((("stem_keep_original",),))
+    )
+    terms = t.column("term").to_pylist()
+    by = {tm: i for i, tm in enumerate(terms)}
+    # originals survive
+    assert {"running", "dogs", "runs"} <= set(terms)
+    # stems injected: running->run, dogs->dog, runs->run
+    assert "run" in by and "dog" in by
+    # 'run' occurrences: doc0 original (pos 2) + doc0 stem of running (pos 0)
+    # + doc1 stem of runs (pos 0) -> df counts both docs
+    assert t.column("df")[by["run"]].as_py() == 2
+    assert t.column("ttf")[by["run"]].as_py() == 3
+    # stem sits at the SAME position as its source (pos-inc 0)
+    assert t.column("pos_enc")[by["dog"]].as_py() == \
+        t.column("pos_enc")[by["dogs"]].as_py()
+    # field lengths unchanged by injection (numOverlap discount)
+    plain, lengths0, _ = invert_partition(docs)
+    assert np.array_equal(lengths, lengths0)
+    # identical stem==original never double-counted: 'run' in doc0 appears
+    # once as original; its stem equals itself and is not re-injected
+    plain_terms = plain.column("term").to_pylist()
+    i0 = plain_terms.index("run")
+    assert plain.column("ttf")[i0].as_py() == 1
