@@ -134,7 +134,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "events_signup_followups", "classify_nb_lang",
                      "text_redact_pii", "pack_sequences", "pack_greedy",
                      "ft_synonym_query_top10", "ft_surround_w_hits",
-                     "classify_knn_doc7", "rescore_query_top10"]:
+                     "classify_knn_doc7", "rescore_query_top10",
+                     "text_wdf_token_stats", "dedup_substring_stats",
+                     "ft_facet_dynamic_ranges", "ft_covering_hits",
+                     "ft_blockjoin_children", "geo_polygon_hits",
+                     "events_windowed_top3", "ft_function_score_top10"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
@@ -337,8 +341,9 @@ def _write_baseline_md(result: dict) -> None:
         f"- host: {platform.machine()}, ray {ray.__version__}, pyarrow {pyarrow.__version__}, "
         f"numpy {numpy.__version__}",
         "- protocol: same input + partition plan at every level; fresh ray.init per",
-        "  process; untimed warm-up build before each timed one; best-of-2",
-        "  interleaved per run; table below = per-level best across all recorded",
+        "  process; TWO untimed warm-up builds before each timed one (steady",
+        "  allocator state arrives at the third build); best-of-2 interleaved
+  per run; table below = per-level best across all recorded",
         "  runs (this VM's timing noise is several-fold run-to-run).",
         "",
         "| num_cpus | best build sec | best docs/sec | best query p50 sec |",
