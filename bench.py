@@ -342,8 +342,8 @@ def _write_baseline_md(result: dict) -> None:
         f"numpy {numpy.__version__}",
         "- protocol: same input + partition plan at every level; fresh ray.init per",
         "  process; TWO untimed warm-up builds before each timed one (steady",
-        "  allocator state arrives at the third build); best-of-2 interleaved
-  per run; table below = per-level best across all recorded",
+        "  allocator state arrives at the third build); best-of-2 interleaved",
+        "  per run; table below = per-level best across all recorded",
         "  runs (this VM's timing noise is several-fold run-to-run).",
         "",
         "| num_cpus | best build sec | best docs/sec | best query p50 sec |",
