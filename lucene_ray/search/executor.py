@@ -60,6 +60,7 @@ from lucene_ray.search.query import (
     TermQuery,
     CoveringQuery,
     FunctionScoreQuery,
+    ParentChildrenBlockJoinQuery,
     ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
 )
@@ -302,6 +303,26 @@ class SegmentScorer:
             return self._eval_blockjoin(q)
         if isinstance(q, ToChildBlockJoinQuery):
             return self._eval_tochild(q)
+        if isinstance(q, ParentChildrenBlockJoinQuery):
+            parents = self.ctx.parents
+            if parents is None:
+                raise ValueError(
+                    "ParentChildrenBlockJoinQuery requires an index built "
+                    "with IndexConfig.block_col (index-time doc blocks)"
+                )
+            # global parent id -> this segment's local doc index (ascending
+            # global_ids); a parent living in another segment yields no hits
+            gids = np.asarray(self.ctx.global_ids, dtype=np.uint64)
+            gpos = int(np.searchsorted(gids, np.uint64(q.parent_gid)))
+            if gpos >= len(gids) or gids[gpos] != np.uint64(q.parent_gid):
+                return _EMPTY
+            ppos = int(np.searchsorted(parents, np.int64(gpos)))
+            if ppos >= len(parents) or parents[ppos] != gpos:
+                return _EMPTY  # the given doc is not a block-last parent
+            cd, cs = self.evaluate(q.child)
+            lo = parents[ppos - 1] + 1 if ppos > 0 else 0
+            keep = (cd >= lo) & (cd < gpos)
+            return cd[keep], cs[keep] * np.float32(q.boost)
         if isinstance(q, CoveringQuery):
             return self._eval_covering(q)
         if isinstance(q, DisMaxQuery):

@@ -157,6 +157,19 @@ class ToChildBlockJoinQuery(Query):
 
 
 @dataclass(frozen=True)
+class ParentChildrenBlockJoinQuery(Query):
+    """Children of ONE given parent doc that match the child query, with
+    the child query's own scores — lucene/join/src/java/org/apache/lucene/
+    search/join/ParentChildrenBlockJoinQuery.java:39 ("return the matching
+    children of a specific parent", the UI expand-one-group query).
+    ``parent`` is the parent's global doc id (a block-LAST doc)."""
+
+    parent_gid: int
+    child: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """Matches docs where the number of matching sub-queries is >= a
     PER-DOCUMENT minimum (lucene/sandbox/src/java/org/apache/lucene/
@@ -689,7 +702,8 @@ def _collect(q: Query, out: set[str]) -> None:
         for c in (*q.must, *q.should, *q.must_not, *q.filter):
             _collect(c, out)
     elif isinstance(q, (ToParentBlockJoinQuery, ToChildBlockJoinQuery,
-                        ConstantScoreQuery, FunctionScoreQuery)):
+                        ParentChildrenBlockJoinQuery, ConstantScoreQuery,
+                        FunctionScoreQuery)):
         _collect(children(q)[0], out)
     elif isinstance(q, (DisMaxQuery, CoveringQuery)):
         for c in children(q):
@@ -714,6 +728,8 @@ def children(q: Query) -> tuple:
         return (q.child,)
     if isinstance(q, ToChildBlockJoinQuery):
         return (q.parent,)
+    if isinstance(q, ParentChildrenBlockJoinQuery):
+        return (q.child,)
     if isinstance(q, (ConstantScoreQuery, FunctionScoreQuery)):
         return (q.query,)
     if isinstance(q, (DisMaxQuery, CoveringQuery)):

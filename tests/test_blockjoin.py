@@ -195,17 +195,17 @@ def test_tochild_matches_bruteforce(block_index):
         if fl:
             blocks.append((start, i))
             start = i + 1
-    parent_hits = s.search(TermQuery("merge"), 10**9, total_hits_threshold=None)
+    parent_hits = s.search(TermQuery("import"), 10**9, total_hits_threshold=None)
     pscore = dict(zip(parent_hits.doc_ids.tolist(), parent_hits.scores.tolist()))
     exp = {}
     for a, b in blocks:
         if gids[b] in pscore:  # only block-LAST hits act as parents
             for i in range(a, b):
                 exp[gids[i]] = np.float32(pscore[gids[b]])
-    td = s.search(ToChildBlockJoinQuery(TermQuery("merge")), 10**9,
+    td = s.search(ToChildBlockJoinQuery(TermQuery("import")), 10**9,
                   total_hits_threshold=None)
     got = dict(zip(td.doc_ids.tolist(), td.scores.tolist()))
-    assert set(got) == set(exp)
+    assert set(got) == set(exp) and len(got) > 0
     for g in exp:
         assert got[g] == pytest.approx(float(exp[g]), rel=1e-6)
 
@@ -222,3 +222,51 @@ def test_tochild_requires_block_index(ray_session, tmp_path_factory):
         Searcher(IndexReader(idx)).search(
             ToChildBlockJoinQuery(TermQuery("merge")), 10,
             total_hits_threshold=None)
+
+
+def test_parent_children_block_join(block_index):
+    """ParentChildrenBlockJoinQuery: children of ONE parent matching the
+    child query, child scores (ParentChildrenBlockJoinQuery.java:39)."""
+    from lucene_ray.search.query import (
+        ParentChildrenBlockJoinQuery,
+        ToChildBlockJoinQuery,
+    )
+
+    _, idx = block_index
+    reader = IndexReader(idx)
+    s = Searcher(reader)
+    # pick a parent: any hit of the to-parent query
+    ptd = s.search(ToParentBlockJoinQuery(TermQuery("import"), "count"),
+                   10**9, total_hits_threshold=None)
+    assert len(ptd.doc_ids)
+    parent = int(ptd.doc_ids[0])
+
+    td = s.search(ParentChildrenBlockJoinQuery(parent, TermQuery("import")),
+                  10**9, total_hits_threshold=None)
+    # brute: child hits inside that parent's block
+    child = s.search(TermQuery("import"), 10**9, total_hits_threshold=None)
+    dm = pq.read_table(docmap_path(idx, 0))
+    gids = dm.column("doc_id").to_pylist()
+    last = dm.column("block_last").to_pylist()
+    blocks, start = [], 0
+    for i, fl in enumerate(last):
+        if fl:
+            blocks.append((start, i))
+            start = i + 1
+    want = {}
+    cmap = dict(zip(child.doc_ids.tolist(), child.scores.tolist()))
+    for a, b in blocks:
+        if gids[b] == parent:
+            for i in range(a, b):
+                if gids[i] in cmap:
+                    want[gids[i]] = cmap[gids[i]]
+    got = dict(zip(td.doc_ids.tolist(), td.scores.tolist()))
+    assert set(got) == set(want) and len(got) > 0 or not want
+    for g, sc in got.items():
+        assert sc == pytest.approx(float(want[g]), rel=1e-6)
+    # a non-parent doc id yields no hits
+    non_parent = next(g for g in gids if g not in {gids[b] for _, b in blocks})
+    empty = s.search(ParentChildrenBlockJoinQuery(int(non_parent),
+                                                  TermQuery("import")),
+                     10**9, total_hits_threshold=None)
+    assert len(empty.doc_ids) == 0
