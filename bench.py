@@ -485,10 +485,20 @@ def _write_baseline_md(result: dict) -> None:
         "| post-fix 1 | 0.584 | 0.755 | 0.811 | 0.185 | 0.773 |",
         "| post-fix 2 | 0.568 | 0.718 | 0.553 | 0.597 | 0.792 |",
         "| post-fix 3 | 0.609 | 0.719 | 0.533 | 0.459 | 0.847 |",
+        "| post-fix 4* | 0.484 | 0.730 | 0.610 | 0.546 | 0.663 |",
+        "| post-fix 5 | 0.787 | 0.880 | 0.675 | 0.837 | 0.895 |",
+        "| post-fix 6 | 0.539 | 0.711 | - | - | 0.758 |",
+        "| post-fix 7 | 0.468 | 0.572 | 0.728 | 0.750 | 0.817 |",
+        "| post-fix 8 | 0.597 | 0.686 | 0.585 | 0.451 | 0.870 |",
         "",
-        "The pipeline now matches or exceeds the IDENTICAL-work no-Ray",
-        "bodies' efficiency in most windows and sits within ~15-23% of the",
-        "cache-friendly pure-invert kernel. The earlier process-model",
+        "(*a concurrent test-suite run polluted round 4's pipeline sample.)",
+        "Across the 7 clean post-fix rounds the pipeline runs at a median",
+        "0.817 / best 0.895 of the SAME-WINDOW pure-kernel efficiency, and",
+        "matches or exceeds the identical-work no-Ray bodies in most",
+        "windows; best absolute 141,007 docs/s @32 (round 5) and best",
+        "pipeline efficiency 0.787. The residual spread tracks the host's",
+        "window state (the kernel itself swings 0.57-0.88), not the",
+        "engine. The earlier process-model",
         "experiment (fork COW 0.915/cpu-inflation 1.10x vs spawn/exec",
         "0.556/1.53x, same window, BENCH/microbench.jsonl start_method",
         "rows) plus the fault-cost drift are the host effects that remain:",
