@@ -175,13 +175,29 @@ def point_in_polygon(lat, lon, poly_lats, poly_lons) -> np.ndarray:
     return inside
 
 
+def point_in_rings(lat, lon, rings) -> np.ndarray:
+    """Even-odd containment over a polygon WITH HOLES (geo/Polygon.java:
+    ``Polygon(lats, lons, Polygon... holes)``): the crossing parities of
+    every ring XOR together, so a point inside the outer ring but inside a
+    hole is outside. ``rings`` = [(lats, lons), ...], outer first."""
+    inside = np.zeros(len(np.asarray(lat)), dtype=bool)
+    for r_lats, r_lons in rings:
+        inside ^= point_in_polygon(lat, lon, r_lats, r_lons)
+    return inside
+
+
 def geo_polygon(ds: ray.data.Dataset, poly_lats, poly_lons,
-                lat_col: str = "lat", lon_col: str = "lon") -> ray.data.Dataset:
+                lat_col: str = "lat", lon_col: str = "lon",
+                holes=()) -> ray.data.Dataset:
     """Docs inside the polygon — LatLonPoint.newPolygonQuery
     (document/LatLonPoint.java): bounding-box prune, then the exact
-    even-odd test on the surviving points."""
+    even-odd test on the surviving points. ``holes``: optional inner
+    rings [(lats, lons), ...] excluded from the match (Polygon holes)."""
     min_lat, max_lat = float(min(poly_lats)), float(max(poly_lats))
     min_lon, max_lon = float(min(poly_lons)), float(max(poly_lons))
+    rings = [(tuple(poly_lats), tuple(poly_lons))] + [
+        (tuple(a), tuple(b)) for a, b in holes
+    ]
 
     def keep(batch: pa.Table) -> pa.Table:
         blat = np.asarray(batch.column(lat_col), dtype=np.float64)
@@ -189,8 +205,7 @@ def geo_polygon(ds: ray.data.Dataset, poly_lats, poly_lons,
         mask = _box_mask(blat, blon, min_lat, max_lat, min_lon, max_lon)
         idx = np.flatnonzero(mask)
         if len(idx):
-            mask[idx] = point_in_polygon(blat[idx], blon[idx],
-                                         poly_lats, poly_lons)
+            mask[idx] = point_in_rings(blat[idx], blon[idx], rings)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -359,7 +359,7 @@ class SegmentScorer:
             scores = (np.float64(q.boost) * q.pivot_m / (q.pivot_m + d))
             return docs, scores.astype(np.float32)
         if isinstance(q, GeoPolygonQuery):
-            from lucene_ray.ops.geo import _box_mask, point_in_polygon
+            from lucene_ray.ops.geo import _box_mask, point_in_rings
 
             lat = np.asarray(self.ctx.docvalues(q.lat_col), dtype=np.float64)
             lon = np.asarray(self.ctx.docvalues(q.lon_col), dtype=np.float64)
@@ -367,8 +367,8 @@ class SegmentScorer:
                              min(q.poly_lons), max(q.poly_lons))
             idx = np.flatnonzero(mask)
             if len(idx):
-                mask[idx] = point_in_polygon(lat[idx], lon[idx],
-                                             q.poly_lats, q.poly_lons)
+                rings = [(q.poly_lats, q.poly_lons), *q.holes]
+                mask[idx] = point_in_rings(lat[idx], lon[idx], rings)
             docs = np.flatnonzero(mask).astype(np.int64)
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, NumericSetQuery):

@@ -560,14 +560,18 @@ class GeoPolygonQuery(Query):
     lon_col: str
     poly_lats: tuple = ()
     poly_lons: tuple = ()
+    holes: tuple = ()  # inner rings ((lats, lons), ...) — Polygon holes
     boost: float = 1.0
 
     def __init__(self, lat_col: str, lon_col: str, poly_lats, poly_lons,
-                 boost: float = 1.0):
+                 holes=(), boost: float = 1.0):
         object.__setattr__(self, "lat_col", lat_col)
         object.__setattr__(self, "lon_col", lon_col)
         object.__setattr__(self, "poly_lats", tuple(float(v) for v in poly_lats))
         object.__setattr__(self, "poly_lons", tuple(float(v) for v in poly_lons))
+        object.__setattr__(self, "holes", tuple(
+            (tuple(float(v) for v in a), tuple(float(v) for v in b))
+            for a, b in holes))
         object.__setattr__(self, "boost", boost)
 
 

@@ -306,3 +306,30 @@ def test_geo_distance_feature_query_executor(geo_index):
     for p, s in zip(_gid_to_path(reader, both.doc_ids), both.scores):
         assert s == pytest.approx(
             float(np.float32(t_map[p] + exp_by_path[p])), rel=1e-5)
+
+
+def test_polygon_with_holes(geo_index):
+    """Polygon holes (geo/Polygon.java Polygon(lats, lons, holes...)): a
+    point inside the outer ring but inside a hole is NOT a match."""
+    from lucene_ray.ops.geo import point_in_rings
+    from lucene_ray.search.query import GeoPolygonQuery
+    from lucene_ray.search.searcher import Searcher
+
+    outer = ((-40.0, 40.0, 40.0, -40.0), (-40.0, -40.0, 40.0, 40.0))
+    hole = ((-15.0, 15.0, 15.0, -15.0), (-15.0, -15.0, 15.0, 15.0))
+    pts = np.array([[0.0, 0.0],     # in hole -> out
+                    [20.0, 20.0],   # in outer, outside hole -> in
+                    [50.0, 0.0]])   # outside outer -> out
+    got = point_in_rings(pts[:, 0], pts[:, 1], [outer, hole])
+    assert got.tolist() == [False, True, False]
+
+    reader, paths, lat, lon = geo_index
+    q = GeoPolygonQuery("lat", "lon", outer[0], outer[1], holes=(hole,))
+    td = Searcher(reader).search(q, 10**9, total_hits_threshold=None)
+    exp_mask = point_in_rings(lat, lon, [outer, hole])
+    exp = sorted(np.asarray(paths)[exp_mask])
+    got_paths = sorted(_gid_to_path(reader, td.doc_ids))
+    assert got_paths == list(exp) and len(got_paths) > 0
+    # and some doc exists in the hole (the hole actually excludes docs)
+    in_outer = point_in_rings(lat, lon, [outer])
+    assert in_outer.sum() > exp_mask.sum()
