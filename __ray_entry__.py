@@ -586,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text.doc_token_stats(_wdf_decorated(sf),
                                             grammar="word_delimiter")
         ),
+        # CCNet-style LM quality scoring: mean Laplace-smoothed unigram
+        # log-prob under a reference-subcorpus (lang='en') model
+        "text_lm_quality": _q(lambda sf: text.unigram_lm_score(_docs(sf))),
         "text_quality": _q(lambda sf: text.quality_score(_docs(sf))),
         "text_langid": _q(lambda sf: text.lang_id(_docs(sf))),
         "text_bpe_token_count": _q(lambda sf: text.bpe_token_count(_docs(sf))),
@@ -1322,6 +1325,24 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT doc_id, 'gamma_or_scan_not_join' FROM s "
         "WHERE doc_id NOT IN (SELECT doc_id FROM j)"
         ") ORDER BY doc_id, query",
+        # unigram LM with Laplace smoothing: p(tok) = (cnt+1)/(total+V)
+        # over the lang='en' reference; unseen tokens take cnt=0 (the same
+        # formula), so a LEFT JOIN + coalesce replays the engine exactly
+        "text_lm_quality": (
+            f"WITH tl AS (SELECT doc_id, {_TOKLIST} AS l FROM documents), "
+            "t AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+            "ref AS (SELECT tok, count(*)::BIGINT AS n FROM t "
+            "JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY tok), "
+            "tot AS (SELECT sum(n) AS total, count(*) AS v FROM ref), "
+            "sc AS (SELECT t.doc_id, ln((coalesce(r.n, 0) + 1)::DOUBLE "
+            "/ (tot.total + tot.v)) AS lp FROM t "
+            "LEFT JOIN ref r USING (tok) CROSS JOIN tot), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "round(avg(lp), 6) AS avg_logprob FROM sc GROUP BY doc_id) "
+            "SELECT tl.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, "
+            "coalesce(a.avg_logprob, 0.0) AS avg_logprob "
+            "FROM tl LEFT JOIN agg a USING (doc_id) ORDER BY tl.doc_id"
+        ),
         "dedup_substring_stats": (
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
             "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "

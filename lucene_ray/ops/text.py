@@ -301,3 +301,81 @@ class BpeishCounter:
 
 def bpe_token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(BpeishCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def unigram_lm_score(ds: ray.data.Dataset, ref_col: str = "lang",
+                     ref_value: str = "en", text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Language-model quality scoring (the CCNet-style corpus-filtering
+    signal: score every document by a reference-corpus LM; here a unigram
+    model with Laplace smoothing, so the whole computation has an exact SQL
+    twin). Two passes, both scale-shaped:
+
+    1. token counts over the REFERENCE subset (``ref_col == ref_value``):
+       per-batch partial counts -> one vocabulary-sized groupby;
+    2. the (token -> log p) table is broadcast via ``ray.put`` (read once
+       per worker, vocabulary-bounded) and every doc gets
+       ``mean(log((cnt(tok)+1) / (total + V)))`` over its tokens — unseen
+       tokens take cnt=0, i.e. the same formula.
+
+    Returns (id, n_tokens, avg_logprob) sorted by id; docs with zero
+    tokens score 0.0.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from lucene_ray.index.invert import tokenize_column
+
+    def ref_counts(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch.column(ref_col), ref_value))
+        if len(sub) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat, _d, _p = tokenize_column(sub.column(text_col))
+        t = pa.table({"tok": flat}).group_by("tok").aggregate([("tok", "count")])
+        return t.rename_columns(["tok", "n"])
+
+    from ray.data.aggregate import Sum
+
+    vt = (
+        ds.map_batches(ref_counts, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized, not corpus-sized
+    )
+    total = int(vt["n"].sum())
+    v_size = len(vt)
+    denom = float(total + v_size)
+    logp = {t: math.log((int(n) + 1) / denom)
+            for t, n in zip(vt["tok"], vt["n"])}
+    oov = math.log(1.0 / denom)
+    ref = _ray.put((logp, oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp_map, lp_oov = _ray.get(ref)
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        n = len(batch)
+        cnt = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(flat):
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            vocab = d.dictionary.to_pylist()  # batch-vocab-sized Python
+            lp = np.array([lp_map.get(t, lp_oov) for t in vocab],
+                          dtype=np.float64)
+            per_tok = lp[np.asarray(d.indices, dtype=np.int64)]
+            sums = np.bincount(doc_idx, weights=per_tok, minlength=n)
+        else:
+            sums = np.zeros(n, dtype=np.float64)
+        avg = np.divide(sums, cnt, out=np.zeros(n, dtype=np.float64),
+                        where=cnt > 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(cnt, pa.int64()),
+            "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(id_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -140,3 +140,41 @@ def test_select_token_budget(ray_session):
     # huge budget keeps everything (empty docs excluded by construction)
     kept_all = select_token_budget(ds, 10**9)
     assert kept_all.column("doc_id").to_pylist() == [1, 2, 3, 4]
+
+
+def test_unigram_lm_score_hand_checked(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_ray.ops.text import unigram_lm_score
+
+    docs = [
+        (0, "en", "the cat sat"),
+        (1, "en", "the dog sat"),
+        (2, "fr", "le chien"),        # OOV-heavy under the en model
+        (3, "fr", "the cat"),         # in-vocab despite fr label
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string()),
+    })
+    out = unigram_lm_score(ray.data.from_arrow(t).repartition(2))
+    # reference counts over en docs: the:2 cat:1 sat:2 dog:1 -> total 6, V 4
+    denom = 6 + 4
+    lp = {"the": math.log(3 / denom), "cat": math.log(2 / denom),
+          "sat": math.log(3 / denom), "dog": math.log(2 / denom)}
+    oov = math.log(1 / denom)
+    exp = {
+        0: (lp["the"] + lp["cat"] + lp["sat"]) / 3,
+        1: (lp["the"] + lp["dog"] + lp["sat"]) / 3,
+        2: (oov + oov) / 2,
+        3: (lp["the"] + lp["cat"]) / 2,
+    }
+    got = {r["doc_id"]: r["avg_logprob"] for r in out.to_pylist()}
+    for did, e in exp.items():
+        assert got[did] == round(e, 6), did
+    # the OOV-heavy doc scores strictly worse than the in-vocab ones
+    assert got[2] < min(got[0], got[1], got[3])
