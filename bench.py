@@ -490,15 +490,20 @@ def _write_baseline_md(result: dict) -> None:
         "| post-fix 6 | 0.539 | 0.711 | - | - | 0.758 |",
         "| post-fix 7 | 0.468 | 0.572 | 0.728 | 0.750 | 0.817 |",
         "| post-fix 8 | 0.597 | 0.686 | 0.585 | 0.451 | 0.870 |",
+        "| post-fix 9 | 0.351 | 0.679 | 0.788 | 0.807 | 0.517 |",
+        "| post-fix 10 | 0.375 | 0.671 | 0.674 | 0.331 | 0.559 |",
         "",
         "(*a concurrent test-suite run polluted round 4's pipeline sample.)",
-        "Across the 7 clean post-fix rounds the pipeline runs at a median",
-        "0.817 / best 0.895 of the SAME-WINDOW pure-kernel efficiency, and",
-        "matches or exceeds the identical-work no-Ray bodies in most",
+        "Across the 9 clean post-fix rounds the pipeline runs at a median",
+        "0.792 / best 0.895 of the SAME-WINDOW pure-kernel efficiency, and",
+        "matches or exceeds the identical-work no-Ray bodies in several",
         "windows; best absolute 141,007 docs/s @32 (round 5) and best",
         "pipeline efficiency 0.787. The residual spread tracks the host's",
-        "window state (the kernel itself swings 0.57-0.88), not the",
-        "engine. The earlier process-model",
+        "window state, not the engine: in rounds 9-10 every twin degraded",
+        "together (kernel 0.67-0.68, spawn body swinging 0.81 -> 0.33",
+        "between consecutive rounds) and Stage-A per-task CPU TIME doubled",
+        "at 32-way with zero minor faults — raw memory-path cycles on a",
+        "drifting virtualized host. The earlier process-model",
         "experiment (fork COW 0.915/cpu-inflation 1.10x vs spawn/exec",
         "0.556/1.53x, same window, BENCH/microbench.jsonl start_method",
         "rows) plus the fault-cost drift are the host effects that remain:",
