@@ -756,6 +756,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- similarity search ---
         "ann_cosine_top10": _q(_ann),
+        # corpus clustering (spherical k-means, deterministic seeded init;
+        # iterative — no SQL twin, validated by tests/test_cluster.py)
+        "ann_cluster_embeddings": _q(
+            lambda sf: ann.cluster_embeddings(_emb(sf), n_clusters=8)
+        ),
         "ann_ivf_top10": _q(_ann_ivf),
         # product quantization (Jegou et al. TPAMI 2011): ADC scan over
         # M-byte codes + exact float rescore; rows-only (recall-oracle

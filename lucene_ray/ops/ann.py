@@ -322,3 +322,63 @@ class IvfIndex:
                         elif name == self.vec_col:
                             fb += col.total_compressed_size
         return qb, fb
+
+
+def cluster_embeddings(ds: ray.data.Dataset, n_clusters: int = 8,
+                       iters: int = 6, vec_col: str = "embedding",
+                       id_col: str = "vec_id", seed: int = 42) -> pa.Table:
+    """Corpus clustering over an embedding column — the topic-bucketing /
+    mixture-construction op of a training-data pipeline (and the same
+    spherical k-means the IVF coarse quantizer trains with): deterministic
+    seeded init, E-steps as mergeable per-batch partial sums through
+    ``map_batches``, M-step on the driver (centroid-sized state only),
+    then one assignment pass. Returns (id, cluster, sim) sorted by id —
+    ``sim`` is the cosine to the assigned centroid."""
+    sample = ds.limit(max(n_clusters * 8, 256)).to_pandas()
+    mat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)),
+                          replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def estep(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_list_matrix(batch.column(vec_col)))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(estep, batch_format="pyarrow").to_pandas()
+        news = np.zeros_like(cent)
+        newc = np.zeros(len(cent), dtype=np.int64)
+        for _, r in parts.iterrows():
+            news[r["cid"]] += np.asarray(r["vsum"])
+            newc[r["cid"]] += r["count"]
+        nz = newc > 0
+        cent[nz] = _normalize(news[nz] / newc[nz, None])
+
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_list_matrix(batch.column(vec_col)))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "sim": pa.array(np.round(sims[np.arange(len(a)), a], 6),
+                            pa.float64()),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(id_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
