@@ -77,6 +77,42 @@ def _bm25_cte(terms: list[str]) -> str:
         "ninv.ninv) AS s FROM tf JOIN idfs USING (tok) JOIN ninv USING (doc_id)) "
     )
 
+# derived HEAD text-field token list (pipelines/fulltext.HEAD_CHARS chars of
+# text — both sides derive the field identically, so boundary-cut tokens
+# match too)
+_HEAD_TOKLIST = (
+    "list_filter(string_split_regex(lower(substr(text, 1, 80)), "
+    "'[^a-z0-9_]+'), x -> x <> '')"
+)
+
+
+def _bm25_head_cte(terms: list[str]) -> str:
+    """_bm25_cte over the derived HEAD text field: per-field collection
+    stats (avgdl = the FIELD's sumTotalTermFreq / doc count), per-field
+    byte4-quantized lengths — certifying IndexConfig.text_cols' per-field
+    norms + CollectionStatistics float32-exactly in SQL."""
+    toks = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH tl AS (SELECT doc_id, " + _HEAD_TOKLIST + " AS l FROM documents), "
+        "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
+        "stats AS (SELECT count(*)::BIGINT AS n, "
+        "CAST(sum(dl)::DOUBLE / count(*) AS FLOAT) AS avgdl FROM d), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+        f"tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks "
+        f"WHERE tok IN ({toks}) GROUP BY doc_id, tok), "
+        "dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), "
+        "idfs AS (SELECT tok, CAST(ln(1 + ((SELECT n FROM stats) - df + 0.5) "
+        "/ (df + 0.5)) AS FLOAT) AS idf FROM dfs), "
+        f"ninv AS (SELECT doc_id, CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * "
+        f"((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT)) + CAST(0.75 AS FLOAT) * "
+        f"CAST({_LOSSY_DL} AS FLOAT) / (SELECT avgdl FROM stats))) AS ninv "
+        "FROM d), "
+        "sc AS (SELECT tf.doc_id, tf.tok, "
+        "idfs.idf - idfs.idf / (CAST(1.0 AS FLOAT) + CAST(tf AS FLOAT) * "
+        "ninv.ninv) AS s FROM tf JOIN idfs USING (tok) JOIN ninv USING (doc_id)) "
+    )
+
+
 # shared n-gram-Jaccard CTE chain (3-shingles, exact set Jaccard)
 _NGRAM_CTES = (
     "tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
@@ -534,6 +570,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
+        ),
+        # --- multi-field text (IndexConfig.text_cols — TextField analog) ---
+        # hit set across (text, head): 'sl' is a boundary-CUT head token, so
+        # it can ONLY match via the head field — the oracle genuinely
+        # exercises the second field's postings
+        "ft_multifield_hits": _q(
+            lambda sf: ft.multifield_hits(sf, ["vector", "sl"])
+        ),
+        # scored top-10 in the HEAD field: per-field norms + avgdl,
+        # float32-exact in SQL (_bm25_head_cte)
+        "ft_textfield_top10": _q(
+            lambda sf: _score_r6(ft.textfield_topk(sf, "vector", 10))
         ),
         # FunctionScoreQuery: scores replaced by an expression over _score
         # and doc values (queries/function surface)
@@ -2046,6 +2094,21 @@ def oracle_sql() -> dict[str, str]:
     # scored BM25 top-k: float32-exact in SQL (_bm25_cte) — ranks AND
     # round(score, 6) both verified against DuckDB
     out["ft_bm25_top10_customer"] = _bm25_cte(["customer"]) + (
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # multi-field: union of token membership across text + derived head
+    out["ft_multifield_hits"] = (
+        "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l, "
+        + _HEAD_TOKLIST + " AS hl FROM documents) "
+        "SELECT doc_id FROM tl "
+        "WHERE len(list_intersect(l, ['vector', 'sl'])) > 0 "
+        "OR len(list_intersect(hl, ['vector', 'sl'])) > 0 ORDER BY doc_id"
+    )
+    # per-field BM25 over the head text field, float32-exact
+    out["ft_textfield_top10"] = _bm25_head_cte(["vector"]) + (
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "

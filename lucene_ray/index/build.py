@@ -95,6 +95,19 @@ class IndexConfig:
     # not analyzed, freq 1, excluded from field length/norms and from the
     # content field's term dictionary scans (per-field term namespaces)
     keyword_cols: tuple = ()
+    # additional ANALYZED text fields beyond content_col (TextField — a
+    # Lucene Document's many scored fields, e.g. title + body;
+    # document/TextField.java). Each column is inverted with the SAME
+    # analyzer, its terms namespaced "col:term" in the shared postings
+    # (per-field term dictionaries as in FieldInfos), its per-doc norms
+    # carried in those postings rows, and its per-field length/norm bytes
+    # stored as docmap columns length_<col>/norm_<col>. Per-field
+    # sumTotalTermFreq lands in manifest.stats["field_tokens"], so BM25
+    # scores field terms with the FIELD's avgdl (per-field
+    # CollectionStatistics, as IndexSearcher.collectionStatistics does).
+    # Divergence (documented): docCount per field = index doc count (Lucene
+    # counts docs that HAVE the field; identical whenever every doc has it).
+    text_cols: tuple = ()
     # columns holding '/'-separated taxonomy paths (FacetField with
     # hierarchical dims — facet/taxonomy/TaxonomyReader.java:59): a doc with
     # "a/b/c" is indexed under EVERY ancestor prefix ("col:a", "col:a/b",
@@ -145,6 +158,7 @@ class IndexConfig:
         d["stopwords"] = list(self.stopwords)
         d["index_sort"] = list(self.index_sort)
         d["keyword_cols"] = list(self.keyword_cols)
+        d["text_cols"] = list(self.text_cols)
         d["path_cols"] = list(self.path_cols)
         d["token_filters"] = [list(s) for s in self.token_filters]
         d["dict_lexicon"] = list(self.dict_lexicon)
@@ -482,7 +496,7 @@ class _StageA:
             self._tuned = True
         cfg = self.cfg
         out = {"pid": [], "rows": [], "tokens": [], "terms": [], "sec": [],
-               "cpu": []}
+               "cpu": [], "ftokens": []}
         # env-gated sub-phase profile (scripts/diag_stage_a.py): appends one
         # JSON line per partition to $STAGEA_PROFILE/<pid-of-process>.jsonl
         _prof_dir = os.environ.get("STAGEA_PROFILE")
@@ -495,7 +509,7 @@ class _StageA:
             block = [cfg.block_col] if cfg.block_col else []
             cols = list(dict.fromkeys(
                 [*cfg.id_cols, *block, *cfg.index_sort, *cfg.keyword_cols,
-                 *cfg.path_cols, cfg.content_col]
+                 *cfg.path_cols, *cfg.text_cols, cfg.content_col]
             ))
             if _prof_dir is not None:
                 import resource as _res
@@ -557,6 +571,44 @@ class _StageA:
             norms = (
                 np.concatenate(norm_parts) if norm_parts else np.zeros(0, np.uint8)
             )
+            # extra analyzed text fields (TextField): same inverter, terms
+            # namespaced "col:term", the FIELD's own norms in the postings
+            # rows (Stage C's impact skylines are therefore field-correct);
+            # per-doc scoring reads the norm_<col> docmap column via
+            # SegmentContext.norms_for; per-field length/norm in the docmap
+            field_lennorm: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            ftok: dict[str, int] = {}
+            for fcol in cfg.text_cols:
+                fcontent = tbl.column(fcol)
+                f_lens, f_norms = [], []
+                for s0 in range(0, len(tbl), sl):
+                    part, lens_f, nrms_f = invert_partition(
+                        fcontent.slice(s0, min(sl, len(tbl) - s0))
+                        if isinstance(fcontent, pa.ChunkedArray)
+                        else fcontent.slice(s0, min(sl, len(tbl) - s0)),
+                        max_token_length=cfg.max_token_length,
+                        stopwords=frozenset(cfg.stopwords) or None,
+                        with_positions=cfg.with_positions,
+                        with_offsets=cfg.with_offsets,
+                        token_filters=self._filters,
+                        grammar=cfg.grammar,
+                        dict_lexicon=cfg.dict_lexicon,
+                    )
+                    part = part.set_column(
+                        part.schema.get_field_index("term"), "term",
+                        pc.binary_join_element_wise(
+                            pa.scalar(fcol), part.column("term"),
+                            pa.scalar(":")),
+                    )
+                    slice_tables.append(shift_doc_offsets(part, s0))
+                    f_lens.append(lens_f)
+                    f_norms.append(nrms_f)
+                fl = (np.concatenate(f_lens) if f_lens
+                      else np.zeros(0, np.int64))
+                fn = (np.concatenate(f_norms) if f_norms
+                      else np.zeros(0, np.uint8))
+                field_lennorm[fcol] = (fl, fn)
+                ftok[fcol] = int(fl.sum())
             if cfg.keyword_cols:
                 slice_tables.append(
                     _keyword_partials(tbl, cfg.keyword_cols, norms,
@@ -622,6 +674,10 @@ class _StageA:
                 _mark("sha")
             docmap_cols["length"] = pa.array(lengths.astype(np.uint32), pa.uint32())
             docmap_cols["norm"] = pa.array(norms, pa.uint8())
+            for fcol, (fl, fn) in field_lennorm.items():
+                docmap_cols[f"length_{fcol}"] = pa.array(
+                    fl.astype(np.uint32), pa.uint32())
+                docmap_cols[f"norm_{fcol}"] = pa.array(fn, pa.uint8())
             # bounded row groups: the per-row-group min/max stats are the
             # numeric ZONE MAPS NumericRangeQuery prunes with (the
             # chunk-granularity BKD analog, util/bkd/BKDWriter.java:83)
@@ -664,7 +720,11 @@ class _StageA:
             # wall) from scheduling/steal starvation (wall >> cpu).
             out["sec"].append(int((time.time() - _spec_t0) * 1000))
             out["cpu"].append(int((time.process_time() - _spec_c0) * 1000))
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+            out["ftokens"].append(json.dumps(ftok, sort_keys=True))
+        return pa.table({
+            k: pa.array(v, pa.string() if k == "ftokens" else pa.int64())
+            for k, v in out.items()
+        })
 
 
 def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
@@ -962,6 +1022,16 @@ def _filter_pos_stream(stream: bytes, freqs: np.ndarray, keep: np.ndarray) -> by
     return sb[idx].tobytes()
 
 
+def _field_tokens_sum(manifest: Manifest) -> dict:
+    """Per-text-field sumTotalTermFreq across partitions (for per-field
+    avgdl — the per-field CollectionStatistics analog)."""
+    totals: dict[str, int] = {}
+    for m in manifest.partials_done.values():
+        for col, n in (m.get("ftokens") or {}).items():
+            totals[col] = totals.get(col, 0) + int(n)
+    return totals
+
+
 def build_index(
     source: str | list[str],
     index_dir: str,
@@ -1028,6 +1098,7 @@ def build_index(
                         "terms": row["terms"],
                         "ms": row.get("sec", 0),
                         "cpu_ms": row.get("cpu", 0),
+                        "ftokens": json.loads(row.get("ftokens") or "{}"),
                     }
                 manifest.save()
 
@@ -1050,6 +1121,7 @@ def build_index(
         "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
         "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
         "field": cfg.content_col,
+        "field_tokens": _field_tokens_sum(manifest),
         "stage_seconds": stage_seconds,
     }
     manifest.save()
@@ -1128,6 +1200,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
             for row in batch.to_pylist():
                 manifest.partials_done[str(row["pid"])] = {
                     "rows": row["rows"], "tokens": row["tokens"], "terms": row["terms"],
+                    "ftokens": json.loads(row.get("ftokens") or "{}"),
                 }
             manifest.save()
         manifest.term_stats_done = False
@@ -1146,6 +1219,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
         "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
         "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
         "field": cfg.content_col,
+        "field_tokens": _field_tokens_sum(manifest),
         "stage_seconds": manifest.stats.get("stage_seconds", {}),
     }
     manifest.save()
@@ -1155,8 +1229,8 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
 _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
-    "path_cols", "index_sort", "block_col", "compute_sha256", "merge_buckets",
-    "id_cols",
+    "path_cols", "text_cols", "index_sort", "block_col", "compute_sha256",
+    "merge_buckets", "id_cols",
 )
 
 
@@ -1316,6 +1390,7 @@ def add_indexes(index_dir: str, source_index_dirs: list[str]) -> Manifest:
         "doc_count": sum(m["rows"] for m in manifest.partials_done.values()),
         "sum_total_term_freq": sum(m["tokens"] for m in manifest.partials_done.values()),
         "field": cfg.content_col,
+        "field_tokens": _field_tokens_sum(manifest),
         "stage_seconds": manifest.stats.get("stage_seconds", {}),
     }
     manifest.save()

@@ -143,3 +143,8 @@ class Manifest:
     @property
     def sum_total_term_freq(self) -> int:
         return int(self.stats.get("sum_total_term_freq", 0))
+
+    def field_sum_ttf(self, col: str) -> int:
+        """sumTotalTermFreq of an extra text field (IndexConfig.text_cols) —
+        the per-field CollectionStatistics piece BM25's avgdl needs."""
+        return int(self.stats.get("field_tokens", {}).get(col, 0))

@@ -89,11 +89,30 @@ class IndexReader:
 
     # ---- statistics ----
 
-    def collection_stats(self) -> CollectionStats:
+    def collection_stats(self, field: str | None = None) -> CollectionStats:
+        """Collection statistics for the content field, or — with ``field``
+        — for an extra text field (IndexConfig.text_cols): same doc count,
+        the FIELD's sumTotalTermFreq, so BM25 normalizes by the field's own
+        avgdl (IndexSearcher.collectionStatistics per-field analog)."""
+        if field is not None and field != self.manifest.config.get("content_col"):
+            return CollectionStats(
+                doc_count=self.manifest.doc_count,
+                sum_total_term_freq=self.manifest.field_sum_ttf(field),
+            )
         return CollectionStats(
             doc_count=self.manifest.doc_count,
             sum_total_term_freq=self.manifest.sum_total_term_freq,
         )
+
+    def text_field_of(self, term: str) -> str | None:
+        """The text field a namespaced term belongs to, or None for the
+        content field. Keyword/path terms also contain ':' but their
+        columns are not in text_cols, so they resolve to None (and keep
+        content-field stats — StringField semantics, documented)."""
+        if ":" not in term:
+            return None
+        col = term.split(":", 1)[0]
+        return col if col in (self.manifest.config.get("text_cols") or []) else None
 
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         if not terms:

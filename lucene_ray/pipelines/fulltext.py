@@ -104,6 +104,90 @@ def uax29_term_hits(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
 
 
+HEAD_CHARS = 80  # derived "head" TEXT field = first chars of text
+
+
+def documents_multifield_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with a SECOND analyzed text field
+    (TextField analog — document/TextField.java; ``IndexConfig.text_cols``):
+    ``head`` = the first HEAD_CHARS chars of ``text``, derived in a
+    column-pruned Ray ``map_batches`` (zero-copy Arrow slice kernel) and
+    written beside the source once, then indexed with its own namespaced
+    terms, norms and collection stats (per-field avgdl, as
+    IndexSearcher.collectionStatistics provides per field)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:mf-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-mf-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _head(b: pa.Table) -> pa.Table:
+                h = pc.utf8_slice_codeunits(b.column("text"), 0, HEAD_CHARS)
+                return b.append_column("head", h)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src)
+             .map_batches(_head, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            text_cols=("head",),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def multifield_hits(sf_dir: str, terms: list[str]) -> pa.Table:
+    """Hit set of a MultiFieldQueryParser-shaped query over (text, head)
+    (queryparser/classic/MultiFieldQueryParser.java:58-66): each term is a
+    SHOULD across both fields, terms OR together — so a doc matches iff any
+    term appears in either field."""
+    from lucene_ray.search.query import multi_field_query
+
+    reader = documents_multifield_index(sf_dir)
+    q = multi_field_query(" ".join(terms), fields=("text", "head"),
+                          content_field="text")
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
+def textfield_topk(sf_dir: str, term: str, k: int = 10) -> pa.Table:
+    """BM25 top-k of a term in the HEAD text field, scored against the
+    field's OWN norms and avgdl (per-field NumericDocValues norms +
+    CollectionStatistics — LeafReader.getNormValues(field)). Float32-exact
+    SQL oracle: the head column derives deterministically from text, so
+    DuckDB replays tokenize(substr(text)) + byte4 length quantization +
+    BM25 with the head field's collection stats."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_multifield_index(sf_dir)
+    td = _pool(reader).search([(0, TermQuery(f"head:{term}"))], k)[0]
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(),
+                 t.column("doc_id_orig").to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+            "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+            "score": pa.array(td.scores, pa.float32()),
+        }
+    )
+
+
 ANALYSIS_FILTERS = (("porter_stem",), ("synonyms", {"slow": ["fast"]}))
 
 

@@ -132,9 +132,14 @@ class SegmentContext:
                  live: np.ndarray | None = None,
                  parents: np.ndarray | None = None,
                  dv_fetch=None, decoded_cache=None, cache_key=None,
-                 dv_range=None):
+                 dv_range=None, text_fields=()):
         self.num_docs = num_docs
         self.norms = norms
+        # extra analyzed text fields (IndexConfig.text_cols): a term
+        # namespaced "field:term" scores against THAT field's per-doc norms
+        # (norm_<field> docmap column) — the per-field NumericDocValues norms
+        # Lucene reads via LeafReader.getNormValues(field)
+        self.text_fields = tuple(text_fields)
         self.global_ids = global_ids
         # col -> np.ndarray[num_docs] numeric doc-values, fetched lazily via
         # dv_fetch (the reader's column-pruned docmap read) and cached
@@ -161,6 +166,23 @@ class SegmentContext:
         self._shared_key = cache_key
         self.with_positions = False
 
+    def norms_for(self, term: str) -> np.ndarray:
+        """Per-doc norm bytes of the field ``term`` belongs to: the
+        ``norm_<field>`` docmap column for a text-field term ("title:foo"),
+        else the content field's norms. Keyword/path terms also contain ':'
+        but their columns are not text fields, so they fall through to the
+        content norms (their freq is 1 and their impact norm travels in the
+        chunk, so this only affects never-taken scoring paths)."""
+        if self.text_fields and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self.text_fields:
+                key = f"norm_{f}"
+                if key not in self._dv:
+                    self._dv[key] = np.asarray(
+                        self.dv_fetch(key), dtype=np.uint8)
+                return self._dv[key]
+        return self.norms
+
     def docvalues(self, col: str) -> np.ndarray:
         if col not in self._dv:
             if self.dv_fetch is None:
@@ -175,24 +197,24 @@ class SegmentContext:
     def from_chunk_table(cls, table, num_docs, norms, global_ids,
                         with_positions=False, live=None, parents=None,
                         dv_fetch=None, decoded_cache=None, cache_key=None,
-                        dv_range=None):
+                        dv_range=None, text_fields=()):
         """Build from the reader's chunk rows (sorted by term, min_doc)."""
         return cls.from_chunk_recs(
             chunk_recs_from_table(table, with_positions), num_docs, norms,
             global_ids, with_positions, live, parents, dv_fetch,
-            decoded_cache, cache_key, dv_range)
+            decoded_cache, cache_key, dv_range, text_fields)
 
     @classmethod
     def from_chunk_recs(cls, chunks, num_docs, norms, global_ids,
                         with_positions=False, live=None, parents=None,
                         dv_fetch=None, decoded_cache=None, cache_key=None,
-                        dv_range=None):
+                        dv_range=None, text_fields=()):
         """Build from pre-converted {term: [ChunkRec]} — lets a long-lived
         Searcher cache the Arrow->ChunkRec conversion per (seg, term) so
         warm queries skip the per-search to_pylist of the encoded columns
         (~2ms/segment, a top cost of warm bool queries)."""
         ctx = cls(num_docs, norms, global_ids, live, parents, dv_fetch,
-                  decoded_cache, cache_key, dv_range)
+                  decoded_cache, cache_key, dv_range, text_fields)
         ctx.with_positions = with_positions
         ctx.chunks = chunks
         return ctx
@@ -434,7 +456,7 @@ class SegmentScorer:
             return _EMPTY
         if q.boost != 1.0:
             scorer = scorer.with_boost(q.boost)
-        return docs, scorer.score(freq[docs], self.ctx.norms[docs])
+        return docs, scorer.score(freq[docs], self.ctx.norms_for(q.terms[0])[docs])
 
     def _eval_feature(self, q: FeatureQuery) -> tuple[np.ndarray, np.ndarray]:
         """FeatureField score functions over a doc-values column
@@ -816,7 +838,7 @@ class SegmentScorer:
             # fold boost into the weight (weight = boost * idf), matching
             # Lucene's BM25Similarity.scorer — see BM25Scorer.with_boost
             scorer = scorer.with_boost(q.boost)
-        scores = scorer.score(tp.freqs, self.ctx.norms[tp.docs])
+        scores = scorer.score(tp.freqs, self.ctx.norms_for(q.term)[tp.docs])
         return tp.docs, scores
 
     def _eval_const_union(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -841,7 +863,7 @@ class SegmentScorer:
         scorer = self.phrase_scorers[tuple(q.terms)]
         if q.boost != 1.0:
             scorer = scorer.with_boost(q.boost)
-        scores = scorer.score(pfreqs, self.ctx.norms[docs])
+        scores = scorer.score(pfreqs, self.ctx.norms_for(q.terms[0])[docs])
         return docs, scores
 
     def _eval_multi_phrase(self, q: MultiPhraseQuery) -> tuple[np.ndarray, np.ndarray]:
@@ -1117,7 +1139,7 @@ class SegmentScorer:
             if self.ctx.live is not None:
                 keep = self.ctx.live[d]
                 d, f = d[keep], f[keep]
-            s = scorer.score(f, self.ctx.norms[d])
+            s = scorer.score(f, self.ctx.norms_for(term)[d])
             total += len(d)
             best_docs, best_scores = _merge_topk(best_docs, best_scores, d, s, k)
         return SegTopK(best_docs, best_scores, total, not pruned)
@@ -1147,7 +1169,7 @@ class SegmentScorer:
         if self.ctx.live is not None:
             keep0 = self.ctx.live[t_docs]
             t_docs, t_freqs = t_docs[keep0], t_freqs[keep0]
-        s0 = self.scorers[strongest].score(t_freqs, self.ctx.norms[t_docs])
+        s0 = self.scorers[strongest].score(t_freqs, self.ctx.norms_for(strongest)[t_docs])
         if len(s0) > k:
             theta = float(np.partition(s0, -k)[-k])
         else:
@@ -1190,7 +1212,7 @@ class SegmentScorer:
                 tp = self.ctx.postings(t)  # essential: all docs are candidates
                 d, f = tp.docs, tp.freqs
             if len(d):
-                acc[d] += self.scorers[t].score(f, self.ctx.norms[d])
+                acc[d] += self.scorers[t].score(f, self.ctx.norms_for(t)[d])
         # len(cand) is a valid lower bound of the true union size (GTE)
         return SegTopK(*_topk_arrays(cand, acc[cand], k), len(cand), False)
 
@@ -1219,10 +1241,13 @@ class SegmentScorer:
             cand_freqs[t] = f[sel]
             if len(cand) == 0:
                 return SegTopK(np.zeros(0, np.int64), np.zeros(0, np.float32), 0, True)
-        norms = self.ctx.norms[cand]
         acc = np.zeros(len(cand), dtype=np.float32)
+        gathered: dict[int, np.ndarray] = {}  # one gather per distinct field
         for t in terms:  # clause order = query order (float32 sum order)
-            acc += self.scorers[t].score(cand_freqs[t], norms)
+            base = self.ctx.norms_for(t)
+            if id(base) not in gathered:
+                gathered[id(base)] = base[cand]
+            acc += self.scorers[t].score(cand_freqs[t], gathered[id(base)])
         return SegTopK(*_topk_arrays(cand, acc, k), len(cand), True)
 
     def _decode_at(self, term: str, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

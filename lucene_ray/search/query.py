@@ -803,7 +803,34 @@ def collect_synonyms(q: Query) -> set["SynonymQuery"]:
     return out
 
 
-def parse_query(s: str, analyzer=None) -> Query:
+def multi_field_query(s: str, fields: tuple, boosts: dict | None = None,
+                      analyzer=None, content_field: str | None = None) -> Query:
+    """MultiFieldQueryParser.parse shape (queryparser/classic/
+    MultiFieldQueryParser.java:58-66 with the boosts-map ctor :100-121):
+    each analyzed term of ``s`` expands to a BooleanQuery with one SHOULD
+    clause per field (per-field boost folded into the term weight, as
+    BoostQuery does); terms combine under the default OR operator. Terms
+    for ``content_field`` stay unprefixed (the index's default field);
+    other fields are namespaced ``field:term`` (IndexConfig.text_cols)."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+
+    tk = analyzer or CodeTokenizer()
+    boosts = boosts or {}
+    clauses: list[Query] = []
+    for w in tk(s):
+        per_field: list[Query] = [
+            TermQuery(w if f == content_field else f"{f}:{w}",
+                      boost=float(boosts.get(f, 1.0)))
+            for f in fields
+        ]
+        clauses.append(per_field[0] if len(per_field) == 1
+                       else BooleanQuery(should=tuple(per_field)))
+    if not clauses:
+        return MatchAllQuery()
+    return clauses[0] if len(clauses) == 1 else BooleanQuery(should=tuple(clauses))
+
+
+def parse_query(s: str, analyzer=None, text_fields: tuple = ()) -> Query:
     """Tiny recursive-descent parser over the v1 grammar
     (SURVEY §2.9 query-parsing row):
 
@@ -882,6 +909,18 @@ def parse_query(s: str, analyzer=None) -> Query:
                     return NumericRangeQuery(field, lo, hi,
                                              boost=boost * rboost)
             if field and rest:
+                if field in text_fields:
+                    # TEXT field (IndexConfig.text_cols): analyze the value
+                    # with the shared analyzer; multiple tokens combine as
+                    # SHOULD (classic QueryParser newFieldQuery default,
+                    # autoGeneratePhraseQueries=false)
+                    norm = tk(rest)
+                    if len(norm) == 1:
+                        return TermQuery(f"{field}:{norm[0]}", boost=boost)
+                    if norm:
+                        return BooleanQuery(should=tuple(
+                            TermQuery(f"{field}:{t}", boost=boost)
+                            for t in norm))
                 return TermQuery(f"{field}:{rest}", boost=boost)
         if word and word[0] in "[{":
             # bare [a TO b] = lexicographic term range over the content

@@ -70,6 +70,11 @@ class Searcher:
         # decoded cache)
         self._chunkrec_cache: dict = {}
         self._chunkrec_max = 65536
+        # extra analyzed text fields (IndexConfig.text_cols): string queries
+        # analyze "field:value" values for these fields (classic QueryParser
+        # behavior for TextField), and per-field norms/avgdl apply in plan()
+        self._text_fields = tuple(
+            reader.manifest.config.get("text_cols") or ())
 
     def plan(self, q: Query):
         """Resolve global stats + scorers for a query (Weight creation)."""
@@ -81,16 +86,29 @@ class Searcher:
             all_terms.update(ts)
         stats = self.reader.term_stats(sorted(all_terms))
         cstats = self.reader.collection_stats()
+        # per-field CollectionStatistics: a term namespaced to a TEXT field
+        # ("title:foo") scores against that field's avgdl; keyword/path
+        # terms and plain terms keep the content field's stats
+        _field_cstats: dict = {}
+
+        def _cstats_for(t: str):
+            f = self.reader.text_field_of(t)
+            if f is None:
+                return cstats
+            if f not in _field_cstats:
+                _field_cstats[f] = self.reader.collection_stats(field=f)
+            return _field_cstats[f]
+
         scorers = {}
         for t in terms:
             ts = stats.get(t, TermStats(0, 0))
             if ts.doc_freq > 0:
-                scorers[t] = self.sim.scorer(1.0, cstats, ts)
+                scorers[t] = self.sim.scorer(1.0, _cstats_for(t), ts)
         phrase_scorers = {}
         for ph in _collect_phrases(q):
             tss = [stats.get(t, TermStats(0, 0)) for t in ph]
             if all(ts.doc_freq > 0 for ts in tss):
-                phrase_scorers[ph] = self.sim.scorer(1.0, cstats, *tss)
+                phrase_scorers[ph] = self.sim.scorer(1.0, _cstats_for(ph[0]), *tss)
         # SynonymQuery pseudo-term stats: docFreq = max over terms (df>0),
         # totalTermFreq = sum — SynonymQuery.java SynonymWeight ctor :213-231
         from lucene_ray.search.query import collect_synonyms
@@ -141,6 +159,7 @@ class Searcher:
                 _s, col, lo, hi),
             decoded_cache=self._decoded_cache,
             cache_key=(seg, need_positions),
+            text_fields=tuple(self.reader.manifest.config.get("text_cols") or ()),
         )
         return SegmentScorer(ctx, scorers, phrase_scorers, expansions)
 
@@ -153,7 +172,8 @@ class Searcher:
         either way — only the total-hits accounting differs.
 
         ``after=(score, doc_id)`` pages past a previous hit (searchAfter)."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = (parse_query(query, text_fields=self._text_fields)
+             if isinstance(query, str) else query)
         all_terms, scorers, phrase_scorers, expansions = self.plan(q)
         need_pos = needs_positions(q)
         doc_parts, score_parts, total = [], [], 0
@@ -181,7 +201,8 @@ class Searcher:
         BaseSimilarityTestCase asserts score == explain value). Returns
         {value, description, children}; value is the float32 score the doc
         receives from search (0 if it does not match)."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = (parse_query(query, text_fields=self._text_fields)
+             if isinstance(query, str) else query)
         gid = np.uint64(global_doc_id)
         all_terms, scorers, phrase_scorers, expansions = self.plan(q)
         need_pos = needs_positions(q)
@@ -214,7 +235,7 @@ class Searcher:
             sc = ss.scorers[q.term]
             tp = ss.ctx.postings(q.term)
             f = int(tp.freqs[np.searchsorted(tp.docs, local_doc)])
-            nb = int(ss.ctx.norms[local_doc])
+            nb = int(ss.ctx.norms_for(q.term)[local_doc])
             from lucene_ray.codec.smallfloat import LENGTH_TABLE
 
             node["children"] = [
