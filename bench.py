@@ -446,6 +446,49 @@ def _write_baseline_md(result: dict) -> None:
             f"pipe/body median {round(_st.median(rb), 3)} / best "
             f"{round(max(rb), 3)} (>=1 in {sum(1 for r in rb if r >= 1)} runs).",
         ]
+    qproof = []
+    try:
+        with open("BENCH/query_scaling.jsonl") as f:
+            qproof = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        pass
+    if qproof:
+        lines += [
+            "",
+            "### Query-serving (QPS) scaling proof "
+            "(scripts/query_scaling_proof.py, 1M-doc index)",
+            "",
+            "The rule's second axis (BM25 top-10 serving). Per row, fresh",
+            "taskset-pinned processes at 8 then 32 CPUs run a deterministic",
+            "1,024-query mixture (term/AND/OR/phrase) through the",
+            "QueryShardActor replica pools, AND the no-Ray twin: the same",
+            "topology (one-segment slots, fixed batch routing, state opened",
+            "once) under plain multiprocessing. serve/twin = 1.0 means zero",
+            "Ray overhead — the efficiency ceiling is the host alone.",
+            "",
+            "| run | qps@8 | qps@32 | serve eff 8->32 | twin eff | serve/twin |",
+            "|---|---|---|---|---|---|",
+        ]
+        for h in qproof:
+            q = h.get("qps", {})
+            lines.append(
+                f"| {h.get('ts', '-')} | {q.get('8', '-')} | {q.get('32', '-')} | "
+                f"{h.get('qps_eff_8_32', '-')} | {h.get('twin_qps_eff_8_32', '-')} | "
+                f"{h.get('ratio_serve_over_twin', '-')} |"
+            )
+        import statistics as _st
+
+        qe = [h["qps_eff_8_32"] for h in qproof if "qps_eff_8_32" in h]
+        qr = [h["ratio_serve_over_twin"] for h in qproof
+              if h.get("ratio_serve_over_twin")]
+        lines += [
+            "",
+            f"Aggregates over {len(qproof)} query-proof runs: serve eff median "
+            f"{round(_st.median(qe), 3)} / best {round(max(qe), 3)}; "
+            f"serve/twin median {round(_st.median(qr), 3) if qr else '-'} / best "
+            f"{round(max(qr), 3) if qr else '-'} "
+            f"(>=0.95 in {sum(1 for r in qr if r >= 0.95)} runs).",
+        ]
     lines += [
         "",
         "### Interpretation (single-VM caveat)",
