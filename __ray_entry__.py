@@ -571,6 +571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
         ),
+        # char filter (HTMLStripCharFilter + correctOffset): the decorated
+        # column strips back to the plain text exactly, so hits must equal
+        # the plain tokenization's hits
+        "ft_html_term_hits": _q(lambda sf: ft.html_term_hits(sf, "table")),
+        # pattern grammar (PatternTokenizer): regex-match tokens
+        "ft_pattern_term_hits": _q(lambda sf: ft.pattern_term_hits(sf, "merge")),
         # --- multi-field text (IndexConfig.text_cols — TextField analog) ---
         # hit set across (text, head): 'sl' is a boundary-CUT head token, so
         # it can ONLY match via the head field — the oracle genuinely
@@ -2098,6 +2104,17 @@ def oracle_sql() -> dict[str, str]:
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
         "WHERE rank <= 10 ORDER BY rank"
+    )
+    # html_strip over the invertible decoration == plain tokenization
+    out["ft_html_term_hits"] = _TOKS + (
+        "SELECT DISTINCT doc_id FROM toks WHERE tok = 'table' ORDER BY doc_id"
+    )
+    # pattern grammar: replay the regex split (letters-only runs)
+    out["ft_pattern_term_hits"] = (
+        "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '[^a-z]+'), x -> x <> '') AS l FROM documents), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl) "
+        "SELECT DISTINCT doc_id FROM toks WHERE tok = 'merge' ORDER BY doc_id"
     )
     # multi-field: union of token membership across text + derived head
     out["ft_multifield_hits"] = (

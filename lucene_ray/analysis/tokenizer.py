@@ -51,6 +51,24 @@ class CodeTokenizer:
         return out
 
 
+class PatternTokenizer:
+    """``text -> list[str]`` under a ``pattern:<regex>`` grammar
+    (analysis/pattern/PatternTokenizer.java:40-56, group=-1 "pattern
+    matches tokens" mode) — the query-side twin of the build-side
+    ``_tokenize_column_pattern`` so analyzed queries match the index."""
+
+    def __init__(self, pattern: str,
+                 max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.rx = re.compile(pattern)
+        self.max_token_length = max_token_length
+        self.grammar = f"pattern:{pattern}"
+
+    def __call__(self, text: str) -> list[str]:
+        m = self.max_token_length
+        return [t.group(0)[:m] for t in self.rx.finditer(text.lower())
+                if t.group(0)]
+
+
 class StandardLikeAnalyzer:
     """Analyzer facade: tokenize + (optional) stopword removal.
 

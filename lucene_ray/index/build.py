@@ -140,6 +140,15 @@ class IndexConfig:
     # inside invert_partition. The query side must analyze with the same
     # chain (analysis.filters.AnalyzerChain(token_filters)).
     token_filters: tuple = ()
+    # char filters applied BEFORE tokenization with offset correction back
+    # to the original stored text (CharFilter.correctOffset —
+    # analysis/CharFilter.java; charfilter/BaseCharFilter.java:36-54):
+    # ("html_strip",) removes tags + decodes entities
+    # (HTMLStripCharFilter), ("mapping", ((src, dst), ...)) is greedy
+    # longest-match replacement (MappingCharFilter/NormalizeCharMap).
+    # Offsets stored at the +OFFSETS level point into the ORIGINAL column
+    # value, so highlighting/snippets over filtered indexes stay exact.
+    char_filters: tuple = ()
     compression: str = "zstd"
     # docs per inverter slice inside a Stage-A task (bounds the working set)
     invert_slice_docs: int = 1024
@@ -161,6 +170,10 @@ class IndexConfig:
         d["text_cols"] = list(self.text_cols)
         d["path_cols"] = list(self.path_cols)
         d["token_filters"] = [list(s) for s in self.token_filters]
+        d["char_filters"] = [
+            list(s) if isinstance(s, (list, tuple)) else s
+            for s in self.char_filters
+        ]
         d["dict_lexicon"] = list(self.dict_lexicon)
         return d
 
@@ -560,6 +573,7 @@ class _StageA:
                     token_filters=self._filters,
                     grammar=cfg.grammar,
                     dict_lexicon=cfg.dict_lexicon,
+                    char_filters=cfg.char_filters,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -593,6 +607,7 @@ class _StageA:
                         token_filters=self._filters,
                         grammar=cfg.grammar,
                         dict_lexicon=cfg.dict_lexicon,
+                        char_filters=cfg.char_filters,
                     )
                     part = part.set_column(
                         part.schema.get_field_index("term"), "term",
@@ -1229,8 +1244,8 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
 _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
-    "path_cols", "text_cols", "index_sort", "block_col", "compute_sha256",
-    "merge_buckets", "id_cols",
+    "path_cols", "text_cols", "char_filters", "index_sort", "block_col",
+    "compute_sha256", "merge_buckets", "id_cols",
 )
 
 

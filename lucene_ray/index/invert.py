@@ -91,6 +91,10 @@ def tokenize_column(
     if grammar == "word_delimiter":
         return _tokenize_column_wdf(contents, max_token_length, stopwords,
                                     with_offsets)
+    if grammar.startswith("pattern:"):
+        return _tokenize_column_pattern(contents, grammar[len("pattern:"):],
+                                        max_token_length, stopwords,
+                                        with_offsets)
     if grammar != "code":
         raise ValueError(f"unknown tokenizer grammar {grammar!r}")
     n_docs = len(contents)
@@ -395,6 +399,61 @@ def _tokenize_column_wdf(
     return flat, doc_idx, positions
 
 
+def _tokenize_column_pattern(
+    contents: pa.Array,
+    pattern: str,
+    max_token_length: int,
+    stopwords: frozenset[str] | None,
+    with_offsets: bool,
+) -> tuple:
+    """pattern-grammar column tokenization (PatternTokenizer with group=-1 —
+    lucene/analysis/common/src/java/org/apache/lucene/analysis/pattern/
+    PatternTokenizer.java:40-56 in its "pattern MATCHES tokens" mode): each
+    regex match of ``pattern`` over the lowercased text is one token;
+    over-long matches truncate to ``max_token_length`` chars (offsets keep
+    the truncated span). The grammar string serializes as
+    ``"pattern:<regex>"`` in IndexConfig so build and query sides share it.
+    Inherently a per-doc regex scan (the pattern engine IS the tokenizer);
+    vectorization happens across docs via the Stage-A partition tasks."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    toks: list[str] = []
+    docs: list[int] = []
+    poss: list[int] = []
+    scs: list[int] = []
+    ecs: list[int] = []
+    lower = pc.utf8_lower(contents)
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    for i, s in enumerate(lower.to_pylist()):
+        if not s:
+            continue
+        p = 0
+        for m in rx.finditer(s):
+            t = m.group(0)
+            if not t:
+                continue
+            if len(t) > max_token_length:
+                t = t[:max_token_length]
+            if stopwords and t in stopwords:
+                p += 1  # position hole (FilteringTokenFilter)
+                continue
+            toks.append(t)
+            docs.append(i)
+            poss.append(p)
+            scs.append(m.start())
+            ecs.append(m.start() + len(t))
+            p += 1
+    flat = pa.array(toks, pa.string())
+    doc_idx = np.asarray(docs, dtype=np.int64)
+    positions = np.asarray(poss, dtype=np.int64)
+    if with_offsets:
+        return (flat, doc_idx, positions,
+                np.asarray(scs, dtype=np.int64), np.asarray(ecs, dtype=np.int64))
+    return flat, doc_idx, positions
+
+
 def _tokenize_column_dict(
     contents: pa.Array,
     max_token_length: int,
@@ -676,6 +735,7 @@ def invert_partition(
     token_filters: tuple = (),
     grammar: str = "code",
     dict_lexicon: tuple = (),
+    char_filters: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -694,6 +754,14 @@ def invert_partition(
     if isinstance(contents, pa.ChunkedArray):
         contents = contents.combine_chunks()
     n_docs = len(contents)
+    corrections = None
+    if char_filters:
+        # pre-tokenization rewrite (CharFilter chain); corrections map
+        # filtered char offsets back to the ORIGINAL stored text so the
+        # +OFFSETS level stays valid for highlighting (correctOffset)
+        from lucene_ray.analysis.charfilter import apply_char_filters
+
+        contents, corrections = apply_char_filters(contents, char_filters)
     if with_offsets:
         flat, doc_idx, positions, start_chars, end_chars = tokenize_column(
             contents, max_token_length, stopwords, with_offsets=True,
@@ -726,6 +794,14 @@ def invert_partition(
                                  positions, start_chars, end_chars)
         )
         total = len(tok_ids)
+
+    if with_offsets and corrections is not None:
+        # map filtered-text offsets back to the original stored value
+        # (correctOffset applied to both ends, as OffsetAttribute gets)
+        from lucene_ray.analysis.charfilter import correct_offsets
+
+        start_chars = correct_offsets(doc_idx, start_chars, corrections)
+        end_chars = correct_offsets(doc_idx, end_chars, corrections)
 
     # tokens already arrive in (doc, position) order, so ONE stable sort by
     # term id yields (term, doc, position) order — no 2-key lexsort needed

@@ -148,6 +148,89 @@ def documents_multifield_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def documents_html_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index whose content is a derived
+    HTML-DECORATED twin of ``text`` (every 'a' wrapped in <b></b>, every
+    'e' encoded as &#101;), indexed through the ``html_strip`` char filter
+    (HTMLStripCharFilter + correctOffset — charfilter/HTMLStripCharFilter).
+    The decoration is exactly invertible by the filter, so the index must
+    equal the PLAIN tokenization — any tag/entity leakage (or a missing
+    offset-corrected join across stripped tags) breaks the oracle."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:html-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-html-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _decorate(b: pa.Table) -> pa.Table:
+                h = pc.replace_substring(b.column("text"), "e", "&#101;")
+                h = pc.replace_substring(h, "a", "<b>a</b>")
+                return b.append_column("html", h)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src)
+             .map_batches(_decorate, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)
+        cfg = IndexConfig(
+            content_col="html",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            char_filters=("html_strip",),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def html_term_hits(sf_dir: str, term: str) -> pa.Table:
+    """Term hit set over the html_strip-filtered decorated index — exact
+    SQL oracle: the decoration is filter-invertible, so hits equal the
+    PLAIN text tokenization's hits."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_html_index(sf_dir)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
+
+
+def documents_pattern_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index under a ``pattern:`` grammar
+    (PatternTokenizer, analysis/pattern/PatternTokenizer.java:40-56):
+    tokens are regex matches of ``[a-z]+`` over the lowercased text."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:pat-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-pat-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="pattern:[a-z]+",
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def pattern_term_hits(sf_dir: str, term: str) -> pa.Table:
+    """Term hit set under the pattern grammar — SQL oracle replays the
+    same regex tokenization (split on '[^a-z]+')."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_pattern_index(sf_dir)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
+
+
 def multifield_hits(sf_dir: str, terms: list[str]) -> pa.Table:
     """Hit set of a MultiFieldQueryParser-shaped query over (text, head)
     (queryparser/classic/MultiFieldQueryParser.java:58-66): each term is a
