@@ -1,0 +1,101 @@
+"""CLI entrypoint (`python -m lucene_ray.cli ...`) — the ray-job-submit
+surface. Drives main() in-process over a small corpus end-to-end:
+build -> stats -> search -> count -> delete -> add -> compact."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.cli import main
+from lucene_ray.fixtures import make_corpus
+
+
+@pytest.fixture(scope="module")
+def cli_env(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    corpus = make_corpus(300, seed=77)
+    pq.write_table(corpus.slice(0, 200), str(d / "a.parquet"),
+                   row_group_size=50)
+    pq.write_table(corpus.slice(200), str(d / "b.parquet"),
+                   row_group_size=50)
+    return d, corpus
+
+
+def _lines(capsys):
+    return [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+
+
+def test_cli_build_stats_search(cli_env, capsys):
+    d, corpus = cli_env
+    idx = str(d / "idx")
+    rc = main(["build", "--source", str(d / "a.parquet"), "--index", idx,
+               "--rows-per-partition", "100", "--partitions-per-segment", "2"])
+    assert rc == 0
+    out = _lines(capsys)[-1]
+    assert out["doc_count"] == 200
+
+    assert main(["stats", "--index", idx]) == 0
+    st = _lines(capsys)[-1]
+    assert st["doc_count"] == 200 and st["partitions"] == 2
+
+    assert main(["search", "--index", idx, "--query", "import", "-k", "3",
+                 "--fields", "path"]) == 0
+    rows = _lines(capsys)
+    assert rows[-1]["total_hits"] > 0
+    assert rows[0]["rank"] == 1 and "path" in rows[0]["doc"]
+
+    assert main(["count", "--index", idx, "--query", "import AND return"]) == 0
+    n = int(capsys.readouterr().out.strip())
+    assert n > 0
+
+
+def test_cli_delete_add_compact(cli_env, capsys):
+    d, corpus = cli_env
+    idx = str(d / "idx2")
+    main(["build", "--source", str(d / "a.parquet"), "--index", idx,
+          "--rows-per-partition", "100", "--partitions-per-segment", "2",
+          "--id-cols", "repo,path,commit,lang",  # delete-by-term reads stored cols
+          "--keyword-cols", "lang"])
+    capsys.readouterr()
+
+    langs = corpus.slice(0, 200).column("lang").to_pylist()
+    n_py = sum(1 for l in langs if l == "py")
+    assert main(["count", "--index", idx, "--query", "lang:py"]) == 0
+    assert int(capsys.readouterr().out.strip()) == n_py
+
+    assert main(["delete", "--index", idx, "--col", "lang",
+                 "--values", "py"]) == 0
+    out = _lines(capsys)[-1]
+    assert out["deleted_total"] == n_py
+
+    assert main(["count", "--index", idx, "--query", "lang:py"]) == 0
+    assert int(capsys.readouterr().out.strip()) == 0
+
+    assert main(["add", "--index", idx, "--source", str(d / "b.parquet")]) == 0
+    out = _lines(capsys)[-1]
+    assert out["doc_count"] == 300
+
+    assert main(["compact", "--index", idx]) == 0  # tiered auto (may no-op)
+    capsys.readouterr()
+
+    # deleted docs stay invisible through add+compact; the added file's
+    # py docs ARE visible (tombstones bind to doc ids, not values)
+    added_py = sum(1 for l in corpus.slice(200).column("lang").to_pylist()
+                   if l == "py")
+    assert main(["count", "--index", idx, "--query", "lang:py"]) == 0
+    assert int(capsys.readouterr().out.strip()) == added_py
+
+
+def test_cli_build_keyword_and_grammar(cli_env, capsys):
+    d, corpus = cli_env
+    idx = str(d / "idx3")
+    assert main(["build", "--source", str(d / "a.parquet"), "--index", idx,
+                 "--rows-per-partition", "200",
+                 "--keyword-cols", "lang",
+                 "--grammar", "pattern:[a-z]+"]) == 0
+    capsys.readouterr()
+    assert main(["count", "--index", idx, "--query", "lang:py"]) == 0
+    n_py = int(capsys.readouterr().out.strip())
+    langs = corpus.slice(0, 200).column("lang").to_pylist()
+    assert n_py == sum(1 for l in langs if l == "py")
