@@ -571,6 +571,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
         ),
+        # bigram shingles (ShingleFilter): phrase-as-single-term lookup
+        "ft_shingle_hits": _q(
+            lambda sf: ft.shingle_term_hits(sf, "batch window")
+        ),
+        # WordBreakSpellChecker: split/join did-you-mean over the term dict
+        "ft_word_break": _q(lambda sf: ft.word_break_suggest(sf, "batchwindow")),
+        "ft_word_combine": _q(
+            lambda sf: ft.word_combine_suggest(sf, ["win", "dow", "val", "ue"])
+        ),
         # char filter (HTMLStripCharFilter + correctOffset): the decorated
         # column strips back to the plain text exactly, so hits must equal
         # the plain tokenization's hits
@@ -2104,6 +2113,37 @@ def oracle_sql() -> dict[str, str]:
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
         "WHERE rank <= 10 ORDER BY rank"
+    )
+    # bigram shingle hit set == token adjacency (positional CTE)
+    out["ft_shingle_hits"] = _PT + (
+        "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b "
+        "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.tok = 'batch' AND b.tok = 'window' ORDER BY a.doc_id"
+    )
+    # WordBreakSpellChecker: substr split enumeration + df table
+    out["ft_word_break"] = _TOKS + (
+        ", dfs AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM toks GROUP BY tok), "
+        "cand AS (SELECT substr('batchwindow', 1, i) AS a, "
+        "substr('batchwindow', i + 1) AS b "
+        "FROM UNNEST(range(2, 10)) AS t(i)) "
+        "SELECT a AS left_part, b AS right_part, "
+        "(da.df + db.df)::BIGINT AS freq_sum "
+        "FROM cand JOIN dfs da ON da.tok = a JOIN dfs db ON db.tok = b "
+        "ORDER BY freq_sum DESC, a LIMIT 5"
+    )
+    # combinations: the run enumeration is a pure function of the input
+    # terms (win dow val ue), replayed literally; dictionary df decides
+    out["ft_word_combine"] = _TOKS + (
+        ", dfs AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM toks GROUP BY tok), "
+        "cand(start, length, combined) AS (VALUES "
+        "(0, 2, 'window'), (0, 3, 'windowval'), (0, 4, 'windowvalue'), "
+        "(1, 2, 'dowval'), (1, 3, 'dowvalue'), (2, 2, 'value')) "
+        "SELECT start::BIGINT AS start, length::BIGINT AS length, combined, "
+        "dfs.df AS doc_freq "
+        "FROM cand JOIN dfs ON dfs.tok = combined "
+        "ORDER BY doc_freq DESC, start LIMIT 5"
     )
     # html_strip over the invertible decoration == plain tokenization
     out["ft_html_term_hits"] = _TOKS + (

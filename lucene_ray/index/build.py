@@ -149,6 +149,12 @@ class IndexConfig:
     # Offsets stored at the +OFFSETS level point into the ORIGINAL column
     # value, so highlighting/snippets over filtered indexes stay exact.
     char_filters: tuple = ()
+    # word n-gram sizes injected beside unigrams (ShingleFilter analog —
+    # analysis/shingle/ShingleFilter.java): shingles=(2,) adds bigram terms
+    # "a b" at the first token's position, outside field length/norms
+    # (posInc-0 overlap tokens). Enables exact-bigram filters/speedups the
+    # CommonGrams way; no '_' filler across stopword holes (documented)
+    shingles: tuple = ()
     compression: str = "zstd"
     # docs per inverter slice inside a Stage-A task (bounds the working set)
     invert_slice_docs: int = 1024
@@ -175,6 +181,7 @@ class IndexConfig:
             for s in self.char_filters
         ]
         d["dict_lexicon"] = list(self.dict_lexicon)
+        d["shingles"] = list(self.shingles)
         return d
 
 
@@ -574,6 +581,7 @@ class _StageA:
                     grammar=cfg.grammar,
                     dict_lexicon=cfg.dict_lexicon,
                     char_filters=cfg.char_filters,
+                    shingles=cfg.shingles,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -608,6 +616,7 @@ class _StageA:
                         grammar=cfg.grammar,
                         dict_lexicon=cfg.dict_lexicon,
                         char_filters=cfg.char_filters,
+                        shingles=cfg.shingles,
                     )
                     part = part.set_column(
                         part.schema.get_field_index("term"), "term",
@@ -1244,7 +1253,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
 _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
-    "path_cols", "text_cols", "char_filters", "index_sort", "block_col",
+    "path_cols", "text_cols", "char_filters", "shingles", "index_sort", "block_col",
     "compute_sha256", "merge_buckets", "id_cols",
 )
 

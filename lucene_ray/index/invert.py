@@ -726,6 +726,72 @@ def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
     return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
 
 
+def _inject_shingles(tok_ids, vocab, doc_idx, positions, start_chars,
+                     end_chars, sizes):
+    """ShingleFilter analog (analysis/shingle/ShingleFilter.java:66-101):
+    word n-grams joined with ' ' injected beside the unigrams, each emitted
+    at its FIRST token's position (the overlap-token shape — posInc 0 for
+    the continuation, so shingles never count toward field length: callers
+    compute lengths before injection, the discountOverlaps analog). Offsets
+    span first-token start .. last-token end. Divergences (documented):
+    no '_' filler tokens — shingles do not span stopword position holes —
+    and adjacency is evaluated on the emitted stream, so graph-injected
+    synonym tokens shingle with their immediate stream neighbors only.
+
+    Vectorized: window membership is one mask over (doc, pos) arrays per
+    size; shingle strings come from ONE Arrow binary_join_element_wise per
+    size; the combined stream re-interns with one dictionary_encode."""
+    stream = pc.take(vocab, pa.array(tok_ids, pa.int32()))
+    if isinstance(stream, pa.ChunkedArray):
+        stream = stream.combine_chunks()
+    n_tok = len(tok_ids)
+    str_parts = [stream]
+    doc_parts = [doc_idx]
+    pos_parts = [positions]
+    sc_parts = [start_chars] if start_chars is not None else None
+    ec_parts = [end_chars] if end_chars is not None else None
+    for n in sizes:
+        n = int(n)
+        if n < 2 or n_tok < n:
+            continue
+        head = np.arange(0, n_tok - n + 1)
+        ok = (doc_idx[head + n - 1] == doc_idx[head]) & (
+            positions[head + n - 1] == positions[head] + (n - 1)
+        )
+        sel = head[ok]
+        if len(sel) == 0:
+            continue
+        cols = [stream.take(pa.array(sel + k, pa.int64())) for k in range(n)]
+        sh = pc.binary_join_element_wise(*cols, pa.scalar(" "))
+        str_parts.append(sh)
+        doc_parts.append(doc_idx[sel])
+        pos_parts.append(positions[sel])
+        if sc_parts is not None:
+            sc_parts.append(start_chars[sel])
+            ec_parts.append(end_chars[sel + n - 1])
+    if len(str_parts) == 1:
+        return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+    all_str = pa.concat_arrays([p.cast(pa.string()) for p in str_parts])
+    d = all_str.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    tok_ids = np.asarray(d.indices, dtype=np.int32)
+    vocab = d.dictionary
+    doc_idx = np.concatenate(doc_parts)
+    positions = np.concatenate(pos_parts)
+    if sc_parts is not None:
+        start_chars = np.concatenate(sc_parts)
+        end_chars = np.concatenate(ec_parts)
+    order = np.lexsort((positions, doc_idx))
+    tok_ids = tok_ids[order]
+    doc_idx = doc_idx[order]
+    positions = positions[order]
+    if sc_parts is not None:
+        start_chars = start_chars[order]
+        end_chars = end_chars[order]
+    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+
+
 def invert_partition(
     contents: pa.ChunkedArray | pa.Array,
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
@@ -736,6 +802,7 @@ def invert_partition(
     grammar: str = "code",
     dict_lexicon: tuple = (),
     char_filters: tuple = (),
+    shingles: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -792,6 +859,15 @@ def invert_partition(
         tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
             _apply_token_filters(token_filters, tok_ids, vocab, doc_idx,
                                  positions, start_chars, end_chars)
+        )
+        total = len(tok_ids)
+
+    if shingles:
+        if not with_offsets:
+            start_chars = end_chars = None
+        tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
+            _inject_shingles(tok_ids, vocab, doc_idx, positions,
+                             start_chars, end_chars, shingles)
         )
         total = len(tok_ids)
 

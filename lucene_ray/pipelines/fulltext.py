@@ -231,6 +231,37 @@ def pattern_term_hits(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
 
 
+def documents_shingle_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with bigram shingles injected
+    beside the unigrams (ShingleFilter analog, IndexConfig.shingles)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:sh-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-sh-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            shingles=(2,),
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def shingle_term_hits(sf_dir: str, bigram: str) -> pa.Table:
+    """Hit set of ONE bigram shingle term ("a b") — the CommonGrams-style
+    exact-phrase-as-single-term lookup. SQL oracle: token adjacency via the
+    positional CTE."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_shingle_index(sf_dir)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(bigram), reader), reader)
+
+
 def multifield_hits(sf_dir: str, terms: list[str]) -> pa.Table:
     """Hit set of a MultiFieldQueryParser-shaped query over (text, head)
     (queryparser/classic/MultiFieldQueryParser.java:58-66): each term is a
@@ -728,6 +759,77 @@ def spell_correct(sf_dir: str, term: str, max_edits: int = 2,
         df[["term", "dist", "doc_freq"]].reset_index(drop=True),
         preserve_index=False,
     )
+
+
+def word_break_suggest(sf_dir: str, term: str, k: int = 5,
+                       min_break_length: int = 2,
+                       min_freq: int = 1) -> pa.Table:
+    """WordBreakSpellChecker.suggestWordBreaks analog (lucene/suggest/src/
+    java/org/apache/lucene/search/spell/WordBreakSpellChecker.java:92-139
+    at maxChanges=1): split the analyzed term at every point where BOTH
+    parts are dictionary words of >= ``min_break_length`` chars with
+    doc_freq >= ``min_freq``; ranked by summed doc_freq desc then left part
+    asc (the NUM_CHANGES_THEN_SUMMED_FREQUENCY comparator at one change).
+    One bucket-pruned term_stats lookup for ALL candidate parts — postings
+    never touched. Exactly SQL-checkable (substr enumeration + df table)."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+
+    reader = documents_index(sf_dir)
+    toks = CodeTokenizer()(term)
+    typed = toks[0] if toks else term.lower()
+    cands = [
+        (typed[:i], typed[i:])
+        for i in range(min_break_length, len(typed) - min_break_length + 1)
+    ]
+    stats = reader.term_stats(sorted({w for p in cands for w in p}))
+    rows = []
+    for a, b in cands:
+        da = stats.get(a)
+        db = stats.get(b)
+        if da and db and da.doc_freq >= min_freq and db.doc_freq >= min_freq:
+            rows.append((a, b, int(da.doc_freq + db.doc_freq)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "left_part": pa.array([r[0] for r in rows], pa.string()),
+        "right_part": pa.array([r[1] for r in rows], pa.string()),
+        "freq_sum": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def word_combine_suggest(sf_dir: str, terms: list[str], k: int = 5,
+                         min_freq: int = 1,
+                         max_combine_length: int = 20) -> pa.Table:
+    """WordBreakSpellChecker.suggestWordCombinations analog
+    (WordBreakSpellChecker.java:141-189): join every run of 2+ ADJACENT
+    input terms; a combination suggests when the joined word is in the
+    dictionary with doc_freq >= ``min_freq`` and within
+    ``max_combine_length`` chars. Ranked by doc_freq desc then start asc.
+    Returns (start, length, combined, doc_freq)."""
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+
+    tk = CodeTokenizer()
+    norm = [t for w in terms for t in tk(w)]
+    cands = {}
+    for i in range(len(norm)):
+        for j in range(i + 2, len(norm) + 1):
+            joined = "".join(norm[i:j])
+            if len(joined) <= max_combine_length:
+                cands[(i, j - i)] = joined
+    stats = documents_index(sf_dir).term_stats(sorted(set(cands.values())))
+    rows = []
+    for (i, ln), joined in cands.items():
+        st = stats.get(joined)
+        if st and st.doc_freq >= min_freq:
+            rows.append((i, ln, joined, int(st.doc_freq)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "start": pa.array([r[0] for r in rows], pa.int64()),
+        "length": pa.array([r[1] for r in rows], pa.int64()),
+        "combined": pa.array([r[2] for r in rows], pa.string()),
+        "doc_freq": pa.array([r[3] for r in rows], pa.int64()),
+    })
 
 
 def _map_orig_ids(reader: IndexReader, gids: np.ndarray) -> np.ndarray:

@@ -1,63 +1,119 @@
-"""Shingle ops vs scalar reference + DuckDB positional self-join oracle."""
+"""Shingles (ShingleFilter analog — analysis/shingle/ShingleFilter.java)
+and WordBreakSpellChecker (suggest/spell/WordBreakSpellChecker.java)."""
 
-import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
-import ray.data
-
-from lucene_ray.ops.shingles import doc_shingle_sets, shingle_counts
-
-TEXTS = [
-    "a b c a b c",
-    "a b",
-    "x",
-    "",
-    "b c d",
-]
+from lucene_ray.index.build import IndexConfig, build_index
+from lucene_ray.index.invert import invert_partition, tokenize_column
+from lucene_ray.index.reader import IndexReader
+from lucene_ray.search.query import PhraseQuery, TermQuery
+from lucene_ray.search.searcher import Searcher
 
 
-def _ds():
-    return ray.data.from_arrow(pa.table({
-        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
-        "text": pa.array(TEXTS, pa.string()),
-    }))
+def test_shingle_terms_and_lengths():
+    texts = pa.array(["the quick fox", "quick fox quick"])
+    partials, lengths, norms = invert_partition(texts, shingles=(2,))
+    terms = set(partials.column("term").to_pylist())
+    assert {"the quick", "quick fox", "fox quick"} <= terms
+    assert "the quick fox" not in terms
+    # shingles are OUTSIDE field length (posInc-0 overlap discount)
+    assert list(lengths) == [3, 3]
+    row = {t: i for i, t in enumerate(partials.column("term").to_pylist())}
+    i = row["quick fox"]
+    assert partials.column("df")[i].as_py() == 2
+    assert partials.column("ttf")[i].as_py() == 2
 
 
-def test_shingle_counts_matches_scalar(ray_session):
-    out = shingle_counts(_ds(), k=2, top=10)
-    got = dict(zip(out["shingle"].to_pylist(), out["n"].to_pylist()))
-    exp = {}
-    for t in TEXTS:
-        toks = t.split()
-        for i in range(len(toks) - 1):
-            sh = f"{toks[i]} {toks[i+1]}"
-            exp[sh] = exp.get(sh, 0) + 1
-    assert got == exp
+def test_shingle_trigrams():
+    texts = pa.array(["a b c d"])
+    partials, _, _ = invert_partition(texts, shingles=(2, 3))
+    terms = set(partials.column("term").to_pylist())
+    assert {"a b", "b c", "c d", "a b c", "b c d"} <= terms
+    assert "a b c d" not in terms
 
 
-def test_shingle_counts_matches_duckdb_oracle(ray_session):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
-    )
-    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
-    out = shingle_counts(ds, k=2, top=15).to_pandas()
-    exp = con.execute(
-        "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
-        "'[^a-z0-9_]+'), x -> x <> '') AS l FROM documents), "
-        "pt AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM tl) "
-        "SELECT a.tok || ' ' || b.tok AS shingle, count(*)::BIGINT AS n "
-        "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-        "GROUP BY 1 ORDER BY n DESC, shingle LIMIT 15"
-    ).df()
-    assert list(out["shingle"]) == list(exp["shingle"])
-    assert list(out["n"]) == list(exp["n"])
+def test_shingles_do_not_span_stop_holes():
+    texts = pa.array(["alpha the beta"])
+    partials, _, _ = invert_partition(
+        texts, stopwords=frozenset({"the"}), shingles=(2,))
+    terms = set(partials.column("term").to_pylist())
+    # position hole between alpha(0) and beta(2): no shingle across it
+    assert "alpha beta" not in terms
+    assert "alpha the" not in terms and "the beta" not in terms
 
 
-def test_doc_shingle_sets(ray_session):
-    out = doc_shingle_sets(_ds(), k=2).to_pandas().sort_values("doc_id")
-    assert list(out["n_shingles"]) == [5, 1, 0, 0, 2]
-    assert list(out["n_unique_shingles"]) == [3, 1, 0, 0, 2]
+def test_shingle_offsets_span_tokens():
+    texts = pa.array(["xx yy zz"])
+    from lucene_ray.codec.postings import decode_offsets
+
+    partials, _, _ = invert_partition(texts, with_offsets=True, shingles=(2,))
+    row = {t: i for i, t in enumerate(partials.column("term").to_pylist())}
+    i = row["xx yy"]
+    f = np.asarray(partials.column("freqs")[i].values, dtype=np.int64)
+    s, e = decode_offsets(partials.column("off_enc")[i].as_py(), f)
+    assert texts[0].as_py()[int(s[0]):int(e[0])] == "xx yy"
+
+
+@pytest.fixture(scope="module")
+def shingle_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sh")
+    from lucene_ray.fixtures import make_corpus
+
+    corpus = make_corpus(300, seed=91)
+    src = str(d / "c.parquet")
+    pq.write_table(corpus, src, row_group_size=100)
+    idx = str(d / "idx")
+    build_index(src, idx, IndexConfig(
+        target_rows_per_partition=150, partitions_per_segment=2,
+        shingles=(2,)))
+    plain = str(d / "plain")
+    build_index(src, plain, IndexConfig(
+        target_rows_per_partition=150, partitions_per_segment=2))
+    return idx, plain
+
+
+def test_shingle_term_equals_phrase(shingle_index):
+    """Bigram-shingle TermQuery hit set == exact PhraseQuery hit set on the
+    plain index — the CommonGrams speedup correctness identity."""
+    idx, plain = shingle_index
+    ss = Searcher(IndexReader(idx))
+    sp = Searcher(IndexReader(plain))
+    for a, b in [("import", "return"), ("def", "self"), ("return", "return")]:
+        got = ss.search(TermQuery(f"{a} {b}"), 10**9, total_hits_threshold=None)
+        want = sp.search(PhraseQuery((a, b)), 10**9, total_hits_threshold=None)
+        assert got.total_hits == want.total_hits, (a, b)
+        np.testing.assert_array_equal(np.sort(got.doc_ids),
+                                      np.sort(want.doc_ids))
+
+
+def test_unigram_scoring_unchanged_by_shingles(shingle_index):
+    """Unigram HIT SETS are unchanged by shingle injection (shingles stay
+    outside field lengths/norms; scores can differ only through collection
+    sumTotalTermFreq accounting, so the set identity is the invariant)."""
+    idx, plain = shingle_index
+    ss = Searcher(IndexReader(idx))
+    sp = Searcher(IndexReader(plain))
+    for t in ["import", "return"]:
+        a = ss.search(TermQuery(t), 10**9, total_hits_threshold=None)
+        b = sp.search(TermQuery(t), 10**9, total_hits_threshold=None)
+        assert a.total_hits == b.total_hits
+        np.testing.assert_array_equal(np.sort(a.doc_ids), np.sort(b.doc_ids))
+
+
+def test_word_break_and_combine(ray_session):
+    import os
+
+    from lucene_ray.pipelines import fulltext as ft
+
+    sf = "/root/testdata/sf0.001"
+    t = ft.word_break_suggest(sf, "batchwindow")
+    rows = t.to_pylist()
+    assert rows and rows[0]["left_part"] == "batch" and rows[0]["right_part"] == "window"
+    c = ft.word_combine_suggest(sf, ["win", "dow", "val", "ue"])
+    combos = {r["combined"]: r for r in c.to_pylist()}
+    assert set(combos) == {"window", "value"}
+    assert combos["window"]["start"] == 0 and combos["window"]["length"] == 2
+    assert combos["value"]["start"] == 2
