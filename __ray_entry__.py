@@ -571,6 +571,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
         ),
+        # non-default Similarities through the seam, served by the pool
+        # (scorers ship in the plan): DFR InB2 + Axiomatic F2EXP
+        "ft_dfr_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer", "dfr_inb2"))
+        ),
+        "ft_axiomatic_top10": _q(
+            lambda sf: _score_r6(
+                ft.similarity_topk(sf, "customer", "axiomatic_f2exp"))
+        ),
         # bigram shingles (ShingleFilter): phrase-as-single-term lookup
         "ft_shingle_hits": _q(
             lambda sf: ft.shingle_term_hits(sf, "batch window")
@@ -2114,6 +2123,41 @@ def oracle_sql() -> dict[str, str]:
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
         "WHERE rank <= 10 ORDER BY rank"
     )
+    # similarity-seam scored oracles: double math + byte4-lossy dl + one
+    # final float cast, exactly the engine's scorer pipelines
+    _sim_base = (
+        "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+        "d AS (SELECT doc_id, len(l)::BIGINT AS dl FROM tl), "
+        "stats AS (SELECT count(*)::DOUBLE AS n, "
+        "sum(dl)::DOUBLE / count(*) AS avgdl FROM d), "
+        "toks AS (SELECT doc_id, unnest(l) AS tok FROM tl), "
+        "tf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks "
+        "WHERE tok = 'customer' GROUP BY doc_id), "
+        "agg AS (SELECT count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS F FROM tf), "
+        f"ld AS (SELECT doc_id, CAST({_LOSSY_DL} AS DOUBLE) AS dl2 FROM d), "
+    )
+    _rank_tail = (
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    out["ft_dfr_top10"] = _sim_base + (
+        "tfn AS (SELECT tf.doc_id, tf.tf::DOUBLE * "
+        "log2(1.0 + (SELECT avgdl FROM stats) / ld.dl2) AS tfn "
+        "FROM tf JOIN ld USING (doc_id)), "
+        "sc AS (SELECT doc_id, CAST(greatest(0.0, "
+        "((SELECT F FROM agg) + 1.0) / ((SELECT df FROM agg) * (tfn + 1.0)) "
+        "* tfn * log2(((SELECT n FROM stats) + 1.0) / "
+        "((SELECT df FROM agg) + 0.5))) AS REAL) AS s FROM tfn) "
+    ) + _rank_tail
+    out["ft_axiomatic_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        "(tf.tf::DOUBLE / (tf.tf::DOUBLE + 0.5 + 0.5 * ld.dl2 / "
+        "(SELECT avgdl FROM stats))) * "
+        "pow(((SELECT n FROM stats) + 1.0) / (SELECT df FROM agg), 0.35)"
+        ") AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
     # bigram shingle hit set == token adjacency (positional CTE)
     out["ft_shingle_hits"] = _PT + (
         "SELECT DISTINCT a.doc_id FROM pt a JOIN pt b "

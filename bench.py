@@ -138,7 +138,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "text_wdf_token_stats", "dedup_substring_stats",
                      "ft_facet_dynamic_ranges", "ft_covering_hits",
                      "ft_blockjoin_children", "geo_polygon_hits",
-                     "events_windowed_top3", "ft_function_score_top10"]:
+                     "events_windowed_top3", "ft_function_score_top10",
+                     "ft_multifield_hits", "ft_textfield_top10",
+                     "ft_html_term_hits", "ft_pattern_term_hits",
+                     "ft_shingle_hits", "ft_word_break"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)

@@ -291,10 +291,13 @@ class ShardPool:
             QueryShardActor.remote(index_dir, segs[i::n]) for i in range(n)
         ]
 
-    def _plans(self, queries, extra=()):
+    def _plans(self, queries, extra=(), planner=None):
+        # a custom planner (e.g. a Searcher with a non-default Similarity)
+        # changes ONLY the weights: scorers are built driver-side and ship
+        # inside the plan, so the actors serve any Similarity unchanged
         plans = []
         for qid, q in queries:
-            all_terms, scorers, ph, pf = self.searcher.plan(q)
+            all_terms, scorers, ph, pf = (planner or self.searcher).plan(q)
             plans.append((qid, q, all_terms, scorers, ph, pf, *extra))
         return ray.put(plans)
 
@@ -418,10 +421,13 @@ class ShardPool:
         return out
 
     def search(self, queries: list[tuple[int, Query]], k: int = 10,
-               total_hits_threshold: int | None = 1000) -> dict[int, TopDocs]:
+               total_hits_threshold: int | None = 1000,
+               planner=None) -> dict[int, TopDocs]:
         """qid -> merged TopDocs, rank-identical to the single-process
-        Searcher (same per-segment kernels, same TopDocs.merge tie-break)."""
-        ref = self._plans(queries, (k, total_hits_threshold))
+        Searcher (same per-segment kernels, same TopDocs.merge tie-break).
+        ``planner`` overrides the plan-building Searcher (custom
+        Similarity); per-segment scoring is unchanged."""
+        ref = self._plans(queries, (k, total_hits_threshold), planner)
         parts = ray.get([a.search_batch.remote(ref) for a in self.actors])
         results: dict[int, TopDocs] = {}
         for qid, _ in queries:

@@ -761,6 +761,43 @@ def spell_correct(sf_dir: str, term: str, max_edits: int = 2,
     )
 
 
+_SIMS = {
+    "dfr_inb2": lambda: __import__(
+        "lucene_ray.search.similarity", fromlist=["DFRSimilarity"]
+    ).DFRSimilarity(),
+    "axiomatic_f2exp": lambda: __import__(
+        "lucene_ray.search.similarity", fromlist=["AxiomaticF2EXPSimilarity"]
+    ).AxiomaticF2EXPSimilarity(),
+}
+
+
+def similarity_topk(sf_dir: str, term: str, sim: str, k: int = 10) -> pa.Table:
+    """Scored top-k under a non-default Similarity (DFR InB2 or Axiomatic
+    F2EXP) served by the SAME actor pool: scorers are built driver-side
+    (the Weight) and ship inside the plan, so per-segment scoring code is
+    untouched — the Similarity seam end-to-end. Float32-exact SQL oracle
+    (double math, byte4-lossy dl, final float cast)."""
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    reader = documents_index(sf_dir)
+    planner = Searcher(reader, similarity=_SIMS[sim]())
+    td = _pool(reader).search([(0, TermQuery(term))], k,
+                              planner=planner)[0]
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(),
+                 t.column("doc_id_orig").to_pylist()))
+    return pa.table({
+        "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+        "score": pa.array(td.scores, pa.float32()),
+    })
+
+
 def word_break_suggest(sf_dir: str, term: str, k: int = 5,
                        min_break_length: int = 2,
                        min_freq: int = 1) -> pa.Table:

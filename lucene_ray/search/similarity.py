@@ -312,6 +312,134 @@ class BooleanSimilarity:
         return MultiScorer(BooleanScorer(boost) for _ in term_stats)
 
 
+class DFRInB2Scorer:
+    """Vectorized DFR I(n)B2 scorer: H2 length normalization then the
+    I(n) information content with Bernoulli (B) first normalization —
+    double math, one float32 cast, clamped >= 0 (SimilarityBase.score)."""
+
+    __slots__ = ("boost", "c", "avgdl", "F", "n", "N", "dl_table")
+
+    def __init__(self, boost, c, avgdl, F, n, N):
+        self.boost = float(boost)
+        self.c = float(c)
+        self.avgdl = float(avgdl)
+        self.F = float(F)
+        self.n = float(n)
+        self.N = float(N)
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+        # norm byte 0 decodes to length 0 (a term can never occur in an
+        # empty field, so this index is unreachable with freq>0): make the
+        # table finite so vectorized scoring over all 256 bytes stays clean
+        self.dl_table = self.dl_table.copy()
+        self.dl_table[0] = np.inf
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        # NormalizationH2.tfn (similarities/NormalizationH2.java:36):
+        # tfn = tf * log2(1 + c * avgdl / dl)
+        tfn = tf * np.log2(1.0 + self.c * self.avgdl / dl)
+        # I(n): tfn * log2((N + 1) / (n + 0.5))   (BasicModelIn shape)
+        info = tfn * np.log2((self.N + 1.0) / (self.n + 0.5))
+        # After-effect B: (F + 1) / (n * (tfn + 1))  (AfterEffectB shape;
+        # Amati & van Rijsbergen 2002, the InB2 weighting)
+        gain = (self.F + 1.0) / (self.n * (tfn + 1.0))
+        s = self.boost * gain * info
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "DFRInB2Scorer":
+        return DFRInB2Scorer(self.boost * float(boost), self.c, self.avgdl,
+                             self.F, self.n, self.N)
+
+
+class DFRSimilarity:
+    """Divergence-from-randomness I(n)B2 (Amati & van Rijsbergen 2002,
+    "Probabilistic models of information retrieval based on measuring the
+    divergence from randomness") through the Similarity seam — the
+    DFRSimilarity(BasicModelIn, AfterEffectB, NormalizationH2(c)) combo
+    (lucene/core/src/java/org/apache/lucene/search/similarities/
+    DFRSimilarity.java:60-104). We implement the published formula with
+    double math and one float32 cast; clamped >= 0."""
+
+    def __init__(self, c: float = 1.0):
+        if not (c > 0 and math.isfinite(c)):
+            raise ValueError(f"illegal c value: {c}")
+        self.c = float(c)
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> DFRInB2Scorer:
+        avgdl = cs.sum_total_term_freq / float(cs.doc_count)
+        return DFRInB2Scorer(boost, self.c, avgdl, ts.total_term_freq,
+                             ts.doc_freq, cs.doc_count)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
+class AxiomaticF2EXPScorer:
+    """Vectorized Axiomatic F2EXP scorer:
+    score = boost * (tf / (tf + s + s*dl/avgdl)) * ((N + 1) / n)^k —
+    double math, one float32 cast (AxiomaticF2EXP.java:48-76 shapes)."""
+
+    __slots__ = ("boost", "s", "k", "avgdl", "idf_pow", "dl_table")
+
+    def __init__(self, boost, s, k, avgdl, idf_pow):
+        self.boost = float(boost)
+        self.s = float(s)
+        self.k = float(k)
+        self.avgdl = float(avgdl)
+        self.idf_pow = float(idf_pow)  # ((N+1)/n)^k
+        self.dl_table = LENGTH_TABLE.astype(np.float64).copy()
+        self.dl_table[0] = np.inf  # see DFRInB2Scorer: length-0 guard
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        tfln = tf / (tf + self.s + self.s * dl / self.avgdl)
+        s = self.boost * tfln * self.idf_pow
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "AxiomaticF2EXPScorer":
+        return AxiomaticF2EXPScorer(self.boost * float(boost), self.s,
+                                    self.k, self.avgdl, self.idf_pow)
+
+
+class AxiomaticF2EXPSimilarity:
+    """Axiomatic retrieval model F2EXP (Fang & Zhai 2005, "An exploration
+    of axiomatic approaches to information retrieval") — the
+    AxiomaticF2EXP(s, k) similarity (lucene/core/src/java/org/apache/
+    lucene/search/similarities/AxiomaticF2EXP.java:29-55)."""
+
+    def __init__(self, s: float = 0.5, k: float = 0.35):
+        if not (0 <= s <= 1):
+            raise ValueError(f"illegal s value: {s}")
+        if not (0 < k <= 1):
+            raise ValueError(f"illegal k value: {k}")
+        self.s = float(s)
+        self.k = float(k)
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats):
+        avgdl = cs.sum_total_term_freq / float(cs.doc_count)
+        idf_pow = ((cs.doc_count + 1.0) / ts.doc_freq) ** self.k
+        return AxiomaticF2EXPScorer(boost, self.s, self.k, avgdl, idf_pow)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):

@@ -13,6 +13,8 @@ import pytest
 
 from lucene_ray.codec.smallfloat import LENGTH_TABLE
 from lucene_ray.search.similarity import (
+    AxiomaticF2EXPSimilarity,
+    DFRSimilarity,
     BM25Similarity,
     BooleanSimilarity,
     ClassicSimilarity,
@@ -95,8 +97,10 @@ def test_length_table_values():
 @pytest.mark.parametrize(
     "sim",
     [BM25Similarity(), ClassicSimilarity(), LMDirichletSimilarity(),
-     LMJelinekMercerSimilarity(), BooleanSimilarity()],
-    ids=["bm25", "classic", "lmdirichlet", "lmjm", "boolean"],
+     LMJelinekMercerSimilarity(), BooleanSimilarity(), DFRSimilarity(),
+     AxiomaticF2EXPSimilarity()],
+    ids=["bm25", "classic", "lmdirichlet", "lmjm", "boolean", "dfr",
+         "axiomatic"],
 )
 @pytest.mark.parametrize("stats", CORPUS_SHAPES)
 def test_similarity_contract_all_norms(sim, stats):
@@ -191,8 +195,8 @@ def test_boolean_similarity_scores_boost_only():
 
 @pytest.mark.parametrize(
     "sim", [LMDirichletSimilarity(), LMJelinekMercerSimilarity(0.3),
-            BooleanSimilarity()],
-    ids=["lmdirichlet", "lmjm", "boolean"],
+            BooleanSimilarity(), DFRSimilarity(), AxiomaticF2EXPSimilarity()],
+    ids=["lmdirichlet", "lmjm", "boolean", "dfr", "axiomatic"],
 )
 def test_new_similarities_end_to_end_seam(ray_session, built_index, sim):
     """Search through the unchanged engine with each additional similarity
@@ -259,3 +263,43 @@ def test_lmjelinekmercer_exact_formula():
     for bad in (0.0, -0.5, 1.5, float("nan")):
         with pytest.raises(ValueError):
             LMJelinekMercerSimilarity(bad)
+
+
+def test_dfr_inb2_exact_formula():
+    # InB2: (F+1)/(n*(tfn+1)) * tfn * log2((N+1)/(n+0.5)),
+    # tfn = tf*log2(1 + c*avgdl/dl)  (Amati & van Rijsbergen 2002;
+    # DFRSimilarity.java combo In/B/H2)
+    sim = DFRSimilarity(c=1.0)
+    stats = CollectionStats(doc_count=100, sum_total_term_freq=9999)
+    scorer = sim.scorer(1.0, stats, TermStats(doc_freq=10, total_term_freq=500))
+    avgdl = 9999 / 100.0
+    for freq, nb in [(1, 3), (50, 3), (5, 200), (255, 255)]:
+        dl = float(LENGTH_TABLE[nb])
+        tfn = freq * math.log2(1 + avgdl / dl)
+        exp = np.float32((500 + 1.0) / (10 * (tfn + 1)) * tfn
+                         * math.log2((100 + 1.0) / (10 + 0.5)))
+        got = scorer.score(np.array([freq]), np.array([nb]))[0]
+        assert got == exp, (freq, nb)
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError):
+            DFRSimilarity(bad)
+
+
+def test_axiomatic_f2exp_exact_formula():
+    # F2EXP: tf/(tf + s + s*dl/avgdl) * ((N+1)/df)^k  (Fang & Zhai 2005;
+    # AxiomaticF2EXP.java)
+    sim = AxiomaticF2EXPSimilarity(s=0.5, k=0.35)
+    stats = CollectionStats(doc_count=100, sum_total_term_freq=9999)
+    scorer = sim.scorer(1.0, stats, TermStats(doc_freq=10, total_term_freq=500))
+    avgdl = 9999 / 100.0
+    for freq, nb in [(1, 3), (50, 3), (5, 200), (255, 255)]:
+        dl = float(LENGTH_TABLE[nb])
+        exp = np.float32(freq / (freq + 0.5 + 0.5 * dl / avgdl)
+                         * ((100 + 1.0) / 10) ** 0.35)
+        got = scorer.score(np.array([freq]), np.array([nb]))[0]
+        assert got == exp, (freq, nb)
+    for bad_s in (-0.1, 1.5):
+        with pytest.raises(ValueError):
+            AxiomaticF2EXPSimilarity(s=bad_s)
+    with pytest.raises(ValueError):
+        AxiomaticF2EXPSimilarity(k=0.0)
