@@ -340,6 +340,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: _is_bench(b, invert=True), batch_format="pyarrow")
         return _ids_table(decontaminate(train, sh, invert=True))
 
+    def _contamination_frac(sf_dir):
+        import numpy as _np
+        import pyarrow as _pa
+
+        from lucene_ray.ops.curate import benchmark_shingles, contamination_scores
+
+        def _is_bench(batch, invert=False):
+            ids = _np.asarray(batch.column("doc_id"))
+            m = (ids % 50 == 0)
+            return batch.filter(_pa.array(~m if invert else m))
+
+        import ray as _ray
+
+        docs = _docs(sf_dir)
+        sh = benchmark_shingles(
+            docs.map_batches(_is_bench, batch_format="pyarrow"))
+        train = docs.map_batches(
+            lambda b: _is_bench(b, invert=True), batch_format="pyarrow")
+        out = contamination_scores(train, sh)
+        t = _pa.concat_tables(
+            [r for r in (_ray.get(x) for x in out.to_arrow_refs()) if len(r)])
+        return t.sort_by("doc_id")
+
     def _score_r6(t):
         import pyarrow as _pa
         import pyarrow.compute as _pc
@@ -690,6 +713,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: __import__(
                 "lucene_ray.ops.curate", fromlist=["select_token_budget"]
             ).select_token_budget(_docs(sf), 20_000)
+        ),
+        # per-GROUP token budgets (domain mixture: "x tokens of en, y of de")
+        "curate_token_budget_grouped": _q(
+            lambda sf: __import__(
+                "lucene_ray.ops.curate",
+                fromlist=["select_token_budget_grouped"]
+            ).select_token_budget_grouped(
+                _docs(sf), {"en": 8000, "de": 4000}, "lang")
+        ),
+        # graded contamination fraction per train doc vs the benchmark
+        # shingle set (same benchmark split as curate_decontaminate)
+        "curate_contamination_frac": _q(
+            lambda sf: _contamination_frac(sf)
         ),
         # PII scrubbing: emails/IPv4s/phones -> typed placeholders, one RE2
         # pass per class (deterministically planted from doc_id — the test
@@ -1664,6 +1700,42 @@ def oracle_sql() -> dict[str, str]:
             "1 PRECEDING), 0) AS before FROM r) "
             "SELECT doc_id, n_tokens FROM c WHERE before < 20000 "
             "ORDER BY doc_id"
+        ),
+        # per-group running-sum budgets (window PARTITION BY the group)
+        "curate_token_budget_grouped": (
+            f"WITH tl AS (SELECT doc_id, lang, {_TOKLIST} AS l FROM documents), "
+            "st AS (SELECT doc_id, lang, len(l)::BIGINT AS n_tokens, "
+            "len(list_distinct(l))::BIGINT AS n_unique FROM tl "
+            "WHERE len(l) > 0), "
+            "r AS (SELECT doc_id, lang, n_tokens, "
+            "n_unique::DOUBLE / n_tokens::DOUBLE AS q FROM st), "
+            "c AS (SELECT doc_id, lang, n_tokens, coalesce(sum(n_tokens) "
+            "OVER (PARTITION BY lang ORDER BY q DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS before FROM r), "
+            "b(blang, budget) AS (VALUES ('en', 8000), ('de', 4000)) "
+            "SELECT doc_id, lang AS grp, n_tokens FROM c "
+            "JOIN b ON b.blang = c.lang WHERE before < budget "
+            "ORDER BY doc_id"
+        ),
+        # graded contamination: distinct-3-shingle overlap fraction per
+        # train doc vs the doc_id%50==0 benchmark slice
+        "curate_contamination_frac": (
+            "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, len(l) - 2), "
+            "i -> array_to_string(l[i:i+2], ' '))) AS s FROM tl "
+            "WHERE len(l) >= 3), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_shingles, "
+            "sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_hit FROM sh WHERE doc_id % 50 <> 0 "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_shingles, 0) AS n_shingles, "
+            "coalesce(a.n_hit, 0) AS n_hit, "
+            "coalesce(a.n_hit::DOUBLE / a.n_shingles, 0.0) AS frac "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"
         ),
         # decoration derived from doc_id exactly as ops/text.redact_pii
         # plants it; each class counted on the text state it is applied to,

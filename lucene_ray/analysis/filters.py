@@ -43,9 +43,37 @@ class TokenFilter:
 
 class PorterStemFilter(TokenFilter):
     spec = ("porter_stem",)
+    respects_keyword = True  # KeywordAttribute-aware (PorterStemFilter.java:48)
 
     def map_term(self, term: str) -> str:
         return porter_stem(term)
+
+
+class KeywordMarkerFilter(TokenFilter):
+    """SetKeywordMarkerFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/miscellaneous/SetKeywordMarkerFilter.java:28): marks the
+    listed terms as keywords so keyword-aware downstream stages (stemmers)
+    pass them through unchanged. Place BEFORE the stemmer in the chain."""
+
+    def __init__(self, protected):
+        self.protected = frozenset(protected)
+        self.spec = ("keyword_marker", sorted(self.protected))
+
+
+class LengthFilter(TokenFilter):
+    """LengthFilter (miscellaneous/LengthFilter.java:29): drops tokens whose
+    char length falls outside [min, max]. A FilteringTokenFilter — dropped
+    tokens leave position holes and do not count toward field length."""
+
+    def __init__(self, min_len: int = 1, max_len: int = DEFAULT_MAX_TOKEN_LENGTH):
+        if not (0 < min_len <= max_len):
+            raise ValueError(f"illegal length range: [{min_len}, {max_len}]")
+        self.min_len = min_len
+        self.max_len = max_len
+        self.spec = ("length", {"min": min_len, "max": max_len})
+
+    def drop(self, term: str) -> bool:
+        return not (self.min_len <= len(term) <= self.max_len)
 
 
 class AsciiFoldingFilter(TokenFilter):
@@ -107,6 +135,7 @@ class StemKeepOriginalFilter(TokenFilter):
     (does not count toward field length), matching the chain's norms."""
 
     spec = ("stem_keep_original",)
+    respects_keyword = True
 
     def synonyms(self, term: str) -> tuple:
         st = porter_stem(term)
@@ -193,27 +222,54 @@ def build_filters(specs) -> tuple:
             from lucene_ray.analysis.lang import LightStemFilter
 
             out.append(LightStemFilter(spec[1]["lang"]))
+        elif kind == "keyword_marker":
+            out.append(KeywordMarkerFilter(spec[1]))
+        elif kind == "length":
+            out.append(LengthFilter(spec[1]["min"], spec[1]["max"]))
         else:
             raise ValueError(f"unknown token filter spec: {spec!r}")
     return tuple(out)
 
 
-def apply_to_vocab(filters, vocab: list) -> tuple[list, list]:
+def apply_to_vocab(filters, vocab: list) -> tuple[list, list, list]:
     """Run the chain over a vocabulary.
 
-    Returns ``(mapped, extra)`` where ``mapped[i]`` is the rewritten term
-    for vocab entry i and ``extra[i]`` is a tuple of additional same-position
-    terms injected for it. Synonym terms produced mid-chain are run through
-    the REMAINING filters' map stages (an injected "quick" still gets
-    stemmed by a later PorterStemFilter), matching chained-TokenFilter
-    semantics."""
+    Returns ``(mapped, extra, dropped)`` where ``mapped[i]`` is the
+    rewritten term for vocab entry i, ``extra[i]`` is a tuple of additional
+    same-position terms injected for it, and ``dropped[i]`` says a
+    FilteringTokenFilter stage (LengthFilter) removed the token (callers
+    drop its occurrences, keeping position holes and subtracting it from
+    field length). Synonym terms produced mid-chain are run through the
+    REMAINING filters' map stages (an injected "quick" still gets stemmed
+    by a later PorterStemFilter), matching chained-TokenFilter semantics.
+    KeywordMarkerFilter marks terms so keyword-aware stages
+    (respects_keyword=True, the KeywordAttribute contract) skip them."""
     mapped = list(vocab)
     extra: list[tuple] = [() for _ in vocab]
+    protected = [False] * len(vocab)
+    dropped = [False] * len(vocab)
     for fi, f in enumerate(filters):
-        mapped = [f.map_term(t) for t in mapped]
+        if isinstance(f, KeywordMarkerFilter):
+            for i, t in enumerate(mapped):
+                if t in f.protected:
+                    protected[i] = True
+            continue
+        if hasattr(f, "drop"):
+            for i, t in enumerate(mapped):
+                if not dropped[i] and f.drop(t):
+                    dropped[i] = True
+            extra = [tuple(s for s in ex if not f.drop(s)) for ex in extra]
+            continue
+        respects = getattr(f, "respects_keyword", False)
+        mapped = [
+            t if (respects and protected[i]) else f.map_term(t)
+            for i, t in enumerate(mapped)
+        ]
         # map previously injected synonyms through this filter too
         extra = [tuple(f.map_term(t) for t in ex) for ex in extra]
         for i, t in enumerate(mapped):
+            if respects and protected[i]:
+                continue
             syns = f.synonyms(t)
             if syns:
                 tail = filters[fi + 1 :]
@@ -221,7 +277,7 @@ def apply_to_vocab(filters, vocab: list) -> tuple[list, list]:
                     for g in tail:
                         s = g.map_term(s)
                     extra[i] = extra[i] + (s,)
-    return mapped, extra
+    return mapped, extra, dropped
 
 
 class AnalyzerChain:
@@ -250,6 +306,7 @@ class AnalyzerChain:
         toks = self.tokenizer(text)
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
-        for f in self._filters:
-            toks = [f.map_term(t) for t in toks]
-        return toks
+        # replay the full chain semantics (maps, keyword marking, drops) on
+        # the query tokens — synonym INJECTION stays index-time-only
+        mapped, _extra, dropped = apply_to_vocab(self._filters, toks)
+        return [t for t, d in zip(mapped, dropped) if not d]

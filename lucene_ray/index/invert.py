@@ -677,7 +677,23 @@ def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
     from lucene_ray.analysis.filters import apply_to_vocab
 
     vocab_py = vocab.to_pylist()
-    mapped, extra = apply_to_vocab(filters, vocab_py)
+    mapped, extra, dropped = apply_to_vocab(filters, vocab_py)
+    drop_counts = None
+    if any(dropped):
+        # FilteringTokenFilter stage (LengthFilter): remove the dropped
+        # vocab entries' occurrences, keep position holes, and report
+        # per-doc removal counts so the caller subtracts them from field
+        # lengths (dropped tokens are outside norms, as in Lucene)
+        drop_arr = np.array(dropped, dtype=bool)
+        keep_occ = ~drop_arr[tok_ids]
+        if not keep_occ.all():
+            drop_counts = np.bincount(doc_idx[~keep_occ])
+            tok_ids = tok_ids[keep_occ]
+            doc_idx = doc_idx[keep_occ]
+            positions = positions[keep_occ]
+            if start_chars is not None:
+                start_chars = start_chars[keep_occ]
+                end_chars = end_chars[keep_occ]
     # never inject a duplicate of the token itself (would double-count tf)
     extra = [
         tuple(dict.fromkeys(s for s in ex if s != mapped[i]))
@@ -723,7 +739,7 @@ def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
             end_chars = end_chars[order]
 
     vocab = pa.array(uniq, pa.string())
-    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars, drop_counts
 
 
 def _inject_shingles(tok_ids, vocab, doc_idx, positions, start_chars,
@@ -856,11 +872,17 @@ def invert_partition(
     if token_filters:
         if not with_offsets:
             start_chars = end_chars = None
-        tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
+        (tok_ids, vocab, doc_idx, positions, start_chars, end_chars,
+         drop_counts) = (
             _apply_token_filters(token_filters, tok_ids, vocab, doc_idx,
                                  positions, start_chars, end_chars)
         )
         total = len(tok_ids)
+        if drop_counts is not None:
+            # LengthFilter removals leave field length (and the norm byte)
+            lengths = lengths - np.pad(
+                drop_counts, (0, n_docs - len(drop_counts)))
+            norm_bytes = int_to_byte4_array(lengths)
 
     if shingles:
         if not with_offsets:

@@ -143,6 +143,117 @@ def decontaminate(ds: ray.data.Dataset, bench_shingles: pa.Array,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def contamination_scores(ds: ray.data.Dataset, bench_shingles: pa.Array,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3) -> ray.data.Dataset:
+    """Per-document contamination FRACTION vs a broadcast benchmark shingle
+    set: |distinct doc k-shingles in the benchmark| / |distinct doc
+    k-shingles| — the graded companion of ``decontaminate`` (threshold the
+    fraction instead of zero-tolerance filtering; the n-gram-overlap
+    decontamination measure of GPT-3 appendix C / PaLM-style reports).
+    Streaming map_batches, benchmark set shipped once via ray.put; returns
+    (id, n_shingles, n_hit, frac) rows."""
+    ref = ray.put(bench_shingles)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        s, d_idx = _shingle_strings(batch, text_col, k)
+        n = batch.num_rows
+        # distinct shingles per doc: lexsort + boundary mask
+        n_sh = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        if len(s):
+            d = s.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            sid = np.asarray(d.indices, dtype=np.int64)
+            order = np.lexsort((sid, d_idx))
+            ds_, ss_ = d_idx[order], sid[order]
+            first = np.empty(len(sid), dtype=bool)
+            first[0] = True
+            first[1:] = (ds_[1:] != ds_[:-1]) | (ss_[1:] != ss_[:-1])
+            ud, us = ds_[first], ss_[first]
+            n_sh = np.bincount(ud, minlength=n).astype(np.int64)
+            if len(vs):
+                vhit = np.asarray(pc.is_in(d.dictionary, value_set=vs))
+                hit = vhit[us]
+                n_hit = np.bincount(ud[hit], minlength=n).astype(np.int64)
+        frac = np.divide(n_hit, n_sh, out=np.zeros(n, np.float64),
+                         where=n_sh > 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+            "frac": pa.array(frac, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def select_token_budget_grouped(ds: ray.data.Dataset, budgets: dict,
+                                group_col: str, text_col: str = "text",
+                                id_col: str = "doc_id") -> pa.Table:
+    """Per-GROUP token-budget selection — domain mixture construction
+    ("x tokens of web, y of code, z of books"): within each group, rank by
+    unique-token ratio desc (ties doc_id asc) and keep docs while the
+    cumulative tokens of strictly better same-group docs stay under that
+    group's budget (same straggler rule as ``select_token_budget``). Groups
+    absent from ``budgets`` contribute nothing. The per-doc stats table is
+    tiny (the text never leaves the map stage); ranking is one driver
+    lexsort over it. Returns (id, group, n_tokens) sorted by doc_id."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = tokenize_column(batch.column(text_col))
+        n = len(batch)
+        counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        uniq = np.zeros(n, dtype=np.int64)
+        if len(doc_idx):
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            tok_ids = np.asarray(d.indices, dtype=np.int64)
+            order = np.lexsort((tok_ids, doc_idx))
+            ds_, ts_ = doc_idx[order], tok_ids[order]
+            bound = np.empty(len(doc_idx), dtype=bool)
+            bound[0] = True
+            bound[1:] = (ds_[1:] != ds_[:-1]) | (ts_[1:] != ts_[:-1])
+            uniq = np.bincount(ds_[bound], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "grp": batch.column(group_col).cast(pa.string()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_unique": pa.array(uniq, pa.int64()),
+        })
+
+    parts = [ray.get(r) for r in ds.map_batches(
+        stats, batch_format="pyarrow").to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if len(p)])
+    ids = np.asarray(t.column(id_col), dtype=np.int64)
+    grp = np.asarray(t.column("grp").to_pylist(), dtype=object)
+    nt = np.asarray(t.column("n_tokens"), dtype=np.int64)
+    nu = np.asarray(t.column("n_unique"), dtype=np.int64)
+    m = nt > 0
+    ids, grp, nt, nu = ids[m], grp[m], nt[m], nu[m]
+    q = nu.astype(np.float64) / nt.astype(np.float64)
+    keep_idx = []
+    for g, budget in budgets.items():
+        sel = np.flatnonzero(grp == g)
+        if len(sel) == 0:
+            continue
+        order = sel[np.lexsort((ids[sel], -q[sel]))]
+        cum_before = np.cumsum(nt[order]) - nt[order]
+        keep_idx.append(order[cum_before < int(budget)])
+    if not keep_idx:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "grp": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64())})
+    kept = np.concatenate(keep_idx)
+    kept = kept[np.argsort(ids[kept])]
+    return pa.table({id_col: pa.array(ids[kept], pa.int64()),
+                     "grp": pa.array(list(grp[kept]), pa.string()),
+                     "n_tokens": pa.array(nt[kept], pa.int64())})
+
+
 def select_token_budget(ds: ray.data.Dataset, budget_tokens: int,
                         text_col: str = "text", id_col: str = "doc_id"
                         ) -> pa.Table:

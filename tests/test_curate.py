@@ -178,3 +178,61 @@ def test_unigram_lm_score_hand_checked(ray_session):
         assert got[did] == round(e, 6), did
     # the OOV-heavy doc scores strictly worse than the in-vocab ones
     assert got[2] < min(got[0], got[1], got[3])
+
+
+def test_token_budget_grouped(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from lucene_ray.ops.curate import select_token_budget_grouped
+
+    rows = {
+        "doc_id": list(range(8)),
+        "lang": ["en", "en", "en", "de", "de", "fr", "en", "de"],
+        # en docs: 0 high quality (all unique), 1 medium, 2 low, 6 high
+        "text": [
+            "a b c d",            # en q=1.0  4 tok
+            "a a b c",            # en q=.75  4 tok
+            "a a a a",            # en q=.25  4 tok
+            "x y z",              # de q=1.0  3 tok
+            "x x y",              # de q=.67  3 tok
+            "m n",                # fr (no budget -> excluded)
+            "p q r s",            # en q=1.0  4 tok
+            "x x x",              # de q=.33  3 tok
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    t = select_token_budget_grouped(ds, {"en": 8, "de": 4}, "lang")
+    got = {(r["doc_id"], r["grp"]) for r in t.to_pylist()}
+    # en: q order 0,6 (tie doc_id), then 1, 2. before: 0:0<8, 6:4<8, 1:8 !<8
+    # de: q order 3,4,7. before: 3:0<4, 4:3<4 (straggler kept), 7:6 !<4
+    assert got == {(0, "en"), (6, "en"), (3, "de"), (4, "de")}
+
+
+def test_contamination_scores(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from lucene_ray.ops.curate import contamination_scores
+
+    bench = pa.array(["a b c", "b c d"])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d e",   # shingles: abc bcd cde -> 2/3 hit
+            "x y z w",     # xyz yzw -> 0/2
+            "a b",         # too short -> 0 shingles
+        ],
+    }))
+    t = pa.concat_tables([
+        r for r in (__import__("ray").get(x)
+                    for x in contamination_scores(ds, bench).to_arrow_refs())
+        if len(r)
+    ]).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_hit"] == 2
+    assert abs(rows[1]["frac"] - 2 / 3) < 1e-12
+    assert rows[2]["n_hit"] == 0 and rows[2]["frac"] == 0.0
+    assert rows[3]["n_shingles"] == 0 and rows[3]["frac"] == 0.0

@@ -56,7 +56,7 @@ def test_build_filters_round_trip():
 def test_chain_synonym_then_stem():
     # injected synonym still runs through the REMAINING map stages
     filters = (SynonymFilter({"fast": ["running"]}), PorterStemFilter())
-    mapped, extra = apply_to_vocab(filters, ["fast", "dogs"])
+    mapped, extra, _dropped = apply_to_vocab(filters, ["fast", "dogs"])
     assert mapped == ["fast", "dog"]
     assert extra[0] == ("run",)   # "running" stemmed by the later filter
     assert extra[1] == ()
@@ -131,3 +131,68 @@ def test_stem_keep_original():
     plain_terms = plain.column("term").to_pylist()
     i0 = plain_terms.index("run")
     assert plain.column("ttf")[i0].as_py() == 1
+
+
+def test_keyword_marker_protects_stemming():
+    from lucene_ray.analysis.filters import apply_to_vocab, build_filters
+
+    filters = build_filters([("keyword_marker", ["running"]), ("porter_stem",)])
+    mapped, extra, dropped = apply_to_vocab(filters, ["running", "jumping"])
+    assert mapped == ["running", "jump"]  # protected term unstemmed
+    assert not any(dropped)
+    # marker also suppresses stem_keep_original injection
+    filters2 = build_filters([("keyword_marker", ["running"]),
+                              ("stem_keep_original",)])
+    mapped2, extra2, _ = apply_to_vocab(filters2, ["running", "jumping"])
+    assert mapped2 == ["running", "jumping"]
+    assert extra2[0] == () and extra2[1] == ("jump",)
+
+
+def test_length_filter_drops_and_holes(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from lucene_ray.index.invert import invert_partition
+
+    texts = pa.array(["aa bbbb cc dddd", "eee f"])
+    partials, lengths, norms = invert_partition(
+        texts, token_filters=__import__(
+            "lucene_ray.analysis.filters", fromlist=["build_filters"]
+        ).build_filters([("length", {"min": 3, "max": 10})]))
+    terms = set(partials.column("term").to_pylist())
+    assert terms == {"bbbb", "dddd", "eee"}
+    # dropped tokens leave field length (norms recomputed)
+    assert list(lengths) == [2, 1]
+    # position holes kept: bbbb at pos 1, dddd at pos 3
+    row = {t: i for i, t in enumerate(partials.column("term").to_pylist())}
+    from lucene_ray.codec.postings import decode_positions
+
+    i = row["dddd"]
+    f = __import__("numpy").asarray(partials.column("freqs")[i].values)
+    pos = decode_positions(partials.column("pos_enc")[i].as_py(), f)
+    assert list(pos) == [3]
+
+
+def test_length_filter_end_to_end(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import IndexConfig, build_index
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    t = pa.table({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["x", "y"],
+        "content": ["go going gone", "it is short"],
+    })
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(
+        target_rows_per_partition=10, partitions_per_segment=1,
+        token_filters=(("length", {"min": 3, "max": 20}),)))
+    s = Searcher(IndexReader(idx))
+    assert s.search(TermQuery("go"), 5, total_hits_threshold=None).total_hits == 0
+    assert s.search(TermQuery("it"), 5, total_hits_threshold=None).total_hits == 0
+    assert s.search(TermQuery("going"), 5, total_hits_threshold=None).total_hits == 1
+    assert s.search(TermQuery("short"), 5, total_hits_threshold=None).total_hits == 1
