@@ -371,18 +371,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       ndigits=6, round_mode="half_towards_infinity")
         return t.drop_columns(["score"]).append_column("score_r6", s)
 
-    def _percolate(sf_dir):
+    def _percolate(sf_dir, scored=False):
         regs = [
             ("has_join", "join"),
             ("join_and_hash", "join AND hash"),
             ("phrase_batch_window", '"batch window"'),
             ("gamma_or_scan_not_join", "scan NOT join"),
         ]
-        t = percolate(_docs(sf_dir), regs).to_pandas()
+        t = percolate(_docs(sf_dir), regs, scored=scored).to_pandas()
         t = t.sort_values(["doc_id", "query"]).reset_index(drop=True)
         import pyarrow as _pa
 
-        return _pa.Table.from_pandas(t, preserve_index=False)
+        out = _pa.Table.from_pandas(t, preserve_index=False)
+        return _score_r6(out) if scored else out
 
     def _percolate_1k(sf_dir):
         """Presearcher scale surface: 1,000 registered queries, of which
@@ -835,6 +836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # percolator: standing queries vs the document stream
         "percolate_matches": _q(_percolate),
+        # scored percolation: one-doc BM25 per match (Monitor ScoringMatch
+        # via MemoryIndex semantics — N=1/df=1, norm-independent, so the
+        # float32 scores are SQL-exact)
+        "percolate_scored": _q(lambda sf: _percolate(sf, scored=True)),
         "percolate_1k_queries": _q(_percolate_1k),
         # shingle/ngram analysis family
         "text_shingle_top20": _q(lambda sf: shingles.shingle_counts(_docs(sf), 2, 20)),
@@ -1424,6 +1429,19 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY ln(len({_TOKLIST}) + 1) + (doc_id % 7) * 0.01 DESC, doc_id "
             "LIMIT 10"
         ),
+        "percolate_scored": _PT
+        + ", tf AS (SELECT doc_id, tok, count(*)::BIGINT AS f FROM pt WHERE tok IN ('join', 'hash', 'scan') GROUP BY 1, 2), "
+        "pj AS (SELECT doc_id, f FROM tf WHERE tok = 'join'), "
+        "ph AS (SELECT doc_id, f FROM tf WHERE tok = 'hash'), "
+        "ps AS (SELECT doc_id, f FROM tf WHERE tok = 'scan'), "
+        "pf AS (SELECT a.doc_id, count(*)::BIGINT AS f FROM pt a JOIN pt b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.tok = 'batch' AND b.tok = 'window' GROUP BY 1), "
+        "sc AS ("
+        "SELECT doc_id, 'has_join' AS query, (CAST(ln(1 + 0.5/1.5) AS FLOAT) - CAST(ln(1 + 0.5/1.5) AS FLOAT) / (CAST(1.0 AS FLOAT) + CAST(f AS FLOAT) * (CAST(1.0 AS FLOAT) / CAST(1.2 AS FLOAT)))) AS s FROM pj "
+        "UNION ALL SELECT pj.doc_id, 'join_and_hash', (CAST(ln(1 + 0.5/1.5) AS FLOAT) - CAST(ln(1 + 0.5/1.5) AS FLOAT) / (CAST(1.0 AS FLOAT) + CAST(pj.f AS FLOAT) * (CAST(1.0 AS FLOAT) / CAST(1.2 AS FLOAT)))) + (CAST(ln(1 + 0.5/1.5) AS FLOAT) - CAST(ln(1 + 0.5/1.5) AS FLOAT) / (CAST(1.0 AS FLOAT) + CAST(ph.f AS FLOAT) * (CAST(1.0 AS FLOAT) / CAST(1.2 AS FLOAT)))) FROM pj JOIN ph USING (doc_id) "
+        "UNION ALL SELECT doc_id, 'phrase_batch_window', (CAST(2.0 * CAST(ln(1 + 0.5/1.5) AS FLOAT) AS FLOAT) - CAST(2.0 * CAST(ln(1 + 0.5/1.5) AS FLOAT) AS FLOAT) / (CAST(1.0 AS FLOAT) + CAST(f AS FLOAT) * (CAST(1.0 AS FLOAT) / CAST(1.2 AS FLOAT)))) FROM pf "
+        "UNION ALL SELECT ps.doc_id, 'gamma_or_scan_not_join', (CAST(ln(1 + 0.5/1.5) AS FLOAT) - CAST(ln(1 + 0.5/1.5) AS FLOAT) / (CAST(1.0 AS FLOAT) + CAST(ps.f AS FLOAT) * (CAST(1.0 AS FLOAT) / CAST(1.2 AS FLOAT)))) FROM ps WHERE ps.doc_id NOT IN (SELECT doc_id FROM pj)"
+        ") "
+        "SELECT doc_id, query, round(s::DOUBLE, 6) AS score_r6 FROM sc ORDER BY doc_id, query",
         "percolate_matches": _TOKS
         + ", j AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'join'), "
         "h AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'hash'), "

@@ -283,13 +283,38 @@ class ShardPool:
     actors do per-segment scoring; the driver merges."""
 
     def __init__(self, index_dir: str, concurrency: int = 4):
+        self.index_dir = index_dir
+        self.concurrency = concurrency
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader)
+        self._spawn()
+
+    def _spawn(self) -> None:
         segs = self.reader.segs
-        n = min(concurrency, max(1, len(segs)))
+        n = min(self.concurrency, max(1, len(segs)))
         self.actors = [
-            QueryShardActor.remote(index_dir, segs[i::n]) for i in range(n)
+            QueryShardActor.remote(self.index_dir, segs[i::n])
+            for i in range(n)
         ]
+
+    def refresh(self) -> bool:
+        """SearcherManager.maybeRefresh analog (lucene/core/src/java/org/
+        apache/lucene/search/SearcherManager.java:46 / ReferenceManager.
+        maybeRefresh): reopen against the CURRENT commit generation. Returns
+        False (no work) when the manifest generation is unchanged; otherwise
+        reopens the driver reader/planner and respawns the serving actors on
+        the new segment set (new segments after add_documents, rewritten
+        ones after compaction, new tombstone/dv-update generations). Old
+        actors are released by dropping their handles: Ray lets in-flight
+        calls finish and reclaims each actor when its handle count reaches
+        zero — the old-searcher-reference-drain of ReferenceManager."""
+        new_reader = IndexReader(self.index_dir)
+        if new_reader.manifest.generation == self.reader.manifest.generation:
+            return False
+        self.reader = new_reader
+        self.searcher = Searcher(new_reader)
+        self._spawn()
+        return True
 
     def _plans(self, queries, extra=(), planner=None):
         # a custom planner (e.g. a Searcher with a non-default Similarity)

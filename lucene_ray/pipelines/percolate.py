@@ -40,6 +40,44 @@ class _ConstScorer:
         return self
 
 
+class _OneDocBM25Scorer:
+    """BM25 against a ONE-document index — how Lucene's Monitor scores a
+    percolated doc (ScoringMatch via MemoryIndex + IndexSearcher): N=1 and
+    df=1 fix idf at (float)ln(1 + 0.5/1.5), and dl == avgdl collapses the
+    length normalization, so score(f) = w - w/(1 + f/k1) in float32 —
+    per-doc deterministic and independent of batch composition (unlike
+    scoring against the batch mini-index, which would change with block
+    splits). ``n_terms`` models the phrase weight (summed equal idfs,
+    BM25Similarity.java:162-170 accumulation)."""
+
+    __slots__ = ("weight", "k1inv", "idf", "n_terms")
+
+    def __init__(self, k1: float = 1.2, boost: float = 1.0, n_terms: int = 1):
+        import math as _math
+
+        idf32 = np.float32(_math.log(1 + 0.5 / 1.5))
+        self.idf = float(idf32)
+        self.n_terms = int(n_terms)
+        acc = 0.0
+        for _ in range(self.n_terms):
+            acc += float(idf32)
+        self.weight = np.float32(boost) * np.float32(acc)
+        self.k1inv = np.float32(1.0) / np.float32(k1)
+
+    def score(self, freqs, norm_bytes):
+        f = np.asarray(freqs).astype(np.float32, copy=False)
+        one = np.float32(1.0)
+        return self.weight - self.weight / (one + f * self.k1inv)
+
+    def max_score(self, freq, norm_byte):
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost):
+        s = _OneDocBM25Scorer(n_terms=self.n_terms)
+        s.weight = np.float32(boost) * np.float32(s.weight)
+        return s
+
+
 def _expand_against_vocab(q, vocab: list[str]) -> list[str]:
     """Multi-term expansion against a batch vocabulary (AutomatonTermsEnum
     over the MemoryIndex terms)."""
@@ -163,7 +201,10 @@ class Percolator:
     (Monitor.java:42 match path; QueryIndex term filtering)."""
 
     def __init__(self, queries: list[tuple[str, "Query | str"]],
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 scored: bool = False):
+        # scored=True emits one-doc BM25 scores per match (ScoringMatch)
+        self.scored = scored
         self.queries = [
             (name, parse_query(q) if isinstance(q, str) else q)
             for name, q in queries
@@ -239,40 +280,49 @@ class Percolator:
             )
             ctx._decoded[t] = TermPostings(docs=docs, freqs=freqs, pos_chunks=pos)
 
-        out_id, out_q = [], []
+        out_id, out_q, out_s = [], [], []
         ids_np = np.asarray(batch.column(self.id_col), dtype=np.int64)
+        mk = (_OneDocBM25Scorer if self.scored else _ConstScorer)
         for name, q in active:
             terms = collect_terms(q)
-            scorers = {t: _ConstScorer() for t in terms if t in ctx._decoded}
+            scorers = {t: mk() for t in terms if t in ctx._decoded}
             expansions = {m: all_expansions[m] for m in collect_multi_term(q)}
             phrase_scorers = {}
             from lucene_ray.search.searcher import _collect_phrases
 
             for ph in _collect_phrases(q):
-                phrase_scorers[ph] = _ConstScorer()
+                phrase_scorers[ph] = (
+                    _OneDocBM25Scorer(n_terms=len(ph)) if self.scored
+                    else _ConstScorer())
             ss = SegmentScorer(ctx, scorers, phrase_scorers, expansions)
-            docs, _ = ss.evaluate(q)
+            docs, scores = ss.evaluate(q)
             out_id.extend(ids_np[docs].tolist())
             out_q.extend([name] * len(docs))
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id, pa.int64()),
-                "query": pa.array(out_q, pa.string()),
-            }
-        )
+            if self.scored:
+                out_s.extend(np.asarray(scores, dtype=np.float32).tolist())
+        cols = {
+            self.id_col: pa.array(out_id, pa.int64()),
+            "query": pa.array(out_q, pa.string()),
+        }
+        if self.scored:
+            cols["score"] = pa.array(
+                np.asarray(out_s, dtype=np.float32), pa.float32())
+        return pa.table(cols)
 
 
 def percolate(ds: ray.data.Dataset, queries: list[tuple[str, "Query | str"]],
               text_col: str = "text", id_col: str = "doc_id",
-              concurrency: tuple[int, int] | int = (1, 4)) -> ray.data.Dataset:
-    """(id, query_name) for every (doc, registered query) match.
+              concurrency: tuple[int, int] | int = (1, 4),
+              scored: bool = False) -> ray.data.Dataset:
+    """(id, query_name[, score]) for every (doc, registered query) match;
+    ``scored=True`` adds the one-doc BM25 score (Monitor ScoringMatch).
 
     The actor pool autoscales from 1 (an exact ``concurrency=N`` pool of
     1-CPU actors deadlocks the pipeline when N equals the cluster's CPU
     count — the upstream read task can never schedule)."""
     return ds.map_batches(
         Percolator,
-        fn_constructor_args=(queries, text_col, id_col),
+        fn_constructor_args=(queries, text_col, id_col, scored),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

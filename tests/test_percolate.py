@@ -120,3 +120,74 @@ def test_query_anchors_invariant():
         SpanNearQuery([SpanTermQuery("a"), SpanTermQuery("b")], slop=1)
     ) in ({"a"}, {"b"})
     assert query_anchors(ConstantScoreQuery(TermQuery("a"))) == {"a"}
+
+
+def test_percolate_scored_one_doc_bm25(ray_session):
+    """Scored percolation: one-doc BM25 (N=1, df=1) — score(f) =
+    w - w/(1 + f/k1) with w = (float)ln(4/3), phrase weight doubled."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from lucene_ray.pipelines.percolate import percolate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["join join hash", "batch window batch window", "scan only"],
+    }))
+    regs = [("hj", "join"), ("jh", "join AND hash"),
+            ("pb", '"batch window"'), ("sn", "scan NOT join")]
+    t = pa.Table.from_pandas(
+        percolate(ds, regs, scored=True).to_pandas(), preserve_index=False)
+    rows = {(r["doc_id"], r["query"]): r["score"] for r in t.to_pylist()}
+    w = np.float32(math.log(1 + 0.5 / 1.5))
+    k1inv = np.float32(1.0) / np.float32(1.2)
+
+    def s(f, weight=w):
+        return np.float32(weight - weight / (np.float32(1.0)
+                                             + np.float32(f) * k1inv))
+
+    assert rows[(1, "hj")] == s(2)
+    assert rows[(1, "jh")] == np.float32(s(2) + s(1))
+    w2 = np.float32(2 * float(w))
+    assert rows[(2, "pb")] == s(2, w2)  # two adjacent batch-window pairs
+    assert rows[(3, "sn")] == s(1)
+    assert (1, "sn") not in rows and (2, "hj") not in rows
+
+
+def test_shard_pool_refresh(ray_session, tmp_path):
+    """SearcherManager.maybeRefresh analog: the pool serves NEW docs after
+    add_documents + refresh, and refresh is a no-op on unchanged indexes."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.fixtures import make_corpus
+    from lucene_ray.index.build import IndexConfig, add_documents, build_index
+    from lucene_ray.pipelines.bulk_search import ShardPool
+    from lucene_ray.search.query import TermQuery
+
+    corpus = make_corpus(200, seed=13)
+    pq.write_table(corpus.slice(0, 120), str(tmp_path / "a.parquet"))
+    pq.write_table(corpus.slice(120), str(tmp_path / "b.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "a.parquet"), idx, IndexConfig(
+        target_rows_per_partition=60, partitions_per_segment=1))
+    pool = ShardPool(idx, concurrency=2)
+    before = pool.search([(0, TermQuery("import"))], 10**6,
+                         total_hits_threshold=None)[0].total_hits
+    assert pool.refresh() is False  # unchanged generation
+
+    add_documents(idx, str(tmp_path / "b.parquet"))
+    assert pool.refresh() is True
+    after = pool.search([(0, TermQuery("import"))], 10**6,
+                        total_hits_threshold=None)[0].total_hits
+    import re
+
+    texts = corpus.column("content").to_pylist()
+    exp_all = sum(1 for t in texts
+                  if "import" in re.split(r"[^a-z0-9_]+", t.lower()))
+    exp_a = sum(1 for t in texts[:120]
+                if "import" in re.split(r"[^a-z0-9_]+", t.lower()))
+    assert before == exp_a and after == exp_all
