@@ -595,6 +595,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_top10_bool": _q(
             lambda sf: _score_r6(ft.bm25_topk(sf, "join AND vector", 10))
         ),
+        # XML query syntax (queryparser/xml CoreParser element set)
+        "ft_xml_query_hits": _q(lambda sf: ft.xml_query_hits(sf, (
+            '<BooleanQuery>'
+            '<Clause occurs="must"><TermQuery>Join</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>'
+            '<Clause occurs="filter"><PointRangeQuery fieldName="n_chars" '
+            'lowerTerm="200" upperTerm="900"/></Clause>'
+            '</BooleanQuery>'
+        ))),
         # non-default Similarities through the seam, served by the pool
         # (scorers ship in the plan): DFR InB2 + Axiomatic F2EXP
         "ft_dfr_top10": _q(
@@ -2212,6 +2221,14 @@ def oracle_sql() -> dict[str, str]:
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
         "WHERE rank <= 10 ORDER BY rank"
+    )
+    # XML query: must join, not scan, filter 200 <= n_chars <= 900
+    out["ft_xml_query_hits"] = _TOKS + (
+        "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d "
+        "USING (doc_id) WHERE t.tok = 'join' "
+        "AND d.n_chars BETWEEN 200 AND 900 "
+        "AND t.doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'scan') "
+        "ORDER BY t.doc_id"
     )
     # similarity-seam scored oracles: double math + byte4-lossy dl + one
     # final float cast, exactly the engine's scorer pipelines

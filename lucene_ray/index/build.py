@@ -1421,8 +1421,11 @@ def add_indexes(index_dir: str, source_index_dirs: list[str]) -> Manifest:
     return manifest
 
 
-def delete_by_term(index_dir: str, col: str, values: list) -> Manifest:
-    """Delete every document whose stored field ``col`` is in ``values`` —
+def delete_by_term(index_dir: str, col: str, values: list,
+                   invert: bool = False) -> Manifest:
+    """Delete every document whose stored field ``col`` is in ``values``
+    (``invert=True``: whose value is NOT in ``values`` — the complement
+    delete PKIndexSplitter's DocumentFilteredLeafIndexReader applies) —
     the ``IndexWriter.deleteDocuments(Term...)`` analog
     (lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:1694).
 
@@ -1445,6 +1448,8 @@ def delete_by_term(index_dir: str, col: str, values: list) -> Manifest:
 
     def match(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column(phys_col), value_set=val_arr)
+        if invert:
+            mask = pc.invert(mask)
         return batch.filter(mask).select(["doc_id"])
 
     gen_name = f"ts-{manifest.generation + 1:06d}"

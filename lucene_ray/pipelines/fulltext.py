@@ -262,6 +262,16 @@ def shingle_term_hits(sf_dir: str, bigram: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(bigram), reader), reader)
 
 
+def xml_query_hits(sf_dir: str, xml: str) -> pa.Table:
+    """Hit set of an XML-syntax query (queryparser/xml/CoreParser.java
+    element set — search/xml_parser.py) over the documents index."""
+    from lucene_ray.search.xml_parser import parse_xml_query
+
+    reader = documents_index(sf_dir)
+    q = parse_xml_query(xml)
+    return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+
+
 def multifield_hits(sf_dir: str, terms: list[str]) -> pa.Table:
     """Hit set of a MultiFieldQueryParser-shaped query over (text, head)
     (queryparser/classic/MultiFieldQueryParser.java:58-66): each term is a
