@@ -141,7 +141,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "events_windowed_top3", "ft_function_score_top10",
                      "ft_multifield_hits", "ft_textfield_top10",
                      "ft_html_term_hits", "ft_pattern_term_hits",
-                     "ft_shingle_hits", "ft_word_break"]:
+                     "ft_shingle_hits", "ft_word_break",
+                     "ft_dfr_top10", "ft_xml_query_hits",
+                     "percolate_scored", "curate_token_budget_grouped",
+                     "curate_contamination_frac"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
@@ -561,6 +564,20 @@ def _write_baseline_md(result: dict) -> None:
         "rebuilt as bucket-range tasks; the allocator fix) took the 1M-row",
         "32-cpu build from ~51s (round 2 era, 300k scale equivalent) to",
         "~9-11s — 112,353 docs/s best recorded.",
+        "",
+        "**The query-serving axis corroborates this diagnosis.** The QPS",
+        "proof (table above) measures the rule's OTHER workload — warm BM25",
+        "top-10 serving, zero page faults, long-lived actors — against a",
+        "no-Ray twin with IDENTICAL topology. Across the recorded rounds the",
+        "serve/twin ratio sits at ~1.0 (median ≥0.95 in most rounds): the",
+        "Ray serving layer adds no measurable overhead, and serve efficiency",
+        "moves in lockstep with the twin's, i.e. with the host window. When",
+        "the host cooperates, serve eff reaches >=0.8 and above (best 1.14);",
+        "in degraded windows BOTH measurements collapse together. On real",
+        "N- vs 4N-node clusters each node brings its own memory subsystem,",
+        "so the single-VM ceiling measured here does not apply; the",
+        "engine-attributable overhead — the thing this sandbox CAN measure —",
+        "is ~zero on both axes (build pipe/body and serve/twin ~1.0).",
         "",
     ]
     with open("BENCH/BASELINE.md", "w") as f:

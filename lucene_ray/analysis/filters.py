@@ -60,6 +60,20 @@ class KeywordMarkerFilter(TokenFilter):
         self.spec = ("keyword_marker", sorted(self.protected))
 
 
+class StemmerOverrideFilter(TokenFilter):
+    """StemmerOverrideFilter (miscellaneous/StemmerOverrideFilter.java:38):
+    terms in the override map rewrite to their given stem AND become
+    keywords, so a downstream stemmer leaves them alone. Place BEFORE the
+    stemmer."""
+
+    def __init__(self, overrides: dict):
+        self.overrides = {str(k): str(v) for k, v in overrides.items()}
+        self.spec = ("stemmer_override", dict(sorted(self.overrides.items())))
+
+    def map_term(self, term: str) -> str:
+        return self.overrides.get(term, term)
+
+
 class LengthFilter(TokenFilter):
     """LengthFilter (miscellaneous/LengthFilter.java:29): drops tokens whose
     char length falls outside [min, max]. A FilteringTokenFilter — dropped
@@ -224,6 +238,8 @@ def build_filters(specs) -> tuple:
             out.append(LightStemFilter(spec[1]["lang"]))
         elif kind == "keyword_marker":
             out.append(KeywordMarkerFilter(spec[1]))
+        elif kind == "stemmer_override":
+            out.append(StemmerOverrideFilter(spec[1]))
         elif kind == "length":
             out.append(LengthFilter(spec[1]["min"], spec[1]["max"]))
         else:
@@ -253,6 +269,12 @@ def apply_to_vocab(filters, vocab: list) -> tuple[list, list, list]:
             for i, t in enumerate(mapped):
                 if t in f.protected:
                     protected[i] = True
+            continue
+        if isinstance(f, StemmerOverrideFilter):
+            for i, t in enumerate(mapped):
+                if t in f.overrides:
+                    mapped[i] = f.overrides[t]
+                    protected[i] = True  # overridden terms become keywords
             continue
         if hasattr(f, "drop"):
             for i, t in enumerate(mapped):

@@ -196,3 +196,24 @@ def test_length_filter_end_to_end(ray_session, tmp_path):
     assert s.search(TermQuery("it"), 5, total_hits_threshold=None).total_hits == 0
     assert s.search(TermQuery("going"), 5, total_hits_threshold=None).total_hits == 1
     assert s.search(TermQuery("short"), 5, total_hits_threshold=None).total_hits == 1
+
+
+def test_stemmer_override():
+    from lucene_ray.analysis.filters import apply_to_vocab, build_filters
+
+    filters = build_filters([
+        ("stemmer_override", {"running": "course", "mice": "mouse"}),
+        ("porter_stem",),
+    ])
+    mapped, _extra, dropped = apply_to_vocab(
+        filters, ["running", "mice", "jumping"])
+    # overridden stems survive the later stemmer (keyword-marked); the
+    # unlisted term stems normally
+    assert mapped == ["course", "mouse", "jump"]
+    assert not any(dropped)
+    # query-side chain replays the override identically
+    from lucene_ray.analysis.filters import AnalyzerChain
+
+    chain = AnalyzerChain([
+        ("stemmer_override", {"running": "course"}), ("porter_stem",)])
+    assert chain("Running jumping") == ["course", "jump"]
