@@ -1464,6 +1464,41 @@ def delete_by_term(index_dir: str, col: str, values: list,
     return manifest
 
 
+def update_binary_docvalue(index_dir: str, key_col: str, key_values: list,
+                           field: str, value: str) -> Manifest:
+    """Set STRING stored-field ``field`` to ``value`` for every doc whose
+    ``key_col`` is in ``key_values`` — the
+    ``IndexWriter.updateBinaryDocValue(Term, field, value)`` analog
+    (IndexWriter.java; same BufferedUpdates generation path as numeric
+    updates). The sidecar overlays the docmap column in ``lookup_docs``
+    (stored-field materialization); postings/norms/statistics untouched."""
+    manifest = Manifest.load(index_dir)
+    docmap_dir = os.path.join(index_dir, "docmap")
+    reserved = {"doc_id", "offset", "sha256", "length", "norm"}
+    phys_col = key_col + "_orig" if key_col in reserved else key_col
+    ds = ray.data.read_parquet(docmap_dir, columns=["doc_id", phys_col])
+    val_arr = pa.array(sorted(set(key_values)))
+
+    def match(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(phys_col), value_set=val_arr)
+        hit = batch.filter(mask).select(["doc_id"])
+        return hit.append_column(
+            "value", pa.array([value] * len(hit), pa.string())
+        )
+
+    gen_name = f"dvu-{manifest.generation + 1:06d}"
+    out_dir = os.path.join(index_dir, "dv_updates", gen_name)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(match, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    manifest.dv_updates.append(
+        {"gen": gen_name, "col": field, "kind": "binary"})
+    manifest.save()
+    return manifest
+
+
 def update_numeric_docvalue(index_dir: str, key_col: str, key_values: list,
                             field: str, value) -> Manifest:
     """Set numeric doc-values column ``field`` to ``value`` for every doc

@@ -400,11 +400,14 @@ class IndexReader:
             self._dv_cache[key] = vals
         return self._dv_cache[key]
 
-    def _dv_update_rows(self, col: str):
+    def _dv_update_rows(self, col: str, kind: str = "numeric"):
         """[(sorted global doc_ids, values)] per update generation for
-        ``col`` (updateNumericDocValue sidecars), oldest first; None when
-        the column has no updates."""
-        gens = [u for u in self.manifest.dv_updates if u["col"] == col]
+        ``col`` (updateNumericDocValue / updateBinaryDocValue sidecars),
+        oldest first; None when the column has no updates of that kind.
+        Numeric generations load as int64, binary ones as object (string)
+        arrays."""
+        gens = [u for u in self.manifest.dv_updates
+                if u["col"] == col and u.get("kind", "numeric") == kind]
         if not gens:
             return None
         if not hasattr(self, "_dvu_cache"):
@@ -419,7 +422,11 @@ class IndexReader:
                 t = pads.dataset(d, format="parquet").to_table(
                     columns=["doc_id", "value"])
                 ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
-                vv = np.asarray(t.column("value"), dtype=np.int64)
+                if kind == "binary":
+                    vv = np.asarray(t.column("value").to_pylist(),
+                                    dtype=object)
+                else:
+                    vv = np.asarray(t.column("value"), dtype=np.int64)
                 order = np.argsort(ids)
                 self._dvu_cache[gen] = (ids[order], vv[order])
             out.append(self._dvu_cache[gen])
@@ -539,4 +546,25 @@ class IndexReader:
         ]
         tbl = pa.concat_tables(parts)
         mask = pc.is_in(tbl.column("doc_id"), value_set=pa.array(ids, pa.uint64()))
-        return tbl.filter(mask)
+        tbl = tbl.filter(mask)
+        # overlay updateBinaryDocValue generations on the materialized
+        # stored fields (later generations win, applied in append order)
+        bin_cols = {u["col"] for u in self.manifest.dv_updates
+                    if u.get("kind") == "binary"
+                    and (cols is None or u["col"] in cols)}
+        for col in sorted(bin_cols):
+            ups = self._dv_update_rows(col, kind="binary")
+            if not ups:
+                continue
+            vals = np.asarray(tbl.column(col).to_pylist(), dtype=object)
+            gids = np.asarray(tbl.column("doc_id"), dtype=np.uint64)
+            order = np.argsort(gids)
+            for up_ids, up_vals in ups:
+                pos = np.searchsorted(gids[order], up_ids)
+                ok = (pos < len(gids)) & (
+                    gids[order][np.minimum(pos, len(gids) - 1)] == up_ids)
+                vals[order[pos[ok]]] = up_vals[ok]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(col), col,
+                pa.array(vals.tolist(), pa.string()))
+        return tbl

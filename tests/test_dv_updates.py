@@ -97,3 +97,49 @@ def test_dv_update_does_not_touch_scores(dv_index):
     after = Searcher(IndexReader(dv_index)).search(TermQuery("import"), 10)
     np.testing.assert_array_equal(before.doc_ids, after.doc_ids)
     np.testing.assert_array_equal(before.scores, after.scores)
+
+
+def test_update_binary_docvalue(ray_session, tmp_path):
+    """updateBinaryDocValue analog: string stored-field overlays applied in
+    lookup_docs; later generations win; postings untouched."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.fixtures import make_corpus
+    from lucene_ray.index.build import (
+        IndexConfig,
+        build_index,
+        update_binary_docvalue,
+    )
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import Searcher
+
+    corpus = make_corpus(120, seed=23)
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, src, row_group_size=60)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(
+        target_rows_per_partition=60, partitions_per_segment=1,
+        id_cols=("repo", "path", "commit", "lang")))
+
+    update_binary_docvalue(idx, "lang", ["py"], "repo", "moved/repo")
+    r = IndexReader(idx)
+    s = Searcher(r)
+    td = s.search(TermQuery("import"), 10**6, total_hits_threshold=None)
+    t = r.lookup_docs(td.doc_ids, columns=["repo", "lang"])
+    for row in t.to_pylist():
+        if row["lang"] == "py":
+            assert row["repo"] == "moved/repo"
+        else:
+            assert row["repo"] != "moved/repo"
+    # later generation wins
+    update_binary_docvalue(idx, "lang", ["py"], "repo", "final/repo")
+    r2 = IndexReader(idx)
+    t2 = r2.lookup_docs(td.doc_ids, columns=["repo", "lang"])
+    assert all(row["repo"] == "final/repo"
+               for row in t2.to_pylist() if row["lang"] == "py")
+    # hit sets unchanged (postings untouched)
+    s2 = Searcher(r2)
+    td2 = s2.search(TermQuery("import"), 10**6, total_hits_threshold=None)
+    np.testing.assert_array_equal(np.sort(td.doc_ids), np.sort(td2.doc_ids))
