@@ -119,6 +119,23 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    _ray_up()
+    from lucene_ray.index.build import load_tombstones
+    from lucene_ray.index.split import split_index
+
+    mk, mr = split_index(args.index, args.keep, args.rest, args.col,
+                         args.values.split(","),
+                         expunge=not args.no_expunge)
+    # doc_count is maxDoc (ids stay stable through the split); report LIVE
+    # counts (numDocs) — the tombstone mask stays in force on each half
+    print(json.dumps({
+        "keep_docs": mk.doc_count - len(load_tombstones(args.keep, mk)),
+        "rest_docs": mr.doc_count - len(load_tombstones(args.rest, mr)),
+    }))
+    return 0
+
+
 def cmd_search(args) -> int:
     _ray_up()
     from lucene_ray.index.reader import IndexReader
@@ -126,7 +143,13 @@ def cmd_search(args) -> int:
 
     reader = IndexReader(args.index)
     s = Searcher(reader)
-    td = s.search(args.query, args.k,
+    if args.xml:
+        from lucene_ray.search.xml_parser import parse_xml_query
+
+        q = parse_xml_query(args.query)
+    else:
+        q = args.query
+    td = s.search(q, args.k,
                   total_hits_threshold=args.threshold or None)
     cols = args.fields.split(",") if args.fields else None
     docs = reader.lookup_docs(td.doc_ids, columns=cols) if len(td.doc_ids) else None
@@ -212,7 +235,18 @@ def main(argv=None) -> int:
     s.add_argument("--threshold", type=int, default=1000)
     s.add_argument("--fields", default=None,
                    help="stored columns to return (default: all)")
+    s.add_argument("--xml", action="store_true",
+                   help="parse --query as XML (CoreParser element set)")
     s.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("split", help="split by stored-column predicate")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--keep", required=True)
+    sp.add_argument("--rest", required=True)
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--values", required=True)
+    sp.add_argument("--no-expunge", action="store_true")
+    sp.set_defaults(fn=cmd_split)
 
     n = sub.add_parser("count", help="exact hit count")
     n.add_argument("--index", required=True)

@@ -99,3 +99,28 @@ def test_cli_build_keyword_and_grammar(cli_env, capsys):
     n_py = int(capsys.readouterr().out.strip())
     langs = corpus.slice(0, 200).column("lang").to_pylist()
     assert n_py == sum(1 for l in langs if l == "py")
+
+
+def test_cli_split_and_xml_search(cli_env, capsys):
+    d, corpus = cli_env
+    idx = str(d / "idx4")
+    main(["build", "--source", str(d / "a.parquet"), "--index", idx,
+          "--rows-per-partition", "100", "--partitions-per-segment", "2",
+          "--id-cols", "repo,path,commit,lang", "--keyword-cols", "lang"])
+    capsys.readouterr()
+    keep, rest = str(d / "idx4_py"), str(d / "idx4_rest")
+    assert main(["split", "--index", idx, "--keep", keep, "--rest", rest,
+                 "--col", "lang", "--values", "py"]) == 0
+    out = _lines(capsys)[-1]
+    langs = corpus.slice(0, 200).column("lang").to_pylist()
+    n_py = sum(1 for l in langs if l == "py")
+    assert out["keep_docs"] == n_py
+    assert out["rest_docs"] == 200 - n_py
+
+    xml = ('<BooleanQuery>'
+           '<Clause occurs="must"><TermQuery>import</TermQuery></Clause>'
+           '</BooleanQuery>')
+    assert main(["search", "--index", keep, "--query", xml, "--xml",
+                 "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows[-1]["total_hits"] > 0
