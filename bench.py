@@ -366,6 +366,20 @@ def _write_baseline_md(result: dict) -> None:
         f"**scaling efficiency (2->8 cpus)** = (docs/s@8 / docs/s@2) / 4 = "
         f"**{round(eff_2_8, 3)}**",
         "",
+        "(The two lines above mix per-level bests from DIFFERENT runs/",
+        "windows; the honest same-window numbers are per run:) "
+        "best SAME-RUN eff(2->8) = **"
+        + str(max((round(h["docs_per_sec"].get("8", 0)
+                         / h["docs_per_sec"]["2"] / 4, 3)
+                   for h in history if h["docs_per_sec"].get("2")),
+                  default="-"))
+        + "**, best SAME-RUN eff(8->32) = **"
+        + str(max((round(h["docs_per_sec"].get("32", 0)
+                         / h["docs_per_sec"]["8"] / 4, 3)
+                   for h in history if h["docs_per_sec"].get("8")),
+                  default="-"))
+        + "**.",
+        "",
         "Per-run raw results:",
         "",
         "| run | rows | docs/s @2 | @8 | @32 | eff 2->8 | eff 8->32 |",
