@@ -203,3 +203,63 @@ def test_pattern_tokenizer_query_side():
 
     tk = PatternTokenizer("[a-z]+")
     assert tk("Foo_Bar baz") == ["foo", "bar", "baz"]
+
+
+def test_mapping_expansion_offsets():
+    """dst LONGER than src (negative delta breakpoints): corrected offsets
+    still index the original text for tokens outside the rewrite."""
+    m = _MappingMatcher((("c", "see"),))
+    filt, bps = m("a c b")
+    assert filt == "a see b"
+    import bisect
+
+    p = [b[0] for b in bps]
+    d = [b[1] for b in bps]
+
+    def corr(x):
+        i = bisect.bisect_right(p, x) - 1
+        return x + (d[i] if i >= 0 else 0)
+
+    # 'b' at filtered [6,7) -> original [4,5)
+    assert "a c b"[corr(6):corr(7)] == "b"
+    # 'a' before the rewrite is untouched
+    assert "a c b"[corr(0):corr(1)] == "a"
+
+
+def test_chain_with_expansion_composes():
+    """html_strip THEN an expanding mapping: composed correction maps the
+    final coords straight to the original."""
+    src = "<b>x</b> c y"
+    col, corr = apply_char_filters(
+        pa.array([src]), (("html_strip",), ("mapping", (("c", "see"),))))
+    assert col[0].as_py() == "x see y"
+    out = correct_offsets(np.array([0, 0]), np.array([0, 6]), corr)
+    # 'x' at filtered 0 -> original 3; 'y' at filtered 6 -> original 11
+    assert src[out[0]] == "x" and src[out[1]] == "y"
+
+
+def test_charfilter_random_roundtrip_property():
+    """Property: for random tag/entity/mapping soups, every token fully
+    outside any rewrite maps exactly; corrected starts always land on the
+    token's first char (or the rewrite start for rewrite-made tokens)."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    pieces = ["foo ", "bar ", "<i>", "</i>", "&amp; ", "qq ", "<br/>", "zz "]
+    for _ in range(200):
+        src = "".join(rng.choice(pieces) for _ in range(rng.randint(2, 10)))
+        col, corr = apply_char_filters(pa.array([src]), ("html_strip",))
+        filt = col[0].as_py()
+        for m in re.finditer(r"[a-z]+", filt):
+            st = np.array([m.start()])
+            en = np.array([m.end()])
+            cs = correct_offsets(np.zeros(1, np.int64), st, corr)[0]
+            ce = correct_offsets(np.zeros(1, np.int64), en, corr)[0]
+            tok = m.group(0)
+            # start lands on the token's first char unless entity-made
+            assert src[cs] == tok[0] or src[cs] == "&"
+            # slicing len(tok) chars from the corrected start, skipping
+            # nothing, must reproduce the token when it's contiguous in src
+            if src[cs:cs + len(tok)] == tok:
+                assert ce >= cs + len(tok)
