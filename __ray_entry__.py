@@ -175,7 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines.joins import block_join, join_to_parent
     from lucene_ray.pipelines.percolate import percolate
     from lucene_ray.pipelines.rescore import expression_rescore, expression_topk
-    from lucene_ray.pipelines.shuffle_join import order_revenue
+    from lucene_ray.pipelines.shuffle_join import (
+        local_supplier_volume,
+        order_revenue,
+    )
     from lucene_ray.pipelines.windows import session_windows, sliding_window_counts
     from lucene_ray.pipelines import geo as geo_pipe
 
@@ -928,6 +931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_counts": _q(sliding_window_counts),
         # large-large shuffle join (neither side broadcast)
         "join_order_revenue": _q(order_revenue),
+        # TPC-H Q5 shape: two chained LARGE-LARGE hash joins + broadcast
+        # supplier lookup + local-supplier predicate + per-nation sums
+        "join_q5_local_supplier": _q(local_supplier_volume),
         # offsets-consuming highlighter (fragment around first occurrence)
         "ft_highlight_join": _q(lambda sf: highlight_first(sf, "join", width=20)),
         # mergeable-sketch approximate distinct (HyperLogLog, deterministic)
@@ -1995,6 +2001,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, "
             "count(*)::BIGINT AS n_events FROM w "
             "GROUP BY 1, 2 ORDER BY event_type, window_start"
+        ),
+        "join_q5_local_supplier": (
+            "SELECT n_name, sum(CAST(round(l_extendedprice * "
+            "(1 - l_discount) * 10000) AS BIGINT))::DOUBLE / 10000 "
+            "AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
         ),
         "join_order_revenue": (
             "SELECT o_orderkey, round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) "

@@ -143,6 +143,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_html_term_hits", "ft_pattern_term_hits",
                      "ft_shingle_hits", "ft_word_break",
                      "ft_dfr_top10", "ft_xml_query_hits",
+                     "join_q5_local_supplier",
                      "percolate_scored", "curate_token_budget_grouped",
                      "curate_contamination_frac"]:
             t0 = time.time()

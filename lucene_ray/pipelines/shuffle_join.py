@@ -139,3 +139,122 @@ def order_revenue(sf_dir: str, top: int = 10) -> pa.Table:
     out["n_items"] = out["n_items"].astype("int64")
     out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(top)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_lo: str = "1995-01-01",
+                          date_hi: str = "1996-01-01") -> pa.Table:
+    """TPC-H Q5 shape — revenue per nation from orders a LOCAL supplier
+    (same nation as the customer) fulfilled in a date window, customer
+    restricted to one region. Exercises the engine's multi-way join
+    composition at the scale-correct shapes:
+
+    - region/nation: tiny driver reads (the catalog);
+    - orders ⋈ customer: LARGE-LARGE co-partitioned hash_join on custkey
+      (column-pruned + date/region-filtered AT THE READ);
+    - lineitem ⋈ (orders⋈customer): second LARGE-LARGE hash_join on
+      orderkey — join output streams straight into the next tag stage,
+      never materializing;
+    - supplier: broadcast suppkey -> nationkey lookup (the SMALLEST big
+      table; one ray.put, read per actor — swap for a third hash_join past
+      ~10^9 suppliers);
+    - the local-supplier predicate (s_nationkey == c_nationkey) and the
+      per-nation partial sums run inside the final map_batches; only
+      |nations| rows reach the driver.
+
+    Revenue aggregates EXACTLY: per-item round(extprice*(1-disc)*10^4) as
+    int64, summed as integers (order-independent), divided once at the end
+    — so the SQL oracle matches to the last bit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"] for r in reg.to_pylist()}[region]
+    nat_rows = [r for r in nat.to_pylist() if r["n_regionkey"] == rkey]
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
+    nat_keys = np.array(sorted(nat_name), dtype=np.int64)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup_map = dict(zip(sup.column("s_suppkey").to_pylist(),
+                       sup.column("s_nationkey").to_pylist()))
+    sup_ref = ray.put(sup_map)
+
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(batch.column("o_orderdate"), pa.scalar(hi)))
+        t = batch.filter(m)
+        return pa.table({"custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey")})
+
+    def filt_cust(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("c_nationkey"),
+                     value_set=pa.array(nat_keys, pa.int32()).cast(
+                         batch.column("c_nationkey").type))
+        t = batch.filter(m)
+        return pa.table({"custkey": t.column("c_custkey"),
+                         "c_nationkey": t.column("c_nationkey")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"]
+    ).map_batches(filt_orders, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(filt_cust, batch_format="pyarrow")
+    oc = hash_join(orders, cust, key="custkey",
+                   left_cols=["o_orderkey"], right_cols=["c_nationkey"])
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(
+            pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+            pa.scalar(10000.0)))
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "cents": cents.cast(pa.int64()),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    ol = hash_join(line, oc, key="o_orderkey",
+                   left_cols=["l_suppkey", "cents"],
+                   right_cols=["c_nationkey"])
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        smap = ray.get(sup_ref)
+        sk = batch.column("l_suppkey").to_pylist()
+        s_nat = np.array([smap.get(k, -1) for k in sk], dtype=np.int64)
+        c_nat = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        keep = s_nat == c_nat
+        t = pa.table({
+            "n_nationkey": pa.array(s_nat[keep], pa.int64()),
+            "cents": pa.array(
+                np.asarray(batch.column("cents"), dtype=np.int64)[keep],
+                pa.int64()),
+        })
+        return t.group_by("n_nationkey").aggregate([("cents", "sum")]
+                                                   ).rename_columns(
+            ["n_nationkey", "cents"])
+
+    parts = ol.map_batches(local_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("n_nationkey", as_index=False).agg(
+        cents=("cents", "sum"))
+    agg["n_name"] = agg["n_nationkey"].map(nat_name)
+    agg["revenue"] = agg["cents"].astype("float64") / 10000.0
+    agg = agg.sort_values(["revenue", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(agg[["n_name", "revenue"]],
+                                preserve_index=False)
