@@ -46,6 +46,20 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     l_out = [c for c in left_cols if c != key]
     r_out = [c for c in right_cols if c != key]
 
+    # resolve the output schema ONCE on the driver (Dataset.schema reads
+    # parquet metadata / executes at most one upstream block): a bucket
+    # group that received rows from only ONE side (possible at small scale
+    # or under selective filters) must still emit correctly-typed empty
+    # output, and an empty join block must keep the full schema so chained
+    # joins' tag stages can read their columns
+    lsch = dict(zip(left.schema().names, left.schema().types))
+    rsch = dict(zip(right.schema().names, right.schema().types))
+    out_schema = {key: lsch[key]}
+    for c in l_out:
+        out_schema[c] = lsch[c]
+    for c in r_out:
+        out_schema[c + suffix if c in l_out else c] = rsch[c]
+
     def tag(side: int, keep: list[str]):
         def f(batch: pa.Table) -> pa.Table:
             cols = {
@@ -69,11 +83,6 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         side = np.asarray(group.column("__side"), dtype=np.int8)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        out_schema = {key: group.column("__key").type}
-        for c in l_out:
-            out_schema[c] = group.column(f"__0_{c}").type
-        for c in r_out:
-            out_schema[c + suffix if c in l_out else c] = group.column(f"__1_{c}").type
         if len(li) == 0 or len(ri) == 0:
             return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
         ldf = pd.DataFrame({key: np.asarray(group.column("__key").take(pa.array(li)))})
