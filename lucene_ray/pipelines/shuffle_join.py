@@ -152,7 +152,8 @@ def order_revenue(sf_dir: str, top: int = 10) -> pa.Table:
 
 def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                           date_lo: str = "1995-01-01",
-                          date_hi: str = "1996-01-01") -> pa.Table:
+                          date_hi: str = "1996-01-01",
+                          supplier_broadcast_limit: int = 50_000_000) -> pa.Table:
     """TPC-H Q5 shape — revenue per nation from orders a LOCAL supplier
     (same nation as the customer) fulfilled in a date window, customer
     restricted to one region. Exercises the engine's multi-way join
@@ -164,9 +165,10 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     - lineitem ⋈ (orders⋈customer): second LARGE-LARGE hash_join on
       orderkey — join output streams straight into the next tag stage,
       never materializing;
-    - supplier: broadcast suppkey -> nationkey lookup (the SMALLEST big
-      table; one ray.put, read per actor — swap for a third hash_join past
-      ~10^9 suppliers);
+    - supplier: below ``supplier_broadcast_limit`` rows, a broadcast of two
+      sorted numpy arrays (one ray.put, np.searchsorted probe per batch);
+      above it, a third co-partitioned hash_join on suppkey so no single
+      node ever holds the whole supplier column;
     - the local-supplier predicate (s_nationkey == c_nationkey) and the
       per-nation partial sums run inside the final map_batches; only
       |nations| rows reach the driver.
@@ -184,11 +186,23 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     nat_name = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
     nat_keys = np.array(sorted(nat_name), dtype=np.int64)
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sup_map = dict(zip(sup.column("s_suppkey").to_pylist(),
-                       sup.column("s_nationkey").to_pylist()))
-    sup_ref = ray.put(sup_map)
+    # Supplier-side strategy: parquet metadata (no data read) decides
+    # broadcast vs shuffle. Below the limit, broadcast two SORTED numpy
+    # arrays (not a Python dict): actors probe with np.searchsorted so the
+    # probe stays fully vectorized and the broadcast payload is two flat
+    # buffers. Above the limit, a third co-partitioned hash_join keeps the
+    # supplier column off the driver and off every actor's heap.
+    n_suppliers = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    broadcast_suppliers = n_suppliers <= supplier_broadcast_limit
+    sup_ref = None
+    if broadcast_suppliers:
+        sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+        sup_keys = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        sup_nats = np.asarray(sup.column("s_nationkey"), dtype=np.int64)
+        order = np.argsort(sup_keys, kind="stable")
+        sup_ref = ray.put((np.ascontiguousarray(sup_keys[order]),
+                           np.ascontiguousarray(sup_nats[order])))
 
     import datetime as _dt
 
@@ -239,26 +253,61 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                    left_cols=["l_suppkey", "cents"],
                    right_cols=["c_nationkey"])
 
-    def local_partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({"n_nationkey": pa.array([], pa.int64()),
-                             "cents": pa.array([], pa.int64())})
-        smap = ray.get(sup_ref)
-        sk = batch.column("l_suppkey").to_pylist()
-        s_nat = np.array([smap.get(k, -1) for k in sk], dtype=np.int64)
-        c_nat = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
-        keep = s_nat == c_nat
-        t = pa.table({
-            "n_nationkey": pa.array(s_nat[keep], pa.int64()),
-            "cents": pa.array(
-                np.asarray(batch.column("cents"), dtype=np.int64)[keep],
-                pa.int64()),
-        })
-        return t.group_by("n_nationkey").aggregate([("cents", "sum")]
-                                                   ).rename_columns(
-            ["n_nationkey", "cents"])
+    if broadcast_suppliers:
+        def local_partial(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "cents": pa.array([], pa.int64())})
+            skeys, snats = ray.get(sup_ref)
+            sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+            pos = np.searchsorted(skeys, sk)
+            pos = np.minimum(pos, len(skeys) - 1)
+            s_nat = np.where(skeys[pos] == sk, snats[pos], -1)
+            c_nat = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+            keep = s_nat == c_nat
+            t = pa.table({
+                "n_nationkey": pa.array(s_nat[keep], pa.int64()),
+                "cents": pa.array(
+                    np.asarray(batch.column("cents"), dtype=np.int64)[keep],
+                    pa.int64()),
+            })
+            return t.group_by("n_nationkey").aggregate([("cents", "sum")]
+                                                       ).rename_columns(
+                ["n_nationkey", "cents"])
 
-    parts = ol.map_batches(local_partial, batch_format="pyarrow").to_pandas()
+        tagged = ol.map_batches(local_partial, batch_format="pyarrow")
+    else:
+        def sup_prep(batch: pa.Table) -> pa.Table:
+            return pa.table({"l_suppkey": batch.column("s_suppkey"),
+                             "s_nationkey": batch.column("s_nationkey")})
+
+        sup_ds = ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(sup_prep, batch_format="pyarrow")
+        ols = hash_join(ol, sup_ds, key="l_suppkey",
+                        left_cols=["cents", "c_nationkey"],
+                        right_cols=["s_nationkey"])
+
+        def local_partial_joined(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "cents": pa.array([], pa.int64())})
+            s_nat = np.asarray(batch.column("s_nationkey"), dtype=np.int64)
+            c_nat = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+            keep = s_nat == c_nat
+            t = pa.table({
+                "n_nationkey": pa.array(s_nat[keep], pa.int64()),
+                "cents": pa.array(
+                    np.asarray(batch.column("cents"), dtype=np.int64)[keep],
+                    pa.int64()),
+            })
+            return t.group_by("n_nationkey").aggregate([("cents", "sum")]
+                                                       ).rename_columns(
+                ["n_nationkey", "cents"])
+
+        tagged = ols.map_batches(local_partial_joined, batch_format="pyarrow")
+
+    parts = tagged.to_pandas()
     agg = parts.groupby("n_nationkey", as_index=False).agg(
         cents=("cents", "sum"))
     agg["n_name"] = agg["n_nationkey"].map(nat_name)
