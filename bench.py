@@ -616,4 +616,30 @@ if __name__ == "__main__":
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        print(json.dumps(run_bench(ncpu, sf_dir)))
+        result = run_bench(ncpu, sf_dir)
+        # full detail goes to a file (the driver tails only ~2000 chars of
+        # stdout — round 3's BENCH line was 3.5k and got cut mid-line);
+        # stdout gets it first for humans, then a compact parse-safe
+        # headline line LAST (always < 1 KB)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/details_last.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+        q = result["queries"]
+        slowest = dict(sorted(q.items(), key=lambda kv: -kv[1])[:5])
+        headline = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "num_cpus": result["num_cpus"],
+            "corpus_rows": result["corpus_rows"],
+            "docs_per_sec": result["docs_per_sec"],
+            "query_p50_sec": result["query_p50_sec"],
+            "queries": result["query_p50_detail"],
+            "n_contract_pipelines": len(q),
+            "contract_total_sec": round(sum(q.values()), 2),
+            "slowest_pipelines": slowest,
+            "details_file": "BENCH/details_last.json",
+        }
+        print(json.dumps(headline))

@@ -109,8 +109,10 @@ def cmd_compact(args) -> int:
     if args.segments:
         from lucene_ray.index.build import compact_segments
 
-        compact_segments(args.index, [int(s) for s in args.segments.split(",")])
-        print(json.dumps({"merged": [args.segments]}))
+        ids = [int(s) for s in args.segments.split(",")]
+        compact_segments(args.index, ids)
+        # same list-of-groups shape as the auto_compact branch below
+        print(json.dumps({"merged": [ids]}))
         return 0
     from lucene_ray.index.merge_policy import auto_compact
 
@@ -146,7 +148,12 @@ def cmd_search(args) -> int:
     if args.xml:
         from lucene_ray.search.xml_parser import parse_xml_query
 
-        q = parse_xml_query(args.query)
+        cfg = reader.manifest.config
+        q = parse_xml_query(
+            args.query,
+            default_field=cfg.get("content_col") or "content",
+            text_fields=tuple(cfg.get("text_cols") or ()),
+        )
     else:
         q = args.query
     td = s.search(q, args.k,

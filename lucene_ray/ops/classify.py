@@ -104,7 +104,12 @@ class _NBScorer:
         model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
         self.vocab: pd.Index = model["vocab"]
+        # Arrow copy of the vocab: the per-batch probe is pc.index_in
+        # (a C++ hash lookup on the Arrow token array) — the token stream
+        # is never boxed to Python strings.
+        self.vocab_arr = pa.array(self.vocab, pa.string())
         self.classes = model["classes"]
+        self.classes_np = np.asarray(self.classes, dtype=object)
         counts = model["counts"].astype(np.float64)
         V = len(self.vocab)
         self.log_num = np.log1p(counts)                      # ln(cnt+1)
@@ -115,13 +120,18 @@ class _NBScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from lucene_ray.index.invert import tokenize_column
 
         toks, doc_idx, _pos = tokenize_column(batch.column(self.text_col))
         n = len(batch)
         C = len(self.classes)
         scores = np.tile(self.log_prior, (n, 1))
-        ti = self.vocab.get_indexer(toks.to_pylist())  # -1 for OOV
+        # token -> vocab row: pc.index_in is an Arrow-native hash probe
+        # (null = OOV -> -1); no Python-string boxing of the token stream
+        ti = pc.fill_null(pc.index_in(toks, value_set=self.vocab_arr),
+                          -1).to_numpy(zero_copy_only=False).astype(np.int64)
         # per-token contribution: ln(cnt+1) for known tokens, ln(0+1)=0 OOV;
         # every token also pays -ln(tokens_c + V) regardless
         known = ti >= 0
@@ -134,8 +144,7 @@ class _NBScorer:
         pred = np.argmax(scores, axis=1)
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            "pred_lang": pa.array(
-                [self.classes[p] for p in pred], pa.string()),
+            "pred_lang": pa.array(self.classes_np[pred], pa.string()),
         })
 
 

@@ -237,6 +237,14 @@ class QueryShardActor:
                     out.append((seg, qid, names, cnt.tolist(), None, None))
         return out
 
+    def apply_segments(self, fn):
+        """Run an arbitrary per-segment kernel ``fn(reader, seg)`` over this
+        actor's segments and return the list of results — the generic warm
+        path for one-off per-segment extractions (snippets, diagnostics)
+        so they reuse the long-lived pool instead of spawning a fresh
+        actor pool per call."""
+        return [fn(self.reader, seg) for seg in self.segs]
+
     def match_batch(self, plans):
         """plans: [(qid, q, all_terms, scorers, ph, pf)] ->
         {qid: global ids of ALL matches in this actor's segs}."""
@@ -325,6 +333,13 @@ class ShardPool:
             all_terms, scorers, ph, pf = (planner or self.searcher).plan(q)
             plans.append((qid, q, all_terms, scorers, ph, pf, *extra))
         return ray.put(plans)
+
+    def map_segments(self, fn) -> list:
+        """Apply ``fn(reader, seg)`` to every segment across the pool and
+        return the flat list of per-segment results (segment order not
+        guaranteed — callers sort)."""
+        parts = ray.get([a.apply_segments.remote(fn) for a in self.actors])
+        return [r for p in parts for r in p]
 
     def match(self, queries: list[tuple[int, Query]]) -> dict[int, np.ndarray]:
         """qid -> sorted global ids of ALL matching docs (exhaustive,

@@ -268,7 +268,12 @@ def xml_query_hits(sf_dir: str, xml: str) -> pa.Table:
     from lucene_ray.search.xml_parser import parse_xml_query
 
     reader = documents_index(sf_dir)
-    q = parse_xml_query(xml)
+    cfg = reader.manifest.config
+    q = parse_xml_query(
+        xml,
+        default_field=cfg.get("content_col") or "content",
+        text_fields=tuple(cfg.get("text_cols") or ()),
+    )
     return _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
 
 
@@ -889,25 +894,19 @@ def _map_orig_ids(reader: IndexReader, gids: np.ndarray) -> np.ndarray:
     return orig[o][np.searchsorted(ids[o], gids)]
 
 
-class _SnippetTask:
-    """Actor: per-segment first-occurrence offset extraction — decode AND
-    gid->source-id mapping run in the task, so the driver only gathers the
-    final rows (fixes the round-2 driver-side segment loop; segments fan
-    out across the pool like every other serving stage)."""
+def _snippet_segment(term: str):
+    """Per-segment first-occurrence offset kernel for ShardPool.map_segments
+    — decode AND gid->source-id mapping run inside the warm serving actor,
+    so the driver only gathers the final rows (no per-call actor pool;
+    round-3 cold-start fix)."""
 
-    def __init__(self, index_dir: str, term: str):
-        self.reader = IndexReader(index_dir)
-        self.term = term
+    def kernel(reader, seg):
+        from lucene_ray.codec.postings import (decode_docs, decode_freqs,
+                                               decode_offsets)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from lucene_ray.codec.postings import decode_docs, decode_freqs, decode_offsets
-
-        reader = self.reader
         doc_parts, s_parts, e_parts = [], [], []
-        for seg in batch.column("seg").to_pylist():
-            tbl = reader.postings(seg, [self.term])
-            if tbl is None or len(tbl) == 0:
-                continue
+        tbl = reader.postings(seg, [term])
+        if tbl is not None and len(tbl):
             gids = reader.global_doc_ids(seg)
             live = reader.live_mask(seg)
             for row in tbl.to_pylist():
@@ -924,43 +923,34 @@ class _SnippetTask:
                 s_parts.append(s[first].astype(np.int64))
                 e_parts.append(e[first].astype(np.int64))
         if not doc_parts:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "start_offset": pa.array([], pa.int64()),
-                             "end_offset": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(doc_parts), pa.int64()),
-                "start_offset": pa.array(np.concatenate(s_parts), pa.int64()),
-                "end_offset": pa.array(np.concatenate(e_parts), pa.int64()),
-            }
-        )
+            return (np.zeros(0, np.int64),) * 3
+        return (np.concatenate(doc_parts), np.concatenate(s_parts),
+                np.concatenate(e_parts))
+
+    return kernel
 
 
 def snippet_first_occurrence(sf_dir: str, term: str) -> pa.Table:
     """(doc_id, start_offset, end_offset) of the FIRST occurrence of a term
     per matching doc — the offsets-consuming highlight primitive (offsets
     read straight from the off_enc postings stream; char offsets into the
-    lowercased text). Distributed: one _SnippetTask actor pool over the
-    segments; the driver only sorts the gathered rows."""
-    import ray.data
-
+    lowercased text). Distributed: runs on the SHARED warm QueryShardActor
+    pool (`_pool`) via map_segments — no per-call actor pool, no cold
+    start; the driver only sorts the gathered rows."""
     reader = documents_index(sf_dir)
-    segs = ray.data.from_items(
-        [{"seg": s} for s in reader.segs],
-        override_num_blocks=max(1, len(reader.segs)),
-    )
-    df = segs.map_batches(
-        _SnippetTask,
-        fn_constructor_args=(reader.index_dir, term),
-        batch_format="pyarrow", batch_size=1,
-        concurrency=(1, 4), num_cpus=1,
-    ).to_pandas()
-    df = df.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    parts = _pool(reader).map_segments(_snippet_segment(term))
+    docs = np.concatenate([p[0] for p in parts]) if parts else \
+        np.zeros(0, np.int64)
+    starts = np.concatenate([p[1] for p in parts]) if parts else \
+        np.zeros(0, np.int64)
+    ends = np.concatenate([p[2] for p in parts]) if parts else \
+        np.zeros(0, np.int64)
+    order = np.argsort(docs, kind="stable")
     return pa.table(
         {
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-            "start_offset": pa.array(df["start_offset"].to_numpy(np.int64), pa.int64()),
-            "end_offset": pa.array(df["end_offset"].to_numpy(np.int64), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "start_offset": pa.array(starts[order], pa.int64()),
+            "end_offset": pa.array(ends[order], pa.int64()),
         }
     )
 

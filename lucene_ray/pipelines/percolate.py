@@ -73,8 +73,11 @@ class _OneDocBM25Scorer:
         return self.score(np.array([freq]), np.array([norm_byte]))[0]
 
     def with_boost(self, boost):
+        # fold into the RECEIVER's weight (mirrors BM25Scorer.with_boost):
+        # a scorer built with a non-default boost, or boosted twice, keeps
+        # its earlier boost
         s = _OneDocBM25Scorer(n_terms=self.n_terms)
-        s.weight = np.float32(boost) * np.float32(s.weight)
+        s.weight = np.float32(boost) * np.float32(self.weight)
         return s
 
 

@@ -85,26 +85,46 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def orders_per_nation(sf_dir: str) -> pa.Table:
-    """orders |x| customer |x| nation: broadcast the small sides (ray.put once,
-    pre-joined customer->nation-name on the driver), map_batches does a
-    vectorized pc.index_in lookup — no shuffle join, no per-row Python."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    merged = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    key_arr = pa.array(merged["c_custkey"], pa.int64())
-    name_arr = pa.array(merged["n_name"], pa.string())
-    ref = ray.put((key_arr, name_arr))
+    """orders |x| customer |x| nation. Customer scales with the data (1 per
+    ~10 orders), so orders|x|customer goes through the co-partitioned
+    ``hash_join`` — no full-table read on the driver, no per-actor copy of
+    the custkey column. Only the genuinely-small nation table (25 rows) is
+    broadcast for the name lookup; counts pre-aggregate per batch so only
+    |nations| rows per block reach the final groupby."""
+    from lucene_ray.pipelines.shuffle_join import hash_join
 
-    def tag(batch: pa.Table) -> pa.Table:
-        keys, names = ray.get(ref)
-        idx = pc.index_in(batch.column("o_custkey"), value_set=keys)
-        return pa.table({"n_name": names.take(idx)})
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_keys = pa.array(nation["n_nationkey"], pa.int64())
+    nat_names = pa.array(nation["n_name"], pa.string())
+    nat_ref = ray.put((nat_keys, nat_names))
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("c_custkey"),
+                         "c_nationkey": batch.column("c_nationkey")})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow")
+    joined = hash_join(_read(sf_dir, "orders", ["o_custkey"]), cust,
+                       key="o_custkey", left_cols=[],
+                       right_cols=["c_nationkey"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "order_count": pa.array([], pa.int64())})
+        keys, names = ray.get(nat_ref)
+        g = pa.table({
+            "k": pc.cast(batch.column("c_nationkey"), pa.int64()),
+        }).group_by("k").aggregate([("k", "count")])
+        idx = pc.index_in(g.column("k"), value_set=keys)
+        return pa.table({"n_name": names.take(idx),
+                         "order_count": pc.cast(g.column("k_count"),
+                                                pa.int64())})
 
     agg = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(tag, batch_format="pyarrow")
+        joined.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Count(alias_name="order_count"))
+        .aggregate(Sum("order_count", alias_name="order_count"))
     )
     out = agg.to_pandas().sort_values("n_name").reset_index(drop=True)
     out["order_count"] = out["order_count"].astype("int64")

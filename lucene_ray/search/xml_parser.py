@@ -73,6 +73,11 @@ def parse_xml_query(xml: str, default_field: str = "content",
             toks = tk((el.text or "").strip())
             if not toks:
                 raise ValueError("empty TermQuery")
+            if len(toks) > 1:
+                raise ValueError(
+                    f"TermQuery text analyzes to {len(toks)} tokens "
+                    f"({toks!r}); use TermsQuery or UserQuery for "
+                    "multi-token input")
             return TermQuery(_field_term(el, toks[0], default_field),
                              boost=_boost(el))
         if tag == "TermsQuery":
@@ -125,6 +130,12 @@ def parse_xml_query(xml: str, default_field: str = "content",
             )
         if tag == "SpanTerm":
             toks = tk((el.text or "").strip())
+            if not toks:
+                raise ValueError("empty SpanTerm (text analyzed away)")
+            if len(toks) > 1:
+                raise ValueError(
+                    f"SpanTerm text analyzes to {len(toks)} tokens "
+                    f"({toks!r}); wrap each in its own SpanTerm")
             return SpanTermQuery(toks[0], boost=_boost(el))
         if tag == "SpanNear":
             return SpanNearQuery(
