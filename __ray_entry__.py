@@ -433,6 +433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uax29 (multilingual) grammar build path; == code grammar on the
         # pure-ASCII test corpus, so the shared-token oracle is exact
         "ft_uax29_term_hits": _q(lambda sf: ft.uax29_term_hits(sf, "join")),
+        # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
+        # of the corpus; tf of one interior bigram == substring count of
+        # the ASCII source token, replayed exactly in SQL
+        "ft_cjk_bigram_hits": _q(lambda sf: ft.cjk_bigram_tf(sf, "本語")),
+        # ICU-style Unicode folding: accented injected tokens ('Jöín') must
+        # fold back to their ASCII source or the tf oracle breaks
+        "ft_folded_hits": _q(lambda sf: ft.folded_tf(sf, "join")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
         # (ft_spellcheck below exercises the same DirectSpellChecker
@@ -1071,6 +1078,24 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id",
         "ft_uax29_term_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
+        # tf of the interior bigram 本語 of the injected run 日本語学
+        # ('hash' -> 日本語学): exactly one per substring occurrence of
+        # 'hash' — seams between adjacent injections can only produce
+        # 学日/学中/人日/人中, never 本語 (see pipelines/fulltext.CJK_SUBS)
+        "ft_cjk_bigram_hits": (
+            "SELECT doc_id, CAST((length(text) - length(replace(text, "
+            "'hash', ''))) / 4 AS BIGINT) AS tf FROM documents "
+            "WHERE position('hash' IN text) > 0 ORDER BY doc_id"),
+        # every 'join' substring became the accented standalone token
+        # 'Jöín' (strip_accents(lower(..)) = 'join' — the same fold the
+        # engine's ICUFoldingFilter performs), so tf('join') over the
+        # folded index == substring count of 'join' in the raw text
+        "ft_folded_hits": (
+            "WITH j AS (SELECT trim(strip_accents(lower(' Jöín '))) AS t) "
+            "SELECT doc_id, CAST((length(text) - length(replace(text, j.t, "
+            "''))) / length(j.t) AS BIGINT) AS tf "
+            "FROM documents, j WHERE position(j.t IN text) > 0 "
+            "ORDER BY doc_id"),
         "ft_suggest_s": _TOKS
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "

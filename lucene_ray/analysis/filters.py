@@ -103,6 +103,28 @@ class AsciiFoldingFilter(TokenFilter):
         return "".join(c for c in out if not unicodedata.combining(c))
 
 
+class ICUFoldingFilter(TokenFilter):
+    """Unicode-correct case/diacritic folding — the behavior of Lucene's
+    ICUFoldingFilter (lucene/analysis/icu/src/java/org/apache/lucene/
+    analysis/icu/ICUFoldingFilter.java:57: UTR#30 NFKC_CaseFold plus
+    diacritic removal), built from public ``unicodedata`` primitives so no
+    ICU library is needed: NFKC-normalize, strip combining marks (after an
+    NFKD pass so precomposed letters expose their marks), then full
+    Unicode casefold, and a final NFKC to re-compose. Idempotent:
+    fold(fold(x)) == fold(x) (property-tested)."""
+
+    spec = ("icu_fold",)
+
+    def map_term(self, term: str) -> str:
+        if term.isascii():
+            return term.casefold()
+        t = unicodedata.normalize("NFKC", term)
+        t = unicodedata.normalize("NFKD", t)
+        t = "".join(c for c in t if not unicodedata.combining(c))
+        t = t.casefold()
+        return unicodedata.normalize("NFKC", t)
+
+
 class SynonymFilter(TokenFilter):
     """Single-token synonym injection: occurrences of a key term also emit
     its synonyms at the same position (one-directional; list both directions
@@ -226,6 +248,8 @@ def build_filters(specs) -> tuple:
             out.append(StemKeepOriginalFilter())
         elif kind == "ascii_fold":
             out.append(AsciiFoldingFilter())
+        elif kind == "icu_fold":
+            out.append(ICUFoldingFilter())
         elif kind == "synonyms":
             out.append(SynonymFilter(spec[1]))
         elif kind == "edge_ngram":

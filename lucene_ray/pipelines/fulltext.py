@@ -200,6 +200,124 @@ def html_term_hits(sf_dir: str, term: str) -> pa.Table:
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader), reader)
 
 
+# deterministic ASCII-token -> han-run substitutions used by the derived
+# CJK twin corpus. Substitution sources share no letters, so replacement
+# order can't interact, and the injected runs' INTERIOR bigrams can never
+# be produced by a seam between adjacent injections (seam bigrams are
+# 学日 / 学中 / 人日 / 人中 only) — which is what makes the SQL replay
+# below exact: tf(本語) == substring-count('hash'), tf(中国) == count('join').
+CJK_SUBS = (("hash", "日本語学"), ("join", "中国人"))
+
+
+def documents_cjk_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived CJK twin of ``text``
+    (deterministic, SQL-replayable replace() substitutions inject han runs
+    into the ASCII corpus) under the ``cjk_bigram`` grammar — the
+    CJKBigramFilter chain (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/cjk/CJKBigramFilter.java:53, CJKAnalyzer default)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:cjk-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-cjk-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _cjk(b: pa.Table) -> pa.Table:
+                t = b.column("text")
+                for a, z in CJK_SUBS:
+                    t = pc.replace_substring(t, pattern=a, replacement=z)
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src)
+             .map_batches(_cjk, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="cjk_bigram",
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def cjk_bigram_tf(sf_dir: str, bigram: str = "本語") -> pa.Table:
+    """(doc_id, tf) of one CJK bigram term over the derived-CJK index —
+    exercises the whole CJKBigramFilter path (region detection, overlap,
+    positions) with an exact substring-count SQL oracle."""
+    reader = documents_cjk_index(sf_dir)
+    return _term_freqs_on(reader, bigram)
+
+
+# ASCII token -> accented/space-padded twin for the ICU-folding index: the
+# padding guarantees each injected occurrence is its own uax29 token, so
+# ICUFoldingFilter must map it back to exactly the ASCII source ('Jöín' ->
+# 'join') and tf('join') == substring-count('join') in the raw text.
+FOLD_SUB = ("join", " Jöín ")
+
+
+def documents_folded_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived accented twin of
+    ``text`` (every 'join' substring becomes the standalone accented token
+    'Jöín'), analyzed with uax29 + the ICUFoldingFilter chain
+    (lucene/analysis/icu/src/java/org/apache/lucene/analysis/icu/
+    ICUFoldingFilter.java:57) — Unicode case/diacritic folding must map
+    the injected tokens back to their ASCII sources or the oracle breaks."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:fold-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-fold-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _acc(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=FOLD_SUB[0],
+                                         replacement=FOLD_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src)
+             .map_batches(_acc, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("icu_fold",),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def folded_tf(sf_dir: str, term: str = "join") -> pa.Table:
+    """(doc_id, tf) of an ASCII term over the folded index — every hit is
+    an accented token the ICUFoldingFilter folded back; exact
+    substring-count SQL oracle."""
+    reader = documents_folded_index(sf_dir)
+    return _term_freqs_on(reader, term)
+
+
 def documents_pattern_index(sf_dir: str) -> IndexReader:
     """Build-or-open a documents index under a ``pattern:`` grammar
     (PatternTokenizer, analysis/pattern/PatternTokenizer.java:40-56):
@@ -705,7 +823,10 @@ def range_hits(sf_dir: str, lower: str, upper: str) -> pa.Table:
 
 def term_freqs(sf_dir: str, term: str) -> pa.Table:
     """(doc_id, tf) for every doc containing the term."""
-    reader = documents_index(sf_dir)
+    return _term_freqs_on(documents_index(sf_dir), term)
+
+
+def _term_freqs_on(reader: IndexReader, term: str) -> pa.Table:
     rows_doc, rows_tf = [], []
     from lucene_ray.search.executor import SegmentContext
 
