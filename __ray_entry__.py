@@ -143,6 +143,65 @@ _GEO_DIST = (
 )
 
 
+def _shape_sql() -> dict:
+    """Indexed-shape oracles: replay the engine's division-free
+    orientation arithmetic (ops/geo.segment_box_intersects /
+    triangle_within_box) with the SAME operation order and the SAME
+    pre-computed edge constants, so float64 results are bit-identical."""
+    from lucene_ray.pipelines.geo import (INTERSECT_BOX, SEG_MULTS,
+                                          TRI_MULTS, WITHIN_BOX)
+
+    def lat(m, ck="c_custkey"):
+        return f"(({ck} * {m}) % 18000) / 100.0 - 90.0"
+
+    def lon(m, ck="c_custkey"):
+        return f"(({ck} * {m}) % 36000) / 100.0 - 180.0"
+
+    my1, mx1, my2, mx2 = SEG_MULTS
+    seg_cte = (
+        "WITH seg AS (SELECT c_custkey, "
+        f"{lat(my1)} AS y1, {lon(mx1)} AS x1, "
+        f"{lat(my2)} AS y2, {lon(mx2)} AS x2 FROM customer) "
+    )
+    min_lat, max_lat, min_lon, max_lon = INTERSECT_BOX
+    corners = [(min_lon, min_lat), (max_lon, min_lat),
+               (max_lon, max_lat), (min_lon, max_lat)]
+    inside = (
+        f"(y1 > {min_lat!r} AND y1 < {max_lat!r} AND "
+        f"x1 > {min_lon!r} AND x1 < {max_lon!r}) OR "
+        f"(y2 > {min_lat!r} AND y2 < {max_lat!r} AND "
+        f"x2 > {min_lon!r} AND x2 < {max_lon!r})"
+    )
+    crossings = []
+    for i in range(4):
+        ax, ay = corners[i]
+        bx, by = corners[(i + 1) % 4]
+        # constants the numpy kernel forms once per edge
+        dbx, dby = bx - ax, by - ay
+        d12 = (f"((x2 - x1) * ({ay!r} - y1) - (y2 - y1) * ({ax!r} - x1)) * "
+               f"((x2 - x1) * ({by!r} - y1) - (y2 - y1) * ({bx!r} - x1))")
+        d34 = (f"({dbx!r} * (y1 - {ay!r}) - {dby!r} * (x1 - {ax!r})) * "
+               f"({dbx!r} * (y2 - {ay!r}) - {dby!r} * (x2 - {ax!r}))")
+        crossings.append(f"(({d12}) < 0.0 AND ({d34}) < 0.0)")
+    intersects = (
+        seg_cte + "SELECT c_custkey FROM seg WHERE (" + inside + ") OR "
+        + " OR ".join(crossings) + " ORDER BY c_custkey"
+    )
+
+    w_lat, w_lat2, w_lon, w_lon2 = WITHIN_BOX
+    vert_preds = []
+    for my1_, mx1_, my2_, mx2_, my3_, mx3_ in TRI_MULTS:
+        for m_lat, m_lon in ((my1_, mx1_), (my2_, mx2_), (my3_, mx3_)):
+            vert_preds.append(
+                f"({lat(m_lat)}) > {w_lat!r} AND ({lat(m_lat)}) < {w_lat2!r} "
+                f"AND ({lon(m_lon)}) > {w_lon!r} AND ({lon(m_lon)}) < {w_lon2!r}"
+            )
+    within = ("SELECT c_custkey FROM customer WHERE "
+              + " AND ".join(vert_preds) + " ORDER BY c_custkey")
+    return {"geo_shape_intersects_hits": intersects,
+            "geo_shape_within_hits": within}
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents via the Ray
     Data pipeline, serve the pinned query battery, return the hits table."""
@@ -964,6 +1023,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_hits": _q(geo_pipe.geo_polygon_hits),
         # LatLonPoint.newDistanceFeatureQuery: boost*pivot/(pivot+distance)
         "geo_distance_feature_top10": _q(geo_pipe.geo_distance_feature_top10),
+        # indexed shapes (LatLonShape.newBoxQuery): segment INTERSECTS /
+        # every-tessellation-triangle WITHIN over derived per-doc geometry
+        "geo_shape_intersects_hits": _q(geo_pipe.geo_shape_intersects_hits),
+        "geo_shape_within_hits": _q(geo_pipe.geo_shape_within_hits),
         # --- intervals (minimal-interval queries, intervals/IntervalQuery) ---
         "ft_interval_ordered_hits": _q(
             lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"])
@@ -2255,6 +2318,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM toks WHERE tok <> '' AND tok <> 'par' GROUP BY tok) "
         "WHERE dist <= 2 ORDER BY dist, doc_freq DESC, term LIMIT 5",
     }
+    # indexed shapes: generated from the same pinned constants the engine
+    # uses (lucene_ray.pipelines.geo), operation order mirrored
+    out.update(_shape_sql())
     # 996 absent-term standing queries prune to zero evaluations per batch;
     # the 4 real ones match exactly as in percolate_matches
     out["percolate_1k_queries"] = out["percolate_matches"]

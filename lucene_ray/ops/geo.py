@@ -209,3 +209,122 @@ def geo_polygon(ds: ray.data.Dataset, poly_lats, poly_lons,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Indexed shapes — the LatLonShape analog (lucene/core/src/java/org/apache/
+# lucene/document/LatLonShape.java): a doc's polygon/linestring is indexed
+# as a SET of tessellated component rows (triangles / segments), one row per
+# component, exactly as Lucene's Tessellator emits triangles into the doc's
+# ShapeField entries. Query relations over an axis-aligned box:
+#   INTERSECTS — the doc matches if ANY component row intersects the box
+#                (ShapeQuery's disjunctive per-triangle visit);
+#   WITHIN     — the doc matches only if ALL component rows are inside
+#                (a single escaping triangle fails the relation).
+# Kernels are division-free orientation arithmetic (strict sign tests), so
+# the same expressions replay bit-identically in the SQL oracles.
+# ---------------------------------------------------------------------------
+
+
+def _orient(px, py, qx, qy, rx, ry):
+    """Twice the signed area of (p, q, r) — the sign says which side of
+    ray p->q the point r lies on (core geo predicate, as Lucene's
+    GeoUtils.orient)."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def segment_box_intersects(y1, x1, y2, x2, min_lat, max_lat,
+                           min_lon, max_lon) -> np.ndarray:
+    """True where segment (y1,x1)-(y2,x2) intersects the box: either
+    endpoint strictly inside, or a proper crossing of one of the four box
+    edges (both strict-sign orientation tests). Box bounds are expected
+    OFF the data lattice so degenerate touch cases cannot arise."""
+    y1 = np.asarray(y1, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    inside = (
+        ((y1 > min_lat) & (y1 < max_lat) & (x1 > min_lon) & (x1 < max_lon))
+        | ((y2 > min_lat) & (y2 < max_lat) & (x2 > min_lon) & (x2 < max_lon))
+    )
+    corners = [(min_lon, min_lat), (max_lon, min_lat),
+               (max_lon, max_lat), (min_lon, max_lat)]
+    hit = inside
+    for i in range(4):
+        ax, ay = corners[i]
+        bx, by = corners[(i + 1) % 4]
+        d12 = (_orient(x1, y1, x2, y2, ax, ay)
+               * _orient(x1, y1, x2, y2, bx, by))
+        d34 = (_orient(ax, ay, bx, by, x1, y1)
+               * _orient(ax, ay, bx, by, x2, y2))
+        hit = hit | ((d12 < 0.0) & (d34 < 0.0))
+    return hit
+
+
+def triangle_within_box(lats, lons, min_lat, max_lat,
+                        min_lon, max_lon) -> np.ndarray:
+    """True where ALL three vertices are strictly inside the box (the box
+    is convex, so vertex containment == triangle containment).
+    ``lats``/``lons``: sequences of three aligned coordinate arrays."""
+    mask = None
+    for y, x in zip(lats, lons):
+        y = np.asarray(y, dtype=np.float64)
+        x = np.asarray(x, dtype=np.float64)
+        m = (y > min_lat) & (y < max_lat) & (x > min_lon) & (x < max_lon)
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
+def geo_shape_box_intersects(ds: ray.data.Dataset, min_lat: float,
+                             max_lat: float, min_lon: float, max_lon: float,
+                             id_col: str = "doc_id") -> pa.Table:
+    """Doc ids whose shape INTERSECTS the box: per-batch vectorized segment
+    test, per-batch dedup, tiny driver-side distinct+sort (ANY-component
+    disjunction over the doc's tessellation rows)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = segment_box_intersects(
+            batch.column("lat1"), batch.column("lon1"),
+            batch.column("lat2"), batch.column("lon2"),
+            min_lat, max_lat, min_lon, max_lon)
+        ids = np.unique(np.asarray(batch.column(id_col), dtype=np.int64)[m])
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    parts = [np.asarray(b.column(id_col), dtype=np.int64)
+             for b in ds.map_batches(keep, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    ids = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    return pa.table({id_col: pa.array(ids, pa.int64())})
+
+
+def geo_shape_within_box(ds: ray.data.Dataset, min_lat: float,
+                         max_lat: float, min_lon: float, max_lon: float,
+                         id_col: str = "doc_id") -> pa.Table:
+    """Doc ids whose EVERY tessellation triangle is inside the box (the
+    WITHIN relation): per-batch partial (rows, rows_within) counts per doc,
+    one small groupby-sum, keep docs with no escaping row. A doc's rows may
+    straddle batch (or node) boundaries — the groupby reconciles them, so
+    this is the scale-correct ALL-aggregation (anti-join shape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = triangle_within_box(
+            [batch.column(f"lat{i}") for i in (1, 2, 3)],
+            [batch.column(f"lon{i}") for i in (1, 2, 3)],
+            min_lat, max_lat, min_lon, max_lon)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        nw = np.bincount(inv, weights=m.astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "n_rows": pa.array(n, pa.int64()),
+                         "n_within": pa.array(nw, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_within", alias_name="n_within")))
+    out = agg.to_pandas()
+    keep = out[out["n_rows"] == out["n_within"]][id_col].to_numpy(np.int64)
+    return pa.table({id_col: pa.array(np.sort(keep), pa.int64())})

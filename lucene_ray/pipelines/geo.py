@@ -112,3 +112,88 @@ def geo_distance_feature_top10(sf_dir: str) -> pa.Table:
         "score_r6": pa.array(np.round(score.astype(np.float64), 6),
                              pa.float64()),
     })
+
+
+# --- indexed shapes (LatLonShape analog; ops.geo shape kernels) -----------
+# Derived deterministic geometry, same integer-lattice recipe as the
+# points: per customer one SEGMENT (linestring tessellation row) and TWO
+# TRIANGLES (a two-triangle polygon tessellation). All multipliers are
+# distinct primes so coordinates decorrelate.
+SEG_MULTS = (7919, 104729, 4409, 9973)            # y1 x1 y2 x2
+TRI_MULTS = (
+    (7919, 104729, 4409, 9973, 12007, 24001),     # triangle 1: y1 x1 .. y3 x3
+    (5003, 31013, 8191, 28411, 15013, 9001),      # triangle 2
+)
+# off-lattice box bounds (the derived lattice is multiples of 0.01, so
+# *.005 bounds can never coincide with a coordinate): moderate box for
+# INTERSECTS, near-global box for WITHIN (ALL-vertices containment keeps a
+# useful hit rate).
+INTERSECT_BOX = (10.005, 40.005, -60.005, 20.005)   # min_lat max_lat min_lon max_lon
+WITHIN_BOX = (-80.005, 80.005, -170.005, 170.005)
+
+
+def _lat_expr(mult: int):
+    return lambda ck: ((ck * mult) % 18000) / 100.0 - 90.0
+
+
+def _lon_expr(mult: int):
+    return lambda ck: ((ck * mult) % 36000) / 100.0 - 180.0
+
+
+def customer_segments(sf_dir: str) -> ray.data.Dataset:
+    """One derived segment row per customer (a linestring's tessellation)."""
+    my1, mx1, my2, mx2 = SEG_MULTS
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "lat1": pa.array(_lat_expr(my1)(ck), pa.float64()),
+            "lon1": pa.array(_lon_expr(mx1)(ck), pa.float64()),
+            "lat2": pa.array(_lat_expr(my2)(ck), pa.float64()),
+            "lon2": pa.array(_lon_expr(mx2)(ck), pa.float64()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def customer_triangles(sf_dir: str) -> ray.data.Dataset:
+    """TWO derived triangle rows per customer — a polygon indexed as its
+    tessellation (multi-row docs exercise the cross-batch ALL/ANY
+    aggregation paths)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        parts = []
+        for my1, mx1, my2, mx2, my3, mx3 in TRI_MULTS:
+            parts.append(pa.table({
+                "c_custkey": pa.array(ck, pa.int64()),
+                "lat1": pa.array(_lat_expr(my1)(ck), pa.float64()),
+                "lon1": pa.array(_lon_expr(mx1)(ck), pa.float64()),
+                "lat2": pa.array(_lat_expr(my2)(ck), pa.float64()),
+                "lon2": pa.array(_lon_expr(mx2)(ck), pa.float64()),
+                "lat3": pa.array(_lat_expr(my3)(ck), pa.float64()),
+                "lon3": pa.array(_lon_expr(mx3)(ck), pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def geo_shape_intersects_hits(sf_dir: str) -> pa.Table:
+    """Customers whose derived segment INTERSECTS the pinned box
+    (LatLonShape.newBoxQuery, QueryRelation.INTERSECTS), sorted by key."""
+    return geo.geo_shape_box_intersects(
+        customer_segments(sf_dir), *INTERSECT_BOX, id_col="c_custkey")
+
+
+def geo_shape_within_hits(sf_dir: str) -> pa.Table:
+    """Customers whose BOTH derived triangles are WITHIN the pinned box
+    (LatLonShape.newBoxQuery, QueryRelation.WITHIN: every tessellation
+    row must be inside), sorted by key."""
+    return geo.geo_shape_within_box(
+        customer_triangles(sf_dir), *WITHIN_BOX, id_col="c_custkey")
