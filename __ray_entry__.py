@@ -500,6 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fold back to their ASCII source or the tf oracle breaks
         "ft_folded_hits": _q(lambda sf: ft.folded_tf(sf, "join")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
+        # FreeTextSuggester: bigram-LM continuation of prefix 's' after
+        # context token 'hash', stupid-backoff (ALPHA=0.4) to the unigram
+        "ft_suggest_freetext": _q(
+            lambda sf: ft.freetext_suggest(sf, "hash", "s", 10)),
         "ft_spell_joib": _q(lambda sf: ft.spell_correct(sf, "joib", 2, 5)),
         # (ft_spellcheck below exercises the same DirectSpellChecker
         # comparator on an input that IS a dictionary term, proving the
@@ -1165,6 +1169,23 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_freq DESC, term LIMIT 10",
         # two-stage like the engine: top-50 candidates by GLOBAL df, then
         # ranked by in-context (lang='fr') doc count
+        # stupid-backoff continuation: bigram P(w|'hash') when the bigram
+        # exists, else 0.4 * unigram P(w); same float64 op order as the
+        # engine (CAST .. / CAST, then the 0.4 product), round half-away
+        "ft_suggest_freetext": _PT
+        + ", uni AS (SELECT tok, count(*)::BIGINT AS c FROM pt GROUP BY tok), "
+        "tot AS (SELECT count(*)::BIGINT AS t FROM pt), "
+        "bi AS (SELECT a.tok AS ta, b.tok AS tb, count(*)::BIGINT AS c "
+        "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "GROUP BY ta, tb), "
+        "ctx AS (SELECT c FROM uni WHERE tok = 'hash'), "
+        "cand AS (SELECT u.tok, CASE WHEN b.c IS NOT NULL AND ctx.c > 0 "
+        "THEN CAST(b.c AS DOUBLE) / CAST(ctx.c AS DOUBLE) "
+        "ELSE 0.4 * (CAST(u.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) END AS s "
+        "FROM uni u LEFT JOIN bi b ON b.tb = u.tok AND b.ta = 'hash' "
+        "CROSS JOIN ctx CROSS JOIN tot WHERE u.tok LIKE 's%') "
+        "SELECT tok AS term, round(s, 9) AS score_r9 FROM cand "
+        "ORDER BY s DESC, term LIMIT 10",
         "ft_suggest_context": _TOKS
         + ", cand AS (SELECT tok FROM (SELECT tok, "
         "count(DISTINCT doc_id) AS gdf FROM toks "

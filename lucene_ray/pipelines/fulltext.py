@@ -726,6 +726,107 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+_freetext_lms: dict[str, tuple] = {}
+
+
+def _freetext_lm(sf_dir: str):
+    """Token n-gram language model over ``documents.text`` — the model
+    FreeTextSuggester builds (lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/FreeTextSuggester.java:92: analyzed token
+    shingles -> weighted FST). Ray shape: one map_batches pass emits
+    per-batch partial (gram, order, cnt) counts — bigrams formed by a
+    vectorized adjacency zip on (doc_idx, position) — then ONE small
+    groupby-sum shuffle over the vocab-sized gram table (the corpus is
+    never re-shuffled). The aggregated model is the FST analog and is
+    cached per sf_dir."""
+    if sf_dir in _freetext_lms:
+        return _freetext_lms[sf_dir]
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from lucene_ray.index.invert import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, pos = tokenize_column(batch.column("text"))
+        if len(toks) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "order_n": pa.array([], pa.int8()),
+                             "cnt": pa.array([], pa.int64())})
+        uni = pa.table({"gram": toks}).group_by("gram").aggregate(
+            [("gram", "count")])
+        di = np.asarray(doc_idx)
+        ps = np.asarray(pos)
+        adj = (di[1:] == di[:-1]) & (ps[1:] == ps[:-1] + 1)
+        left = toks.slice(0, len(toks) - 1)
+        right = toks.slice(1)
+        grams = pc.binary_join_element_wise(left, right, " ")
+        bi_tbl = pa.table({"gram": grams.filter(pa.array(adj))})
+        bi = bi_tbl.group_by("gram").aggregate([("gram", "count")])
+        return pa.table({
+            "gram": pa.concat_arrays(
+                [uni.column("gram").combine_chunks(),
+                 bi.column("gram").combine_chunks()]),
+            "order_n": pa.array(np.r_[np.ones(len(uni), np.int8),
+                                      np.full(len(bi), 2, np.int8)]),
+            "cnt": pa.concat_arrays(
+                [pc.cast(uni.column("gram_count"), pa.int64()).combine_chunks(),
+                 pc.cast(bi.column("gram_count"), pa.int64()).combine_chunks()]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["gram", "order_n"])
+           .aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    uni_df = agg[agg["order_n"] == 1]
+    bi_df = agg[agg["order_n"] == 2]
+    uni = dict(zip(uni_df["gram"], uni_df["cnt"].astype(np.int64)))
+    bi = dict(zip(bi_df["gram"], bi_df["cnt"].astype(np.int64)))
+    total = int(uni_df["cnt"].sum())
+    _freetext_lms[sf_dir] = (uni, bi, total)
+    return _freetext_lms[sf_dir]
+
+
+FREETEXT_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007), the
+# same constant FreeTextSuggester.ALPHA ships
+
+
+def freetext_suggest(sf_dir: str, context: str = "hash",
+                     prefix: str = "s", k: int = 10) -> pa.Table:
+    """Search-as-you-type continuation after any prefix — the
+    FreeTextSuggester lookup: candidates are dictionary terms starting
+    with ``prefix``; each scores count(context cand)/count(context) from
+    the bigram model when the context bigram exists, else backs off to
+    ALPHA * (count(cand)/total_tokens) (stupid backoff). Returns
+    (term, score_r9) ranked score desc, term asc."""
+    uni, bi, total = _freetext_lm(sf_dir)
+    ctx_cnt = uni.get(context, 0)
+    rows = []
+    for w, cw in uni.items():
+        if not w.startswith(prefix):
+            continue
+        cb = bi.get(f"{context} {w}", 0)
+        if cb > 0 and ctx_cnt > 0:
+            s = np.float64(cb) / np.float64(ctx_cnt)
+        else:
+            s = FREETEXT_ALPHA * (np.float64(cw) / np.float64(total))
+        rows.append((w, float(s)))
+    import pyarrow.compute as pc
+
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    score = pc.round(pa.array([r[1] for r in rows], pa.float64()),
+                     ndigits=9, round_mode="half_towards_infinity")
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "score_r9": score,
+    })
+
+
 def suggest_terms_in_context(sf_dir: str, prefix: str,
                              context_col: str = "lang",
                              context_val: str = "fr", k: int = 10,
