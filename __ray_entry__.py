@@ -297,6 +297,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx = ann.IvfIndex.build(_emb(sf_dir), ivf_dir, n_clusters=8, iters=3)
         return idx.search(_query_vec(sf_dir), k=10, nprobe=4).select(["rank", "vec_id"])
 
+    def _ann_binary(sf_dir):
+        import hashlib
+        import os
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:bq-v1".encode()).hexdigest()[:16]
+        d = f"/tmp/lucene_ray_cache/bq-{key}"
+        if os.path.exists(os.path.join(d, "bq_meta.json")):
+            idx = ann.BinaryQuantIndex.open(d)
+        else:
+            idx = ann.BinaryQuantIndex.build(_emb(sf_dir), d)
+        return idx.search(_query_vec(sf_dir), k=10,
+                          oversample=5).select(["rank", "vec_id"])
+
     def _ann_pq(sf_dir):
         import hashlib
         import os
@@ -686,6 +700,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _score_r6(
                 ft.similarity_topk(sf, "customer", "axiomatic_f2exp"))
         ),
+        "ft_dfi_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "dfi_chi2"))
+        ),
+        "ft_ib_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "ib_ll_df_h1"))
+        ),
+        "ft_rawtf_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "raw_tf"))
+        ),
         # bigram shingles (ShingleFilter): phrase-as-single-term lookup
         "ft_shingle_hits": _q(
             lambda sf: ft.shingle_term_hits(sf, "batch window")
@@ -961,6 +987,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M-byte codes + exact float rescore; rows-only (recall-oracle
         # pytest covers accuracy, as for IVF/HNSW)
         "ann_pq_top10": _q(_ann_pq),
+        # binary quantization (sign bits around the centroid, 32x smaller
+        # scan, Hamming candidates + exact float rescore)
+        "ann_binary_top10": _q(_ann_binary),
         # IVF-PQ: coarse bucket pruning + M-byte ADC scan + exact rescore
         # from the probed buckets only (rows-only: nprobe makes the hit set
         # approximate in general; recall asserted by pytest)
@@ -1997,6 +2026,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
             "DESC, vec_id LIMIT 10"
         ),
+        # binary quantization with exact rescore recovers the exact brute
+        # top-10 whenever the true top-10 survive the Hamming candidate
+        # stage (recall 1.0 at the contract scales, asserted)
+        "ann_binary_top10": (
+            "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id = 0)) DESC, vec_id)::BIGINT AS rank, "
+            "vec_id FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
         "ann_cosine_top10": (
             "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
@@ -2395,6 +2436,35 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT avgdl FROM stats))) * "
         "pow(((SELECT n FROM stats) + 1.0) / (SELECT df FROM agg), 0.35)"
         ") AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # DFI chi-squared: expected = (F+1)*dl2/(T+1) with T = total tokens
+    # (lossless, the engine uses sum_total_term_freq); zero at or below
+    # expectation, else log2(chi2 + 1) — same double order as DFIScorer
+    out["ft_dfi_top10"] = _sim_base + (
+        "tot AS (SELECT sum(dl)::DOUBLE AS T FROM d), "
+        "sc AS (SELECT tf.doc_id, CAST(CASE WHEN tf.tf::DOUBLE <= "
+        "((SELECT F FROM agg) + 1.0) * ld.dl2 / ((SELECT T FROM tot) + 1.0) "
+        "THEN 0.0 ELSE "
+        "log2((tf.tf::DOUBLE - ((SELECT F FROM agg) + 1.0) * ld.dl2 / "
+        "((SELECT T FROM tot) + 1.0)) * (tf.tf::DOUBLE - "
+        "((SELECT F FROM agg) + 1.0) * ld.dl2 / ((SELECT T FROM tot) + 1.0)) "
+        "/ (((SELECT F FROM agg) + 1.0) * ld.dl2 / "
+        "((SELECT T FROM tot) + 1.0)) + 1.0) END AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # IB LL/DF/H1: lambda float32 round-trip (LambdaDF is a Java float),
+    # tfn = tf * 1 * (avgdl / dl2), s = -ln(lambda / (tfn + lambda))
+    out["ft_ib_top10"] = _sim_base + (
+        "lam AS (SELECT CAST(CAST(((SELECT df FROM agg) + 1.0) / "
+        "((SELECT n FROM stats) + 1.0) AS REAL) AS DOUBLE) AS l), "
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        "-ln((SELECT l FROM lam) / (tf.tf::DOUBLE * 1.0 * "
+        "((SELECT avgdl FROM stats) / ld.dl2) + (SELECT l FROM lam)))"
+        ") AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # raw tf as the score
+    out["ft_rawtf_top10"] = _sim_base + (
+        "sc AS (SELECT doc_id, CAST(tf AS REAL) AS s FROM tf) "
     ) + _rank_tail
     # bigram shingle hit set == token adjacency (positional CTE)
     out["ft_shingle_hits"] = _PT + (

@@ -2061,25 +2061,70 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     os.makedirs(tmp, exist_ok=True)
     if cfg.stage_c_buckets_per_task:
         bpt = cfg.stage_c_buckets_per_task
+        specs = [
+            {"seg": s, "bucket": b, "bucket_hi": min(b + bpt, merge_buckets)}
+            for s in sorted(seg_pids)
+            for b in range(0, merge_buckets, bpt)
+        ]
     else:
         # auto granularity: ONE wave of ~n_cpus tasks. Each task range-reads
         # every partial file of its segment ONCE, so fewer/larger tasks
         # amortize the shuffle fetch (measured: at 8 CPUs, 8 tasks beat 32
         # tasks 7.3s vs 10.5s; at 32 CPUs, 32 tasks beat 128 tasks 3.7s vs
-        # 8.2s — task count ≈ CPU count wins at every level)
+        # 8.2s — task count ≈ CPU count wins at every level). Range
+        # boundaries are COST-BALANCED from the partials' footer metadata
+        # (per-row-group rows + bucket stats — no data read): with one wave,
+        # stage wall == slowest task, so equal-rows ranges beat equal-width
+        # ones whenever bucket sizes skew. At very large partition counts
+        # this driver-side footer scan becomes its own tiny map round.
         try:
             n_cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             n_cpus = 8
         n_segs = max(1, len(seg_pids))
-        target_tasks = max(n_segs, n_cpus)
-        bpt = max(1, min(merge_buckets,
-                         -(-merge_buckets * n_segs // target_tasks)))
-    specs = [
-        {"seg": s, "bucket": b, "bucket_hi": min(b + bpt, merge_buckets)}
-        for s in sorted(seg_pids)
-        for b in range(0, merge_buckets, bpt)
-    ]
+        tasks_per_seg = max(1, min(merge_buckets,
+                                   -(-max(n_segs, n_cpus) // n_segs)))
+        specs = []
+        for s in sorted(seg_pids):
+            w = np.zeros(merge_buckets, dtype=np.int64)
+            for pid in seg_pids[s]:
+                try:
+                    md = pq.ParquetFile(
+                        partials_path(index_dir, pid)).metadata
+                    names = md.schema.names
+                    bi = names.index("bucket") if "bucket" in names else -1
+                    if bi < 0:
+                        continue
+                    wf = np.zeros(merge_buckets, dtype=np.float64)
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(bi)
+                        st = col.statistics
+                        n = md.row_group(rg).num_rows
+                        if st and st.has_min_max:
+                            lo = min(int(st.min), merge_buckets - 1)
+                            hi = min(int(st.max), merge_buckets - 1)
+                        else:
+                            lo, hi = 0, merge_buckets - 1
+                        # small buckets coalesce into one row group
+                        # (see _atomic_write_bucketed): spread its rows
+                        # uniformly over the [min, max] bucket stats
+                        wf[lo:hi + 1] += n / float(hi - lo + 1)
+                    w += wf.astype(np.int64)
+                except Exception:
+                    w += 1  # unreadable footer: fall back toward uniform
+            cum = np.cumsum(w, dtype=np.float64)
+            total = float(cum[-1]) if len(cum) else 0.0
+            if total <= 0:
+                edges = np.linspace(0, merge_buckets,
+                                    tasks_per_seg + 1).astype(int)
+            else:
+                targets = total * np.arange(1, tasks_per_seg) / tasks_per_seg
+                inner = np.searchsorted(cum, targets) + 1
+                edges = np.unique(np.r_[0, inner, merge_buckets])
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                if hi > lo:
+                    specs.append({"seg": s, "bucket": int(lo),
+                                  "bucket_hi": int(hi)})
     with _no_probe_ramp():
         metrics = ray.data.from_items(
             specs, override_num_blocks=len(specs)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -322,6 +323,178 @@ class IvfIndex:
                         elif name == self.vec_col:
                             fb += col.total_compressed_size
         return qb, fb
+
+
+# byte popcount LUT (numpy < 2 has no bitwise_count)
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def binary_quantize_rows(mat: np.ndarray, centroid: np.ndarray) -> np.ndarray:
+    """1-bit-per-dimension quantization around the data centroid, packed 8
+    dims per byte — the binary-quantization core of Lucene's
+    Lucene102BinaryQuantizedVectorsFormat (lucene/core/src/java/org/apache/
+    lucene/codecs/lucene102/Lucene102BinaryQuantizedVectorsFormat.java:
+    centroid-centered sign bits; we implement the sign-bit + oversampled
+    exact-rescore form, not the full RaBitQ correction factors — the scan
+    cost and storage (32x smaller than float32) match)."""
+    bits = np.asarray(mat, dtype=np.float64) > np.asarray(
+        centroid, dtype=np.float64)[None, :]
+    return np.packbits(bits, axis=1)
+
+
+class BinaryQuantIndex:
+    """Binary-quantized ANN: a packed sign-bit column beside the floats.
+
+    Build: ONE streaming pass computes the centroid (per-batch partial
+    sums), a second pass appends the packed ``bq`` column and writes the
+    index parquet. Search: the candidate scan reads ONLY (id, bq) —
+    32x fewer vector bytes than float64 — ranks by Hamming distance
+    (XOR + popcount LUT, fully vectorized), keeps k*oversample per query,
+    then ONE row-group-pruned float read rescores the candidates exactly.
+    Same output contract as IvfIndex.search."""
+
+    def __init__(self, index_dir: str, centroid: np.ndarray,
+                 vec_col: str, id_col: str):
+        self.index_dir = index_dir
+        self.centroid = centroid
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, ds: ray.data.Dataset, index_dir: str,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> "BinaryQuantIndex":
+        def partial_sum(batch: pa.Table) -> pa.Table:
+            m = _normalize(_list_matrix(batch.column(vec_col)))
+            return pa.table({
+                "vsum": pa.array([m.sum(axis=0).tolist()],
+                                 pa.list_(pa.float64())),
+                "count": pa.array([len(m)], pa.int64()),
+            })
+
+        parts = ds.map_batches(partial_sum, batch_format="pyarrow").to_pandas()
+        total = np.sum(np.stack(parts["vsum"].to_numpy()), axis=0)
+        centroid = total / max(1, int(parts["count"].sum()))
+        cref = ray.put(centroid)
+
+        def append_bits(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_list_matrix(batch.column(vec_col)))
+            packed = binary_quantize_rows(m, c)
+            w = packed.shape[1] if len(packed) else 0
+            bq = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(packed) + 1) * w, w,
+                                   dtype=np.int32)),
+                pa.array(packed.ravel(), pa.uint8()),
+            )
+            return batch.append_column("bq", bq)
+
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(append_bits, batch_format="pyarrow").write_parquet(tmp)
+        for f in os.listdir(tmp):
+            os.replace(os.path.join(tmp, f), os.path.join(index_dir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(index_dir, "bq_meta.json"), "w") as f:
+            json.dump({"vec_col": vec_col, "id_col": id_col,
+                       "centroid": centroid.tolist()}, f)
+        return cls(index_dir, centroid, vec_col, id_col)
+
+    @classmethod
+    def open(cls, index_dir: str) -> "BinaryQuantIndex":
+        with open(os.path.join(index_dir, "bq_meta.json")) as f:
+            meta = json.load(f)
+        return cls(index_dir, np.asarray(meta["centroid"], dtype=np.float64),
+                   meta["vec_col"], meta["id_col"])
+
+    def _paths(self) -> list[str]:
+        return [os.path.join(self.index_dir, f)
+                for f in sorted(os.listdir(self.index_dir))
+                if f.endswith(".parquet")]
+
+    def search(self, queries: np.ndarray, k: int = 10,
+               oversample: int = 5) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        qbits = binary_quantize_rows(q, self.centroid)
+        qref = ray.put(qbits)
+        kk = k * max(1, oversample)
+        id_col = self.id_col
+
+        def hamming_topk(batch: pa.Table) -> pa.Table:
+            qb = ray.get(qref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            bits = _list_matrix(batch.column("bq"), dtype=np.uint8)
+            out_q, out_id = [], []
+            nb = len(ids)
+            kb = min(kk, nb)
+            for qi in range(len(qb)):
+                ham = _POPCNT[np.bitwise_xor(bits, qb[qi][None, :])].sum(
+                    axis=1).astype(np.int64)
+                kth = np.partition(ham, kb - 1)[kb - 1]
+                part = np.flatnonzero(ham <= kth)
+                out_q.append(np.full(len(part), qi, dtype=np.int64))
+                out_id.append(ids[part])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            })
+
+        paths = self._paths()
+        cand = ray.data.read_parquet(
+            paths, columns=[id_col, "bq"]
+        ).map_batches(hamming_topk, batch_format="pyarrow").to_pandas()
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(cand) == 0:
+            return empty
+        wanted = np.unique(cand[id_col].to_numpy())
+        tbl = pads.dataset(paths, format="parquet").to_table(
+            columns=[id_col, self.vec_col],
+            filter=pads.field(id_col).isin(wanted.tolist()),
+        )
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        mat = _normalize(_list_matrix(tbl.column(self.vec_col)))
+        order = np.argsort(ids)
+        ids_s, mat_s = ids[order], mat[order]
+        rows = {"query_id": [], "rank": [], id_col: [], "cosine": []}
+        for qi, g in cand.groupby("query_id"):
+            cids = np.unique(g[id_col].to_numpy())
+            vecs = mat_s[np.searchsorted(ids_s, cids)]
+            sims = vecs @ q[qi]
+            o = np.lexsort((cids, -sims))[:k]
+            rows["query_id"].extend([int(qi)] * len(o))
+            rows["rank"].extend(range(1, len(o) + 1))
+            rows[id_col].extend(cids[o].tolist())
+            rows["cosine"].extend(sims[o].tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        })
+
+    def bq_scan_bytes(self) -> tuple[int, int]:
+        """(bq_scan_bytes, float_scan_bytes) from parquet column-chunk
+        metadata — the measured size win of the binary scan path."""
+        import pyarrow.parquet as pq
+
+        bb = fb = 0
+        for p in self._paths():
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                for c in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(c)
+                    name = col.path_in_schema.split(".")[0]
+                    if name == "bq":
+                        bb += col.total_compressed_size
+                    elif name == self.vec_col:
+                        fb += col.total_compressed_size
+        return bb, fb
 
 
 def cluster_embeddings(ds: ray.data.Dataset, n_clusters: int = 8,

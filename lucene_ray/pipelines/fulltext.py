@@ -1005,6 +1005,15 @@ _SIMS = {
     "axiomatic_f2exp": lambda: __import__(
         "lucene_ray.search.similarity", fromlist=["AxiomaticF2EXPSimilarity"]
     ).AxiomaticF2EXPSimilarity(),
+    "dfi_chi2": lambda: __import__(
+        "lucene_ray.search.similarity", fromlist=["DFISimilarity"]
+    ).DFISimilarity(),
+    "ib_ll_df_h1": lambda: __import__(
+        "lucene_ray.search.similarity", fromlist=["IBSimilarity"]
+    ).IBSimilarity(),
+    "raw_tf": lambda: __import__(
+        "lucene_ray.search.similarity", fromlist=["RawTFSimilarity"]
+    ).RawTFSimilarity(),
 }
 
 

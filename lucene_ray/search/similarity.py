@@ -440,6 +440,151 @@ class AxiomaticF2EXPSimilarity:
                            for ts in term_stats)
 
 
+class DFIScorer:
+    """Vectorized DFI (divergence from independence) scorer with the
+    chi-squared measure: expected = (F + 1) * dl / (T + 1); score 0 when
+    tf <= expected, else boost * log2((tf - expected)^2 / expected + 1) —
+    double math, one float32 cast (DFISimilarity.java:64-71,
+    IndependenceChiSquared.java:26-29)."""
+
+    __slots__ = ("boost", "F", "T", "dl_table")
+
+    def __init__(self, boost, F, T):
+        self.boost = float(boost)
+        self.F = float(F)   # totalTermFreq
+        self.T = float(T)   # numberOfFieldTokens (sumTotalTermFreq)
+        self.dl_table = LENGTH_TABLE.astype(np.float64).copy()
+        self.dl_table[0] = np.inf  # length-0 guard (see DFRInB2Scorer)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        expected = (self.F + 1.0) * dl / (self.T + 1.0)
+        measure = (tf - expected) * (tf - expected) / expected
+        s = self.boost * np.log2(measure + 1.0)
+        return np.where(tf <= expected, 0.0, s).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "DFIScorer":
+        return DFIScorer(self.boost * float(boost), self.F, self.T)
+
+
+class DFISimilarity:
+    """Divergence From Independence with the chi-squared measure
+    (Kocabas, Dincer & Karaoglan 2014, "A nonparametric term weighting
+    method for information retrieval based on measuring the divergence
+    from independence") — DFISimilarity(IndependenceChiSquared())
+    (lucene/core/src/java/org/apache/lucene/search/similarities/
+    DFISimilarity.java:33-71). Non-negative by construction: observed
+    frequency at or below the independence expectation scores zero."""
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> DFIScorer:
+        return DFIScorer(boost, ts.total_term_freq, cs.sum_total_term_freq)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
+class IBLLScorer:
+    """Vectorized information-based scorer, LL distribution + DF lambda +
+    H1 normalization: tfn = tf * c * (avgdl / dl);
+    lambda = float32((df + 1) / (N + 1)) (the Java lambda is a float);
+    score = boost * -ln(lambda / (tfn + lambda)) — double math, one
+    float32 cast (IBSimilarity.java:99-104, DistributionLL.java:29-32,
+    LambdaDF.java:27-34, NormalizationH1.java:40-43)."""
+
+    __slots__ = ("boost", "c", "avgdl", "lam", "dl_table")
+
+    def __init__(self, boost, c, avgdl, lam):
+        self.boost = float(boost)
+        self.c = float(c)
+        self.avgdl = float(avgdl)
+        self.lam = float(lam)
+        self.dl_table = LENGTH_TABLE.astype(np.float64).copy()
+        self.dl_table[0] = np.inf  # length-0 guard (see DFRInB2Scorer)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.uint8)]
+        tfn = tf * self.c * (self.avgdl / dl)
+        s = self.boost * -np.log(self.lam / (tfn + self.lam))
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "IBLLScorer":
+        return IBLLScorer(self.boost * float(boost), self.c, self.avgdl,
+                          self.lam)
+
+
+class IBSimilarity:
+    """Information-based model (Clinchant & Gaussier 2010, "Information-
+    based models for ad hoc IR") — the IBSimilarity(DistributionLL,
+    LambdaDF, NormalizationH1(c)) combo (lucene/core/src/java/org/apache/
+    lucene/search/similarities/IBSimilarity.java:55-104). LL is
+    non-negative for tfn >= 0; lambda takes the Java float32 round-trip
+    before entering the double pipeline (LambdaDF.java:28)."""
+
+    def __init__(self, c: float = 1.0):
+        if not (c > 0 and math.isfinite(c)):
+            raise ValueError(f"illegal c value: {c}")
+        self.c = float(c)
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> IBLLScorer:
+        avgdl = cs.sum_total_term_freq / float(cs.doc_count)
+        lam = np.float32((ts.doc_freq + 1.0) / (cs.doc_count + 1.0))
+        return IBLLScorer(boost, self.c, avgdl, float(lam))
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
+class RawTFScorer:
+    """score = boost * freq (RawTFSimilarity.java:40-47) — the trivial
+    SimScorer; useful as a seam smoke-test and for pure-count ranking."""
+
+    __slots__ = ("boost",)
+
+    def __init__(self, boost):
+        self.boost = float(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        return (self.boost * tf).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "RawTFScorer":
+        return RawTFScorer(self.boost * float(boost))
+
+
+class RawTFSimilarity:
+    """Raw term frequency as the score — RawTFSimilarity (lucene/core/src/
+    java/org/apache/lucene/search/similarities/RawTFSimilarity.java)."""
+
+    def _one(self, boost, cs, ts) -> RawTFScorer:
+        return RawTFScorer(boost)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):

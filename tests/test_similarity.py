@@ -14,7 +14,10 @@ import pytest
 from lucene_ray.codec.smallfloat import LENGTH_TABLE
 from lucene_ray.search.similarity import (
     AxiomaticF2EXPSimilarity,
+    DFISimilarity,
     DFRSimilarity,
+    IBSimilarity,
+    RawTFSimilarity,
     BM25Similarity,
     BooleanSimilarity,
     ClassicSimilarity,
@@ -98,9 +101,10 @@ def test_length_table_values():
     "sim",
     [BM25Similarity(), ClassicSimilarity(), LMDirichletSimilarity(),
      LMJelinekMercerSimilarity(), BooleanSimilarity(), DFRSimilarity(),
-     AxiomaticF2EXPSimilarity()],
+     AxiomaticF2EXPSimilarity(), DFISimilarity(), IBSimilarity(),
+     RawTFSimilarity()],
     ids=["bm25", "classic", "lmdirichlet", "lmjm", "boolean", "dfr",
-         "axiomatic"],
+         "axiomatic", "dfi", "ib", "rawtf"],
 )
 @pytest.mark.parametrize("stats", CORPUS_SHAPES)
 def test_similarity_contract_all_norms(sim, stats):
@@ -195,8 +199,10 @@ def test_boolean_similarity_scores_boost_only():
 
 @pytest.mark.parametrize(
     "sim", [LMDirichletSimilarity(), LMJelinekMercerSimilarity(0.3),
-            BooleanSimilarity(), DFRSimilarity(), AxiomaticF2EXPSimilarity()],
-    ids=["lmdirichlet", "lmjm", "boolean", "dfr", "axiomatic"],
+            BooleanSimilarity(), DFRSimilarity(), AxiomaticF2EXPSimilarity(),
+            DFISimilarity(), IBSimilarity(), RawTFSimilarity()],
+    ids=["lmdirichlet", "lmjm", "boolean", "dfr", "axiomatic", "dfi", "ib",
+         "rawtf"],
 )
 def test_new_similarities_end_to_end_seam(ray_session, built_index, sim):
     """Search through the unchanged engine with each additional similarity
