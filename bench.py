@@ -580,6 +580,31 @@ def _write_baseline_md(result: dict) -> None:
         "32-cpu build from ~51s (round 2 era, 300k scale equivalent) to",
         "~9-11s — 112,353 docs/s best recorded.",
         "",
+        "**Round-4 Stage-C rework (2026-08-19 pm).** Three changes to the",
+        "merge stage: (1) intermediate partials switched zstd -> lz4 (read",
+        "once, deleted — decode speed over ratio); (2) task granularity",
+        "auto-sized to ONE wave of ~n_cpus (segment, bucket-range) tasks at",
+        "every CPU count, boundaries COST-BALANCED from partials footer",
+        "metadata (measured: at 8 CPUs 8 tasks beat 32 tasks 7.3s vs 10.5s;",
+        "at 32 CPUs 32 beat 128 3.7s vs 8.2s — read amortization dominates);",
+        "(3) the hot-term sidecar pre-pass replaced by salt-pruned direct",
+        "reads inside the merge tasks (saved ~1.2s fixed wall at every",
+        "level; postings bit-identical both ways, test-asserted). Same-hour",
+        "effect at 1M rows: 32-way build 10.25s -> 6.5-7.3s (best 152,291",
+        "docs/s measured post-change; the fresh proof rounds below hit",
+        "148,160 in-battery), 8-way 26.2s -> 17.6-18.3s. Ten FRESH",
+        "interleaved proof rounds after the rework (2026-08-19 15:37-16:05,",
+        "the last 10 rows of scaling_proof.jsonl): pipe/body ratio",
+        "[0.56, 0.73, 1.45, 0.51, 1.02, 0.71, 0.74, 0.76, 1.15, 0.97] —",
+        "median 0.75, >= 0.97 in 3/10; pipeline eff median 0.57 / best",
+        "0.63 in-battery and 0.771 best same-run overall; the no-Ray",
+        "Stage-A body's OWN efficiency over the same 10 windows has median",
+        "0.65 (range 0.40-0.80), i.e. the identical work without Ray",
+        "does not reach 0.8 on this host either — the medians ratio",
+        "(0.57/0.65 = 0.88) is the honest residual engine gap, and it is",
+        "concentrated in the drifting 32-way memory path, not in any",
+        "per-task or per-stage overhead we can attribute to Ray.",
+        "",
         "**The query-serving axis corroborates this diagnosis.** The QPS",
         "proof (table above) measures the rule's OTHER workload — warm BM25",
         "top-10 serving, zero page faults, long-lived actors — against a",
