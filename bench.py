@@ -145,7 +145,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_dfr_top10", "ft_xml_query_hits",
                      "join_q5_local_supplier",
                      "percolate_scored", "curate_token_budget_grouped",
-                     "curate_contamination_frac"]:
+                     "curate_contamination_frac",
+                     "ft_cjk_bigram_hits", "ft_folded_hits",
+                     "geo_shape_intersects_hits", "geo_shape_within_hits",
+                     "ft_suggest_freetext", "ft_dfi_top10", "ft_ib_top10",
+                     "ft_rawtf_top10", "ann_binary_top10"]:
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)

@@ -102,11 +102,19 @@ def orders_per_nation(sf_dir: str) -> pa.Table:
         return pa.table({"o_custkey": batch.column("c_custkey"),
                          "c_nationkey": batch.column("c_nationkey")})
 
+    import pyarrow.parquet as _pq
+    osch = {f.name: f.type for f in _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet").schema_arrow}
+    csch = {f.name: f.type for f in _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").schema_arrow}
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         cust_prep, batch_format="pyarrow")
     joined = hash_join(_read(sf_dir, "orders", ["o_custkey"]), cust,
                        key="o_custkey", left_cols=[],
-                       right_cols=["c_nationkey"])
+                       right_cols=["c_nationkey"],
+                       left_schema={"o_custkey": osch["o_custkey"]},
+                       right_schema={"o_custkey": csch["c_custkey"],
+                                     "c_nationkey": csch["c_nationkey"]})
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

@@ -39,9 +39,15 @@ def _bucket_of(key_col, n_buckets: int) -> pa.Array:
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, left_cols: list[str], right_cols: list[str],
-              suffix: str = "_r", n_buckets: int = 64) -> ray.data.Dataset:
+              suffix: str = "_r", n_buckets: int = 64,
+              left_schema: dict | None = None,
+              right_schema: dict | None = None) -> ray.data.Dataset:
     """Inner equi-join on ``key``. Output columns: key, left_cols,
-    right_cols (suffixed on clash)."""
+    right_cols (suffixed on clash). Pass ``left_schema``/``right_schema``
+    ({col: pa.DataType}) when the caller statically knows them — each
+    ``Dataset.schema()`` call on a lazy map_batches pipeline executes a
+    limit-1 prefix of it (a whole extra Ray execution), which dominated
+    chained-join latency."""
 
     l_out = [c for c in left_cols if c != key]
     r_out = [c for c in right_cols if c != key]
@@ -52,8 +58,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # or under selective filters) must still emit correctly-typed empty
     # output, and an empty join block must keep the full schema so chained
     # joins' tag stages can read their columns
-    lsch = dict(zip(left.schema().names, left.schema().types))
-    rsch = dict(zip(right.schema().names, right.schema().types))
+    lsch = left_schema or dict(zip(left.schema().names, left.schema().types))
+    rsch = right_schema or dict(zip(right.schema().names, right.schema().types))
     out_schema = {key: lsch[key]}
     for c in l_out:
         out_schema[c] = lsch[c]
@@ -224,6 +230,14 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         return pa.table({"custkey": t.column("c_custkey"),
                          "c_nationkey": t.column("c_nationkey")})
 
+    # static schemas from the parquet footers (no Ray execution — each
+    # Dataset.schema() on a lazy pipeline would run a limit-1 prefix)
+    osch = {f.name: f.type for f in
+            pq.ParquetFile(f"{sf_dir}/orders.parquet").schema_arrow}
+    csch = {f.name: f.type for f in
+            pq.ParquetFile(f"{sf_dir}/customer.parquet").schema_arrow}
+    lsch = {f.name: f.type for f in
+            pq.ParquetFile(f"{sf_dir}/lineitem.parquet").schema_arrow}
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
                                              "o_orderdate"]
@@ -232,7 +246,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(filt_cust, batch_format="pyarrow")
     oc = hash_join(orders, cust, key="custkey",
-                   left_cols=["o_orderkey"], right_cols=["c_nationkey"])
+                   left_cols=["o_orderkey"], right_cols=["c_nationkey"],
+                   left_schema={"custkey": osch["o_custkey"],
+                                "o_orderkey": osch["o_orderkey"]},
+                   right_schema={"custkey": csch["c_custkey"],
+                                 "c_nationkey": csch["c_nationkey"]})
 
     def line_prep(batch: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(
@@ -249,9 +267,16 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(line_prep, batch_format="pyarrow")
+    import pyarrow as _pa
     ol = hash_join(line, oc, key="o_orderkey",
                    left_cols=["l_suppkey", "cents"],
-                   right_cols=["c_nationkey"])
+                   right_cols=["c_nationkey"],
+                   left_schema={"o_orderkey": lsch["l_orderkey"],
+                                "l_suppkey": lsch["l_suppkey"],
+                                "cents": _pa.int64()},
+                   right_schema={"custkey": csch["c_custkey"],
+                                 "o_orderkey": osch["o_orderkey"],
+                                 "c_nationkey": csch["c_nationkey"]})
 
     if broadcast_suppliers:
         def local_partial(batch: pa.Table) -> pa.Table:
@@ -284,9 +309,16 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         sup_ds = ray.data.read_parquet(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
         ).map_batches(sup_prep, batch_format="pyarrow")
+        ssch = {f.name: f.type for f in
+                pq.ParquetFile(f"{sf_dir}/supplier.parquet").schema_arrow}
         ols = hash_join(ol, sup_ds, key="l_suppkey",
                         left_cols=["cents", "c_nationkey"],
-                        right_cols=["s_nationkey"])
+                        right_cols=["s_nationkey"],
+                        left_schema={"l_suppkey": lsch["l_suppkey"],
+                                     "cents": _pa.int64(),
+                                     "c_nationkey": csch["c_nationkey"]},
+                        right_schema={"l_suppkey": ssch["s_suppkey"],
+                                      "s_nationkey": ssch["s_nationkey"]})
 
         def local_partial_joined(batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
