@@ -596,18 +596,19 @@ def _write_baseline_md(result: dict) -> None:
         "level; postings bit-identical both ways, test-asserted). Same-hour",
         "effect at 1M rows: 32-way build 10.25s -> 6.5-7.3s (best 152,291",
         "docs/s measured post-change; the fresh proof rounds below hit",
-        "148,160 in-battery), 8-way 26.2s -> 17.6-18.3s. Ten FRESH",
-        "interleaved proof rounds after the rework (2026-08-19 15:37-16:05,",
-        "the last 10 rows of scaling_proof.jsonl): pipe/body ratio",
-        "[0.56, 0.73, 1.45, 0.51, 1.02, 0.71, 0.74, 0.76, 1.15, 0.97] —",
-        "median 0.75, >= 0.97 in 3/10; pipeline eff median 0.57 / best",
-        "0.63 in-battery and 0.771 best same-run overall; the no-Ray",
-        "Stage-A body's OWN efficiency over the same 10 windows has median",
-        "0.65 (range 0.40-0.80), i.e. the identical work without Ray",
-        "does not reach 0.8 on this host either — the medians ratio",
-        "(0.57/0.65 = 0.88) is the honest residual engine gap, and it is",
-        "concentrated in the drifting 32-way memory path, not in any",
-        "per-task or per-stage overhead we can attribute to Ray.",
+        "148,160 in-battery), 8-way 26.2s -> 17.6-18.3s. EIGHTEEN fresh",
+        "interleaved proof rounds after the rework (2026-08-19 15:37-17:52,",
+        "the last 18 rows of scaling_proof.jsonl): pipe/body median",
+        "**0.776** (round-3 era: 0.706), >= 0.9 in 6/18, best 1.45;",
+        "pipeline eff median 0.55 / best 0.71 in-battery and **0.771 best",
+        "same-run overall** (history row); the no-Ray Stage-A body's OWN",
+        "efficiency over the same 18 windows has median 0.64 (range",
+        "0.40-0.97), i.e. the identical work without Ray does not reach",
+        "0.8 on this host either — the medians ratio (0.55/0.64 = 0.86)",
+        "is the honest residual engine gap, and it is concentrated in the",
+        "drifting 32-way memory path, not in any per-task or per-stage",
+        "overhead we can attribute to Ray (ratio_stage_a_over_body",
+        "reaches 0.94-1.05 in clean rounds of the same battery).",
         "",
         "**The query-serving axis corroborates this diagnosis.** The QPS",
         "proof (table above) measures the rule's OTHER workload — warm BM25",

@@ -130,7 +130,7 @@ def documents_multifield_index(sf_dir: str) -> IndexReader:
                 return b.append_column("head", h)
 
             tmp = derived + ".tmp"
-            (ray.data.read_parquet(src)
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
              .map_batches(_head, batch_format="pyarrow")
              .write_parquet(tmp))
             os.replace(tmp, derived)  # atomic publish (resume-safe)
@@ -172,7 +172,7 @@ def documents_html_index(sf_dir: str) -> IndexReader:
                 return b.append_column("html", h)
 
             tmp = derived + ".tmp"
-            (ray.data.read_parquet(src)
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
              .map_batches(_decorate, batch_format="pyarrow")
              .write_parquet(tmp))
             os.replace(tmp, derived)
@@ -233,7 +233,7 @@ def documents_cjk_index(sf_dir: str) -> IndexReader:
                                     "text", t)
 
             tmp = derived + ".tmp"
-            (ray.data.read_parquet(src)
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
              .map_batches(_cjk, batch_format="pyarrow")
              .write_parquet(tmp))
             os.replace(tmp, derived)  # atomic publish (resume-safe)
@@ -291,7 +291,7 @@ def documents_folded_index(sf_dir: str) -> IndexReader:
                                     "text", t)
 
             tmp = derived + ".tmp"
-            (ray.data.read_parquet(src)
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
              .map_batches(_acc, batch_format="pyarrow")
              .write_parquet(tmp))
             os.replace(tmp, derived)  # atomic publish (resume-safe)
@@ -1249,7 +1249,9 @@ def documents_taxonomy_index(sf_dir: str) -> IndexReader:
 
             tmp = derived_dir + ".tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            ray.data.read_parquet(src).map_batches(
+            ray.data.read_parquet(
+                src, columns=["doc_id", "lang", "source", "n_chars", "text"]
+            ).map_batches(
                 add_cat, batch_format="pyarrow"
             ).write_parquet(tmp)
             os.replace(tmp, derived_dir)

@@ -124,3 +124,31 @@ def test_cli_split_and_xml_search(cli_env, capsys):
                  "-k", "3"]) == 0
     rows = _lines(capsys)
     assert rows[-1]["total_hits"] > 0
+
+
+def test_cli_xml_search_custom_content_col(cli_env, capsys, tmp_path):
+    """--xml on an index built with --content-col: an XML TermQuery naming
+    the actual content field must hit (the default_field comes from the
+    manifest, not a hardcoded 'content')."""
+    import pyarrow as pa
+
+    d, corpus = cli_env
+    renamed = corpus.rename_columns(
+        ["body" if c == "content" else c for c in corpus.column_names])
+    src = str(tmp_path / "renamed.parquet")
+    pq.write_table(renamed.slice(0, 200), src, row_group_size=50)
+    idx = str(tmp_path / "idx_body")
+    main(["build", "--source", src, "--index", idx,
+          "--rows-per-partition", "100", "--partitions-per-segment", "2",
+          "--content-col", "body"])
+    capsys.readouterr()
+    xml = '<TermQuery fieldName="body">import</TermQuery>'
+    assert main(["search", "--index", idx, "--query", xml, "--xml",
+                 "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows[-1]["total_hits"] > 0
+
+    # compact with explicit --segments prints the list-of-groups shape
+    assert main(["compact", "--index", idx, "--segments", "0,1"]) == 0
+    out = _lines(capsys)[-1]
+    assert out["merged"] == [[0, 1]]
