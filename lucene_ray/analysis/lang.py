@@ -123,6 +123,24 @@ STOPWORDS: dict[str, frozenset] = {
         tyto u uz v vam vas vase ve vice vsak z za zde ze"""
         .split()
     ),
+    # the snowball-project Russian stoplist Lucene's RussianAnalyzer
+    # ships as its default (analysis/common/src/resources/.../snowball/
+    # russian_stop.txt, comments stripped)
+    "ru": frozenset(
+        """и в во не что он на я с со как а то все она так его но да ты к у
+        же вы за бы по только ее мне было вот от меня еще нет о из ему
+        теперь когда даже ну вдруг ли если уже или ни быть был него до вас
+        нибудь опять уж вам сказал ведь там потом себя ничего ей может они
+        тут где есть надо ней для мы тебя их чем была сам чтоб без будто
+        человек чего раз тоже себе под жизнь будет ж тогда кто этот
+        говорил того потому этого какой совсем ним здесь этом один почти
+        мой тем чтобы нее кажется сейчас были куда зачем сказать всех
+        никогда сегодня можно при наконец два об другой хоть после над
+        больше тот через эти нас про всего них какая много разве сказала
+        три эту моя впрочем хорошо свою этой перед иногда лучше чуть том
+        нельзя такой им более всегда конечно всю между"""
+        .split()
+    ),
     "fi": frozenset(
         """ja ei se on etta oli han mutta joka ovat kun niin myos hanen sita
         mita jos kuin minka tai ole olla seka eli nyt siis sen sille jo ne
@@ -483,6 +501,39 @@ def _hu_normalize(t: str) -> str:
     return t
 
 
+# Russian light stemmer (Dolamic & Savoy, "Indexing and Searching
+# Strategies for the Russian Language", JASIST 2009) — the algorithm of
+# lucene/analysis/common/src/java/org/apache/lucene/analysis/ru/
+# RussianLightStemmer.java:55-140: case-suffix removal by length tier,
+# then a soft-sign / double-н normalization. Parity-tested against a
+# sample of Lucene's own rulight.txt golden vocabulary.
+_RU_4 = ("иями", "оями")
+_RU_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+         "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+         "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+         "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+_RU_1 = frozenset("аеиоуйыяь")
+
+
+def russian_light_stem(t: str) -> str:
+    n = len(t)
+    if n > 6 and t.endswith(_RU_4):
+        t = t[:-4]
+    elif n > 5 and t.endswith(_RU_3):
+        t = t[:-3]
+    elif n > 4 and t.endswith(_RU_2):
+        t = t[:-2]
+    elif n > 3 and t[-1] in _RU_1:
+        t = t[:-1]
+    if len(t) > 3:
+        if t[-1] in "ьи":
+            t = t[:-1]
+        elif t[-1] == "н" and t[-2] == "н":
+            t = t[:-1]
+    return t
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
@@ -495,6 +546,7 @@ STEMMERS = {
     "cs": czech_light_stem,
     "fi": finnish_light_stem,
     "hu": hungarian_light_stem,
+    "ru": russian_light_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
