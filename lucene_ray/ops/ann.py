@@ -378,10 +378,13 @@ class BinaryQuantIndex:
         cref = ray.put(centroid)
 
         def append_bits(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.append_column(
+                    "bq", pa.array([], pa.list_(pa.uint8())))
             c = ray.get(cref)
             m = _normalize(_list_matrix(batch.column(vec_col)))
             packed = binary_quantize_rows(m, c)
-            w = packed.shape[1] if len(packed) else 0
+            w = packed.shape[1]
             bq = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (len(packed) + 1) * w, w,
                                    dtype=np.int32)),
@@ -430,6 +433,9 @@ class BinaryQuantIndex:
             out_q, out_id = [], []
             nb = len(ids)
             kb = min(kk, nb)
+            if nb == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64())})
             for qi in range(len(qb)):
                 ham = _POPCNT[np.bitwise_xor(bits, qb[qi][None, :])].sum(
                     axis=1).astype(np.int64)

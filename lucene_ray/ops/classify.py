@@ -25,6 +25,8 @@ whole computation is integer-count-based so an exact DuckDB oracle exists
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -185,7 +187,10 @@ def classify_documents(sf_dir: str, mod: int = 5) -> pa.Table:
         return f
 
     test = ds.map_batches(split(True), batch_format="pyarrow")
-    key = (sf_dir, mod)
+    # mtime in the key so an in-place parquet regeneration invalidates the
+    # cached model (consistent with the derived-index caches).
+    key = (sf_dir, mod,
+           os.path.getmtime(f"{sf_dir}/documents.parquet"))
     if key not in _nb_models:
         train = ds.map_batches(split(False), batch_format="pyarrow")
         _nb_models[key] = train_naive_bayes(train)

@@ -726,7 +726,7 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
-_freetext_lms: dict[str, tuple] = {}
+_freetext_lms: dict[tuple, tuple] = {}
 
 
 def _freetext_lm(sf_dir: str):
@@ -738,9 +738,12 @@ def _freetext_lm(sf_dir: str):
     vectorized adjacency zip on (doc_idx, position) — then ONE small
     groupby-sum shuffle over the vocab-sized gram table (the corpus is
     never re-shuffled). The aggregated model is the FST analog and is
-    cached per sf_dir."""
-    if sf_dir in _freetext_lms:
-        return _freetext_lms[sf_dir]
+    cached per (sf_dir, source mtime) so an in-place parquet regeneration
+    invalidates the model."""
+    key = (sf_dir,
+           os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    if key in _freetext_lms:
+        return _freetext_lms[key]
     import pyarrow.compute as pc
 
     import ray.data
@@ -787,8 +790,8 @@ def _freetext_lm(sf_dir: str):
     uni = dict(zip(uni_df["gram"], uni_df["cnt"].astype(np.int64)))
     bi = dict(zip(bi_df["gram"], bi_df["cnt"].astype(np.int64)))
     total = int(uni_df["cnt"].sum())
-    _freetext_lms[sf_dir] = (uni, bi, total)
-    return _freetext_lms[sf_dir]
+    _freetext_lms[key] = (uni, bi, total)
+    return _freetext_lms[key]
 
 
 FREETEXT_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007), the

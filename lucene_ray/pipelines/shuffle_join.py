@@ -285,9 +285,12 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                  "cents": pa.array([], pa.int64())})
             skeys, snats = ray.get(sup_ref)
             sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-            pos = np.searchsorted(skeys, sk)
-            pos = np.minimum(pos, len(skeys) - 1)
-            s_nat = np.where(skeys[pos] == sk, snats[pos], -1)
+            if len(skeys) == 0:
+                s_nat = np.full(len(sk), -1, dtype=np.int64)
+            else:
+                pos = np.searchsorted(skeys, sk)
+                pos = np.minimum(pos, len(skeys) - 1)
+                s_nat = np.where(skeys[pos] == sk, snats[pos], -1)
             c_nat = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
             keep = s_nat == c_nat
             t = pa.table({

@@ -62,7 +62,15 @@ def _field_term(el, term: str, default_field: str | None) -> str:
 
 def parse_xml_query(xml: str, default_field: str = "content",
                     analyzer=None, text_fields: tuple = ()) -> Query:
-    """Parse one XML query document into the engine AST."""
+    """Parse one XML query document into the engine AST.
+
+    Behavior note (intentional divergence from the reference's
+    TermQueryBuilder, which uses the raw element text verbatim with no
+    analysis — queryparser/xml/builders/TermQueryBuilder.java): this parser
+    ANALYZES TermQuery/SpanTerm text and raises ``ValueError`` when it
+    yields more than one token, instead of silently using the first token
+    (pre-round-4 behavior) or passing unanalyzed raw text. Multi-token
+    input should use TermsQuery or UserQuery."""
     from lucene_ray.analysis.tokenizer import CodeTokenizer
 
     tk = analyzer or CodeTokenizer()

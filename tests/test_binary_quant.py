@@ -65,3 +65,22 @@ def test_open_roundtrip(ray_session, bq_index):
     idx = BinaryQuantIndex.open(bq_index.index_dir)
     assert np.allclose(idx.centroid, bq_index.centroid)
     assert idx.id_col == "vec_id"
+
+
+def test_empty_blocks_survive_build_and_search(ray_session, tmp_path):
+    """A filter that leaves some (or all) blocks empty must not crash the
+    build (step-0 arange) or the scan (k-th partition of an empty block)."""
+    import ray.data
+
+    d = str(tmp_path / "idx_empty")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    # filter inside map_batches so entire blocks come out empty
+    def drop_most(b):
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b.column("vec_id"), 8))
+    sparse = ds.map_batches(drop_most, batch_format="pyarrow")
+    idx = BinaryQuantIndex.build(sparse, d)
+    q = np.ones((1, len(idx.centroid)), dtype=np.float64)
+    out = idx.search(q, k=5)
+    assert set(out.column("vec_id").to_pylist()) <= set(range(8))
+    assert len(out) <= 5
