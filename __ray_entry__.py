@@ -19,6 +19,9 @@ from typing import Any
 
 import numpy as np
 
+from lucene_ray.ops.curate import fmix32_sql as _fmix32_sql
+from lucene_ray.ops.curate import hex_threshold as _hex_thr
+
 # Shared tokenizer CTE — must mirror lucene_ray.analysis.CodeTokenizer:
 # lowercase, split on [^a-z0-9_]+, drop empties (255-char split path never
 # triggers on these tables).
@@ -2207,30 +2210,33 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
             ")) AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
-        # deterministic md5-keyed sample (rate = 0x1a/256): DuckDB's md5()
-        # replicates row membership exactly; l_quantity is integer-valued so
-        # the double mean is order-independent and exact on both sides
+        # deterministic fmix32-keyed sample (rate = 0x1a/256): the SQL
+        # replays the engine's vectorized xor/shift/multiply mix bit-exactly
+        # (fmix32_sql); l_quantity is integer-valued so the double mean is
+        # order-independent and exact on both sides
         "sampled_avg_quantity": (
             "SELECT round(avg(l_quantity), 4) AS avg_qty_sampled FROM lineitem "
-            "WHERE substr(md5(l_orderkey::VARCHAR || '_' || "
-            "l_linenumber::VARCHAR), 1, 2) < '1a'"
+            f"WHERE {_fmix32_sql('l_orderkey * 8 + l_linenumber')} < "
+            f"{_hex_thr('1a')}"
         ),
         "filter_high_value_orders": (
             "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders "
             "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
-        # curation: deterministic md5-prefix sampling; shingle contamination
-        # vs the doc_id%50==0 "benchmark" slice (exact string shingles)
+        # curation: deterministic fmix32-keyed sampling (SQL replays the
+        # engine's integer mix bit-exactly); shingle contamination vs the
+        # doc_id%50==0 "benchmark" slice (exact string shingles)
         "curate_sample_hash": (
             "SELECT doc_id FROM documents WHERE "
-            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '2a' ORDER BY doc_id"
+            f"{_fmix32_sql('doc_id')} < {_hex_thr('2a')} ORDER BY doc_id"
         ),
         "curate_sample_stratified": (
             "SELECT doc_id FROM documents WHERE "
-            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < "
-            "CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40' "
-            "WHEN 'de' THEN '20' ELSE '00' END ORDER BY doc_id"
+            f"{_fmix32_sql('doc_id')} < "
+            f"CASE lang WHEN 'en' THEN {_hex_thr('80')} "
+            f"WHEN 'fr' THEN {_hex_thr('40')} "
+            f"WHEN 'de' THEN {_hex_thr('20')} ELSE 0 END ORDER BY doc_id"
         ),
         "curate_decontaminate": (
             "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents), "

@@ -4,11 +4,16 @@ content-hash sampling and benchmark decontamination.
 These extend the engine's LLM-pipeline family (ops/dedup.py, ops/text.py)
 with two ops every large-scale corpus build needs:
 
-- ``sample_by_hash`` — a reproducible sample keyed by a cryptographic hash
-  of the row key, not an RNG: the same row is in or out of the sample on
-  every run, machine, and worker count (the property random_sample cannot
-  give), and the sample composes with resume/retry for free. Streaming
-  map_batches filter, no shuffle, no driver state.
+- ``sample_by_hash`` — a reproducible sample keyed by a deterministic
+  integer mix of the row key, not an RNG: the same row is in or out of the
+  sample on every run, machine, and worker count (the property
+  random_sample cannot give), and the sample composes with resume/retry for
+  free. Streaming map_batches filter, no shuffle, no driver state. The mix
+  is MurmurHash3's 32-bit finalizer (fmix32, public domain — Appleby's
+  MurmurHash3.cpp) over a 64→32 xor-fold: pure xor/shift/multiply
+  arithmetic, so it is (a) fully vectorized in numpy on the uint64 lane
+  (no per-row Python) and (b) replayed EXACTLY by the DuckDB oracle as SQL
+  integer arithmetic (``fmix32_sql``), keeping the value-hash oracle.
 - ``decontaminate`` — drop/flag training documents that share any k-token
   shingle with a benchmark/eval set (the standard eval-contamination
   guard). The benchmark side is small by definition: its distinct shingle
@@ -24,8 +29,6 @@ ShingleFilter.java) under the engine's shared tokenizer grammar.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -35,24 +38,58 @@ import ray.data
 
 from lucene_ray.index.invert import tokenize_column
 
+# MurmurHash3 fmix32 constants (Appleby, public domain)
+_FMIX_M1 = np.uint64(0x85EBCA6B)
+_FMIX_M2 = np.uint64(0xC2B2AE35)
+_U32 = np.uint64(0xFFFFFFFF)
+
+
+def fmix32(keys) -> np.ndarray:
+    """Vectorized 64→32-bit deterministic mix: xor-fold the int64 key to 32
+    bits, then MurmurHash3's fmix32 finalizer (xor/shift/multiply — full
+    avalanche). Runs on the whole key column as uint64 numpy arithmetic (no
+    per-row Python) and is replayed bit-exactly in SQL by
+    :func:`fmix32_sql`. Returns uint64 values in [0, 2**32)."""
+    h = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    h = (h & _U32) ^ (h >> np.uint64(32))
+    h ^= h >> np.uint64(16)
+    h = (h * _FMIX_M1) & _U32
+    h ^= h >> np.uint64(13)
+    h = (h * _FMIX_M2) & _U32
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def fmix32_sql(expr: str) -> str:
+    """DuckDB expression computing :func:`fmix32` of BIGINT ``expr``
+    bit-exactly: the two 32×32-bit multiplies are done in HUGEINT (int128)
+    and wrapped with ``% 2**32``, everything else is BIGINT xor/shift."""
+    h0 = f"(xor(({expr}) & 4294967295, ({expr}) >> 32))"
+    h1 = f"(xor({h0}, {h0} >> 16))"
+    h2 = f"((({h1}::HUGEINT * 2246822507) % 4294967296)::BIGINT)"
+    h3 = f"(xor({h2}, {h2} >> 13))"
+    h4 = f"((({h3}::HUGEINT * 3266489909) % 4294967296)::BIGINT)"
+    return f"(xor({h4}, {h4} >> 16))"
+
+
+def hex_threshold(hex_lt: str) -> int:
+    """Map the historical md5-hex-prefix threshold API onto the 32-bit mix
+    domain: ``hex_lt="2a"`` → keep when fmix32(key) < 0x2a << 24, i.e. the
+    same nominal rate int(hex_lt, 16) / 16**len(hex_lt)."""
+    return int(hex_lt, 16) << (32 - 4 * len(hex_lt))
+
 
 def sample_by_hash(ds: ray.data.Dataset, id_col: str = "doc_id",
                    hex_lt: str = "2a") -> ray.data.Dataset:
-    """Deterministic sample: keep rows whose ``md5(str(id))`` hex digest
-    prefix is lexicographically below ``hex_lt`` (2 hex chars → rate =
-    int(hex_lt, 16)/256, e.g. "2a" ≈ 16.4%). md5 has no vectorized Arrow
-    kernel; the per-row digest over short key strings is the entire cost
-    and is CPU-trivial next to any downstream transform."""
-    n = len(hex_lt)
+    """Deterministic sample: keep rows whose ``fmix32(id)`` falls below the
+    ``hex_lt`` threshold (2 hex chars → rate = int(hex_lt, 16)/256, e.g.
+    "2a" ≈ 16.4%). Vectorized uint64 numpy on the whole id column (the r4
+    per-row md5 loop is gone); DuckDB replays the predicate exactly via
+    :func:`fmix32_sql`, so the value-hash oracle holds."""
+    thr = np.uint64(hex_threshold(hex_lt))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:n] < hex_lt
-             for i in ids],
-            pa.bool_(),
-        )
-        return batch.filter(mask)
+        return batch.filter(pa.array(fmix32(batch.column(id_col)) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -62,19 +99,26 @@ def sample_stratified(ds: ray.data.Dataset, rates: dict,
                       id_col: str = "doc_id") -> ray.data.Dataset:
     """Per-group deterministic sampling — the mixture-balancing op of a
     training-data pipeline (e.g. downsample dominant languages). ``rates``
-    maps a group value to its md5-prefix threshold (2 hex chars; rate =
+    maps a group value to its hex threshold (2 hex chars; rate =
     int(v, 16)/256); groups not listed are dropped. Same determinism
-    guarantees as :func:`sample_by_hash`; streaming filter, no shuffle."""
+    guarantees as :func:`sample_by_hash`; streaming filter, no shuffle.
+    Vectorized: one fmix32 over the id column + a per-group threshold
+    lookup via Arrow dictionary indices."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        groups = batch.column(group_col).to_pylist()
-        mask = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:2] < rates.get(g, "00")
-             for i, g in zip(ids, groups)],
-            pa.bool_(),
-        )
-        return batch.filter(mask)
+        h = fmix32(batch.column(id_col))
+        groups = batch.column(group_col)
+        enc = pc.dictionary_encode(
+            groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
+            else groups)
+        dict_vals = enc.dictionary.to_pylist()
+        thr_by_code = np.array(
+            [hex_threshold(rates.get(g, "00")) for g in dict_vals],
+            dtype=np.uint64)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        thr = thr_by_code[codes] if len(dict_vals) else np.zeros(
+            len(codes), np.uint64)
+        return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -91,7 +91,8 @@ def orders_per_nation(sf_dir: str) -> pa.Table:
     the custkey column. Only the genuinely-small nation table (25 rows) is
     broadcast for the name lookup; counts pre-aggregate per batch so only
     |nations| rows per block reach the final groupby."""
-    from lucene_ray.pipelines.shuffle_join import hash_join
+    from lucene_ray.pipelines.shuffle_join import (estimate_parquet_bytes,
+                                                   hash_join)
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_keys = pa.array(nation["n_nationkey"], pa.int64())
@@ -114,7 +115,12 @@ def orders_per_nation(sf_dir: str) -> pa.Table:
                        right_cols=["c_nationkey"],
                        left_schema={"o_custkey": osch["o_custkey"]},
                        right_schema={"o_custkey": csch["c_custkey"],
-                                     "c_nationkey": csch["c_nationkey"]})
+                                     "c_nationkey": csch["c_nationkey"]},
+                       est_bytes=estimate_parquet_bytes(
+                           f"{sf_dir}/orders.parquet", ["o_custkey"])
+                       + estimate_parquet_bytes(
+                           f"{sf_dir}/customer.parquet",
+                           ["c_custkey", "c_nationkey"]))
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -303,25 +309,26 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
 def sampled_avg_quantity(sf_dir: str, hex_lt: str = "1a") -> pa.Table:
     """Sampled aggregate (RandomSamplingFacetsCollector analog,
     facet/sampling): mean l_quantity over a deterministic pseudo-random
-    sample. The sample is keyed by md5 of the row key (l_orderkey,
-    l_linenumber) — hex prefix < ``hex_lt`` (default "1a" ~ 10.2%) — so
-    membership is independent of block layout / worker count / run, and
-    the exact same predicate is expressible in DuckDB (md5()) for a full
-    value-hash oracle. Streaming map_batches filter, no shuffle; l_quantity
-    is integer-valued so the double sum (hence the mean) is exact on both
-    sides."""
-    import hashlib
+    sample. The sample is keyed by fmix32 of the combined row key
+    ``l_orderkey * 8 + l_linenumber`` (injective: TPC-H linenumbers are
+    1..7) below the ``hex_lt`` threshold (default "1a" ~ 10.2%), so
+    membership is independent of block layout / worker count / run.
+    Vectorized uint64 numpy over the whole key columns — no per-row Python
+    — and the exact same xor/shift/multiply predicate is replayed in
+    DuckDB (``fmix32_sql``) for a full value-hash oracle. Streaming
+    map_batches filter, no shuffle; l_quantity is integer-valued so the
+    double sum (hence the mean) is exact on both sides."""
+    import numpy as np
 
+    from lucene_ray.ops.curate import fmix32, hex_threshold
+
+    thr = np.uint64(hex_threshold(hex_lt))
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
 
     def keep(batch: pa.Table) -> pa.Table:
-        ok = batch.column("l_orderkey").to_pylist()
-        ln = batch.column("l_linenumber").to_pylist()
-        mask = pa.array(
-            [hashlib.md5(f"{o}_{l}".encode()).hexdigest()[:2] < hex_lt
-             for o, l in zip(ok, ln)],
-            pa.bool_(),
-        )
+        key = (np.asarray(batch.column("l_orderkey"), dtype=np.int64) * 8
+               + np.asarray(batch.column("l_linenumber"), dtype=np.int64))
+        mask = pa.array(fmix32(key) < thr)
         return batch.filter(mask).select(["l_quantity"])
 
     mean = ds.map_batches(keep, batch_format="pyarrow").mean("l_quantity")

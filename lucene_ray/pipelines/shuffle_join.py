@@ -37,17 +37,66 @@ def _bucket_of(key_col, n_buckets: int) -> pa.Array:
     )
 
 
+#: target UNCOMPRESSED bytes per join bucket group: both sides' rows for a
+#: bucket are materialized together in one map_groups task (plus the pandas
+#: merge's working copies), so this bounds the per-task heap, not the block
+#: size. 128 MiB × ~4x merge overhead stays well inside a 4 GiB worker.
+TARGET_BUCKET_BYTES = 128 << 20
+
+
+def estimate_parquet_bytes(path: str, columns: list[str] | None = None) -> int:
+    """Uncompressed byte estimate for ``columns`` of a parquet file or
+    directory, from FOOTER metadata only (no data read) — the same
+    auto-sizing source Stage C uses for its task granularity."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        paths = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if f.endswith(".parquet")]
+    else:
+        paths = [path]
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                root = col.path_in_schema.split(".")[0]
+                if columns is None or root in columns:
+                    total += col.total_uncompressed_size
+    return total
+
+
+def auto_buckets(est_bytes: int | None, floor: int = 64,
+                 target: int = TARGET_BUCKET_BYTES) -> int:
+    """Bucket count so each bucket group holds ~``target`` uncompressed
+    bytes; ``floor`` (64, the r4 fixed value) keeps small inputs parallel.
+    At 100× lineitem scale a fixed 64 put >1/64th of the corpus in one
+    map_groups heap — the count must grow with the input."""
+    if not est_bytes or est_bytes <= 0:
+        return floor
+    return max(floor, -(-int(est_bytes) // int(target)))
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, left_cols: list[str], right_cols: list[str],
-              suffix: str = "_r", n_buckets: int = 64,
+              suffix: str = "_r", n_buckets: int | None = None,
               left_schema: dict | None = None,
-              right_schema: dict | None = None) -> ray.data.Dataset:
+              right_schema: dict | None = None,
+              est_bytes: int | None = None) -> ray.data.Dataset:
     """Inner equi-join on ``key``. Output columns: key, left_cols,
     right_cols (suffixed on clash). Pass ``left_schema``/``right_schema``
     ({col: pa.DataType}) when the caller statically knows them — each
     ``Dataset.schema()`` call on a lazy map_batches pipeline executes a
     limit-1 prefix of it (a whole extra Ray execution), which dominated
-    chained-join latency."""
+    chained-join latency. ``n_buckets=None`` auto-sizes the bucket count
+    from ``est_bytes`` (both sides' pruned-column footprint, parquet footer
+    metadata — see :func:`estimate_parquet_bytes`) with a floor of 64."""
+    if n_buckets is None:
+        n_buckets = auto_buckets(est_bytes)
 
     l_out = [c for c in left_cols if c != key]
     r_out = [c for c in right_cols if c != key]
@@ -128,6 +177,11 @@ def order_revenue(sf_dir: str, top: int = 10) -> pa.Table:
     joined = hash_join(
         orders, lrev, key="o_orderkey",
         left_cols=["o_orderdate"], right_cols=["revenue"],
+        est_bytes=estimate_parquet_bytes(
+            f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderdate"])
+        + estimate_parquet_bytes(
+            f"{sf_dir}/lineitem.parquet",
+            ["l_orderkey", "l_extendedprice", "l_discount"]),
     )
 
     # per-batch partial aggregation after the join: a key lives in exactly
@@ -245,12 +299,21 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(filt_cust, batch_format="pyarrow")
+    # auto-sized buckets from footer metadata (pruned-column upper bounds —
+    # the pre-join filters only shrink these)
+    orders_bytes = estimate_parquet_bytes(
+        f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"])
+    cust_bytes = estimate_parquet_bytes(
+        f"{sf_dir}/customer.parquet", ["c_custkey", "c_nationkey"])
+    line_bytes = estimate_parquet_bytes(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_suppkey"])
     oc = hash_join(orders, cust, key="custkey",
                    left_cols=["o_orderkey"], right_cols=["c_nationkey"],
                    left_schema={"custkey": osch["o_custkey"],
                                 "o_orderkey": osch["o_orderkey"]},
                    right_schema={"custkey": csch["c_custkey"],
-                                 "c_nationkey": csch["c_nationkey"]})
+                                 "c_nationkey": csch["c_nationkey"]},
+                   est_bytes=orders_bytes + cust_bytes)
 
     def line_prep(batch: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(
@@ -276,7 +339,8 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                 "cents": _pa.int64()},
                    right_schema={"custkey": csch["c_custkey"],
                                  "o_orderkey": osch["o_orderkey"],
-                                 "c_nationkey": csch["c_nationkey"]})
+                                 "c_nationkey": csch["c_nationkey"]},
+                   est_bytes=line_bytes * 2 + orders_bytes)
 
     if broadcast_suppliers:
         def local_partial(batch: pa.Table) -> pa.Table:
@@ -321,7 +385,10 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                      "cents": _pa.int64(),
                                      "c_nationkey": csch["c_nationkey"]},
                         right_schema={"l_suppkey": ssch["s_suppkey"],
-                                      "s_nationkey": ssch["s_nationkey"]})
+                                      "s_nationkey": ssch["s_nationkey"]},
+                        est_bytes=line_bytes * 2 + estimate_parquet_bytes(
+                            f"{sf_dir}/supplier.parquet",
+                            ["s_suppkey", "s_nationkey"]))
 
         def local_partial_joined(batch: pa.Table) -> pa.Table:
             if len(batch) == 0:

@@ -1,7 +1,5 @@
 """Curation ops: deterministic hash sampling + shingle decontamination."""
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -12,8 +10,45 @@ from lucene_ray.analysis.tokenizer import CodeTokenizer
 from lucene_ray.ops.curate import (
     benchmark_shingles,
     decontaminate,
+    fmix32,
+    fmix32_sql,
+    hex_threshold,
     sample_by_hash,
 )
+
+
+def _fmix32_scalar(k: int) -> int:
+    """Independent pure-Python twin of the vectorized fmix32 kernel."""
+    h = (k & 0xFFFFFFFF) ^ (k >> 32)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def test_fmix32_matches_scalar_twin_and_sql():
+    keys = np.array([0, 1, 2, 7, 255, 2**31 - 1, 2**32, 2**40 + 12345,
+                     2**62 + 999], dtype=np.int64)
+    vec = fmix32(keys)
+    for k, v in zip(keys.tolist(), vec.tolist()):
+        assert v == _fmix32_scalar(k), k
+    # DuckDB replays the mix bit-exactly (the oracle-side contract)
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {fmix32_sql('k')} FROM (SELECT unnest(?::BIGINT[]) AS k)",
+        [keys.tolist()],
+    ).fetchall()
+    assert [g[0] for g in got] == vec.tolist()
+
+
+def test_hex_threshold_rates():
+    assert hex_threshold("2a") == 0x2A << 24
+    assert hex_threshold("00") == 0
+    assert hex_threshold("ff") == 0xFF << 24
 
 
 def _ids(ds, col="doc_id"):
@@ -45,10 +80,10 @@ def test_sample_by_hash_deterministic(ray_session):
         "doc_id": pa.array(np.arange(2000), pa.int64()),
     })).repartition(4)
     got = _ids(sample_by_hash(ds, hex_lt="2a"))
-    want = [i for i in range(2000)
-            if hashlib.md5(str(i).encode()).hexdigest()[:2] < "2a"]
+    thr = hex_threshold("2a")
+    want = [i for i in range(2000) if _fmix32_scalar(i) < thr]
     assert got == want
-    # ~16.4% of 2000 with md5 uniformity; loose band
+    # ~16.4% of 2000 with mix uniformity; loose band
     assert 200 < len(got) < 460
     # rerun is identical (no RNG anywhere)
     assert _ids(sample_by_hash(ds, hex_lt="2a")) == got
@@ -104,8 +139,7 @@ def test_sample_stratified(ray_session):
     ]
     want = [
         (i, langs[i % 4]) for i in range(4000)
-        if hashlib.md5(str(i).encode()).hexdigest()[:2]
-        < rates.get(langs[i % 4], "00")
+        if _fmix32_scalar(i) < hex_threshold(rates.get(langs[i % 4], "00"))
     ]
     assert sorted(rows) == want
     # 'it' fully dropped; rate ordering holds (en > fr > de)

@@ -47,3 +47,63 @@ def test_q5_broadcast_path(ray_session, oracle):
 def test_q5_shuffle_path(ray_session, oracle):
     got = _run(0)
     assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
+
+
+def test_auto_buckets_grow_with_input():
+    """hash_join's bucket count must scale with the estimated input bytes
+    (fixed 64 was the round-4 latent scale-killer) and keep the 64 floor."""
+    from lucene_ray.pipelines.shuffle_join import (TARGET_BUCKET_BYTES,
+                                                   auto_buckets)
+
+    assert auto_buckets(None) == 64
+    assert auto_buckets(0) == 64
+    assert auto_buckets(10 * TARGET_BUCKET_BYTES) == 64          # floor
+    assert auto_buckets(100 * TARGET_BUCKET_BYTES) == 100        # grows
+    assert auto_buckets(1000 * TARGET_BUCKET_BYTES + 1) == 1001  # ceil
+    big = auto_buckets(100 * (1 << 40))  # 100 TiB input
+    assert big == -(-100 * (1 << 40) // TARGET_BUCKET_BYTES)
+
+
+def test_estimate_parquet_bytes_footer_only(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.shuffle_join import estimate_parquet_bytes
+
+    t = pa.table({"a": list(range(10000)), "b": ["x" * 20] * 10000})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    both = estimate_parquet_bytes(p)
+    only_a = estimate_parquet_bytes(p, ["a"])
+    assert 0 < only_a < both
+    # directory form sums the files
+    p2 = str(tmp_path / "t2.parquet")
+    pq.write_table(t, p2)
+    assert estimate_parquet_bytes(str(tmp_path)) == 2 * both
+
+
+def test_hash_join_result_invariant_to_bucket_count(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from lucene_ray.pipelines.shuffle_join import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(500) % 97, pa.int64()),
+        "lv": pa.array(np.arange(500), pa.int64()),
+    })).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 97, 3), pa.int64()),
+        "rv": pa.array(np.arange(0, 97, 3) * 10, pa.int64()),
+    })).repartition(2)
+
+    def run(nb):
+        out = hash_join(left, right, key="k", left_cols=["lv"],
+                        right_cols=["rv"], n_buckets=nb).to_pandas()
+        return out.sort_values(["k", "lv"]).reset_index(drop=True)
+
+    a, b, c = run(64), run(3), run(997)
+    assert a.equals(b) and a.equals(c)
+    assert len(a) > 0
