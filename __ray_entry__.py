@@ -715,6 +715,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
                                                     "raw_tf"))
         ),
+        # round-5 similarity grid: one float32-exact oracle per family
+        # axis (DFR basic models x after-effects x normalizations, IB
+        # SPL+TTF, Axiomatic variants, IndriDirichlet)
+        "ft_dfr_g_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "dfr_g_l_h1"))
+        ),
+        "ft_dfr_ine_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "dfr_ine_b_h2"))
+        ),
+        "ft_dfr_ifz_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "dfr_if_b_z"))
+        ),
+        "ft_dfr_h3_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "dfr_in_l_h3"))
+        ),
+        "ft_ib_spl_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "ib_spl_ttf_h2"))
+        ),
+        "ft_axiomatic_f1exp_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "axiomatic_f1exp"))
+        ),
+        "ft_axiomatic_f1log_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "axiomatic_f1log"))
+        ),
+        "ft_axiomatic_f2log_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "axiomatic_f2log"))
+        ),
+        "ft_axiomatic_f3exp_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "axiomatic_f3exp"))
+        ),
+        "ft_axiomatic_f3log_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "axiomatic_f3log"))
+        ),
+        "ft_indri_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "indri_dirichlet"))
+        ),
         # bigram shingles (ShingleFilter): phrase-as-single-term lookup
         "ft_shingle_hits": _q(
             lambda sf: ft.shingle_term_hits(sf, "batch window")
@@ -2471,6 +2518,109 @@ def oracle_sql() -> dict[str, str]:
     # raw tf as the score
     out["ft_rawtf_top10"] = _sim_base + (
         "sc AS (SELECT doc_id, CAST(tf AS REAL) AS s FROM tf) "
+    ) + _rank_tail
+    # ---- round-5 similarity grid (float32-exact: double pipeline, same
+    # operation order as the GridScorer kernels, one REAL cast) ----
+    _N = "(SELECT n FROM stats)"
+    _AVG = "(SELECT avgdl FROM stats)"
+    _DF = "(SELECT df FROM agg)"
+    _F = "(SELECT F FROM agg)"
+    _T = "(SELECT T FROM tot)"
+    _tot = "tot AS (SELECT sum(dl)::DOUBLE AS T FROM d), "
+    # DFR G x L x H1 (c=1): lam=(F+1)/(N+F+1); tfn=tf*(avgdl/dl);
+    # s = (B2 - (B2-A)/(1+tfn)) * 1
+    out["ft_dfr_g_top10"] = _sim_base + (
+        f"g AS (SELECT log2(({_F} + 1.0) / ({_N} + ({_F} + 1.0)) + 1.0) AS A, "
+        f"log2((1.0 + ({_F} + 1.0) / ({_N} + ({_F} + 1.0))) / "
+        f"(({_F} + 1.0) / ({_N} + ({_F} + 1.0)))) AS B2), "
+        "sc AS (SELECT tf.doc_id, CAST(((SELECT B2 FROM g) - "
+        "((SELECT B2 FROM g) - (SELECT A FROM g)) / "
+        f"(1.0 + (tf.tf::DOUBLE * 1.0) * ({_AVG} / ld.dl2))) * 1.0 AS REAL) "
+        "AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # DFR Ine x B x H2 (c=1): ne=N*(1-((N-1)/N)^F);
+    # A=log2((N+1)/(ne+0.5)); ae=(F+2)/(df+1); tfn=tf*log2(1+avgdl/dl)
+    out["ft_dfr_ine_top10"] = _sim_base + (
+        f"ine AS (SELECT log2(({_N} + 1.0) / ({_N} * (1.0 - "
+        f"pow(({_N} - 1.0) / {_N}, {_F})) + 0.5)) AS A, "
+        f"({_F} + 2.0) / ({_DF} + 1.0) AS ae), "
+        "sc AS (SELECT tf.doc_id, CAST((SELECT A FROM ine) * "
+        "(SELECT ae FROM ine) * (1.0 - 1.0 / (1.0 + tf.tf::DOUBLE * "
+        f"log2(1.0 + {_AVG} / ld.dl2))) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # DFR IF x B x Z (z=float32(0.3)): A=log2(1+(N+1)/(F+0.5));
+    # ae=(F+2)/(df+1); tfn=tf*pow(avgdl/dl, z)
+    out["ft_dfr_ifz_top10"] = _sim_base + (
+        f"ifz AS (SELECT log2(1.0 + ({_N} + 1.0) / ({_F} + 0.5)) AS A, "
+        f"({_F} + 2.0) / ({_DF} + 1.0) AS ae), "
+        "sc AS (SELECT tf.doc_id, CAST((SELECT A FROM ifz) * "
+        "(SELECT ae FROM ifz) * (1.0 - 1.0 / (1.0 + tf.tf::DOUBLE * "
+        f"pow({_AVG} / ld.dl2, CAST(0.3 AS REAL)))) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # DFR In x L x H3 (mu=800): prior = FLOAT32 mu*((F+1f)/(T+1f))
+    # (NormalizationH3's float fields), tfn=(tf+prior)/(dl+mu)*mu;
+    # A=log2((N+1)/(df+0.5)); ae=1
+    out["ft_dfr_h3_top10"] = _sim_base + _tot + (
+        f"h3 AS (SELECT log2(({_N} + 1.0) / ({_DF} + 0.5)) AS A, "
+        f"CAST(CAST(800 AS REAL) * ((CAST({_F} AS REAL) + CAST(1 AS REAL)) "
+        f"/ (CAST({_T} AS REAL) + CAST(1 AS REAL))) AS DOUBLE) AS prior), "
+        "sc AS (SELECT tf.doc_id, CAST((SELECT A FROM h3) * 1.0 * "
+        "(1.0 - 1.0 / (1.0 + (tf.tf::DOUBLE + (SELECT prior FROM h3)) "
+        "/ (ld.dl2 + 800.0) * 800.0)) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # IB SPL x TTF x H2 (c=1): lam=float32((F+1)/(N+1));
+    # tfn=tf*log2(1+avgdl/dl); q=1-1/(tfn+1);
+    # s=-ln((lam^q - lam)/(1 - lam))
+    out["ft_ib_spl_top10"] = _sim_base + (
+        f"lam AS (SELECT CAST(CAST(({_F} + 1.0) / ({_N} + 1.0) AS REAL) "
+        "AS DOUBLE) AS l), "
+        "tfn AS (SELECT tf.doc_id, tf.tf::DOUBLE * "
+        f"log2(1.0 + {_AVG} / ld.dl2) AS t FROM tf JOIN ld USING (doc_id)), "
+        "sc AS (SELECT doc_id, CAST(-ln((pow((SELECT l FROM lam), "
+        "1.0 - 1.0 / (t + 1.0)) - (SELECT l FROM lam)) / "
+        "(1.0 - (SELECT l FROM lam))) AS REAL) AS s FROM tfn) "
+    ) + _rank_tail
+    # Axiomatic variants (s=0.25, k=float32(0.35), queryLen=1):
+    _AX_TF = "(1.0 + ln(1.0 + ln(tf.tf::DOUBLE + 1.0)))"
+    _AX_LN = f"(({_AVG} + 0.25) / ({_AVG} + ld.dl2 * 0.25))"
+    _AX_IDF_EXP = f"pow(({_N} + 1.0) / {_DF}, CAST(0.35 AS REAL))"
+    _AX_IDF_LOG = f"ln(({_N} + 1.0) / {_DF})"
+    out["ft_axiomatic_f1exp_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        f"{_AX_TF} * {_AX_LN} * {_AX_IDF_EXP} * 1.0) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    out["ft_axiomatic_f1log_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        f"{_AX_TF} * {_AX_LN} * {_AX_IDF_LOG} * 1.0) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    out["ft_axiomatic_f2log_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        "tf.tf::DOUBLE / (tf.tf::DOUBLE + 0.25 + 0.25 * ld.dl2 / "
+        f"{_AVG}) * {_AX_IDF_LOG} * 1.0) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # F3: gamma=(dl-1)*0.25*1/avgdl, clamped AFTER the boost multiply
+    out["ft_axiomatic_f3exp_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        f"({_AX_TF} * {_AX_IDF_EXP} - (ld.dl2 - 1.0) * 0.25 * 1.0 / "
+        f"{_AVG}) * 1.0) AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    out["ft_axiomatic_f3log_top10"] = _sim_base + (
+        "sc AS (SELECT tf.doc_id, CAST(greatest(0.0, "
+        f"({_AX_TF} * {_AX_IDF_LOG} - (ld.dl2 - 1.0) * 0.25 * 1.0 / "
+        f"{_AVG}) * 1.0) AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
+    ) + _rank_tail
+    # IndriDirichlet (mu=2000): p=F/T (no +1), UNCLAMPED log — scores are
+    # negative; boost is ignored by the reference's score()
+    out["ft_indri_top10"] = _sim_base + _tot + (
+        "sc AS (SELECT tf.doc_id, CAST(ln((tf.tf::DOUBLE + 2000.0 * "
+        f"({_F} / {_T})) / (ld.dl2 + 2000.0)) AS REAL) AS s "
+        "FROM tf JOIN ld USING (doc_id)) "
     ) + _rank_tail
     # bigram shingle hit set == token adjacency (positional CTE)
     out["ft_shingle_hits"] = _PT + (

@@ -1020,6 +1020,31 @@ _SIMS = {
 }
 
 
+def _sim_mod():
+    import lucene_ray.search.similarity as m
+    return m
+
+
+# round-5 grid: DFR basic-model x after-effect x normalization, IB
+# SPL/TTF, the remaining Axiomatic variants, IndriDirichlet (see
+# similarity.py for the reference file:line cites)
+_SIMS.update({
+    "dfr_g_l_h1": lambda: _sim_mod().DFRGridSimilarity("g", "l", "h1"),
+    "dfr_ine_b_h2": lambda: _sim_mod().DFRGridSimilarity("ine", "b", "h2"),
+    "dfr_if_b_z": lambda: _sim_mod().DFRGridSimilarity("if", "b", "z",
+                                                       c=0.3),
+    "dfr_in_l_h3": lambda: _sim_mod().DFRGridSimilarity("in", "l", "h3",
+                                                        c=800.0),
+    "ib_spl_ttf_h2": lambda: _sim_mod().IBGridSimilarity("spl", "ttf", "h2"),
+    "axiomatic_f1exp": lambda: _sim_mod().AxiomaticSimilarity("f1exp"),
+    "axiomatic_f1log": lambda: _sim_mod().AxiomaticSimilarity("f1log"),
+    "axiomatic_f2log": lambda: _sim_mod().AxiomaticSimilarity("f2log"),
+    "axiomatic_f3exp": lambda: _sim_mod().AxiomaticSimilarity("f3exp"),
+    "axiomatic_f3log": lambda: _sim_mod().AxiomaticSimilarity("f3log"),
+    "indri_dirichlet": lambda: _sim_mod().IndriDirichletSimilarity(),
+})
+
+
 def similarity_topk(sf_dir: str, term: str, sim: str, k: int = 10) -> pa.Table:
     """Scored top-k under a non-default Similarity (DFR InB2 or Axiomatic
     F2EXP) served by the SAME actor pool: scorers are built driver-side

@@ -622,3 +622,274 @@ class BM25Similarity:
         cache = one / (self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / avgdl))
         weight = np.float32(boost) * idf
         return BM25Scorer(weight, cache.astype(np.float32, copy=False), float(idf), float(avgdl))
+
+
+# --------------------------------------------------------------------------
+# SimilarityBase grid: DFR basic-model x after-effect x normalization,
+# IB distribution x lambda x normalization, Axiomatic variants, Indri.
+# All reimplement the reference's CURRENT formulas (float hyperparameters,
+# +1-shifted stats) with double math and ONE float32 cast, mirroring
+# SimilarityBase.BasicSimScorer.score (SimilarityBase.java:188-190).
+# --------------------------------------------------------------------------
+
+_DL64 = LENGTH_TABLE.astype(np.float64).copy()
+_DL64[0] = np.inf  # norm byte 0 = length 0, unreachable with freq > 0
+
+
+class GridScorer:
+    """Vectorized SimilarityBase-style scorer: ``kernel(tf, dl, boost)``
+    runs the whole double pipeline over parallel float64 arrays, then one
+    float32 cast. ``boost_in_kernel=False`` reproduces similarities that
+    ignore the boost (IndriDirichletSimilarity.java:103-107 never touches
+    stats.getBoost())."""
+
+    __slots__ = ("kernel", "boost", "boost_in_kernel")
+
+    def __init__(self, kernel, boost: float, boost_in_kernel: bool = True):
+        self.kernel = kernel
+        self.boost = float(boost)
+        self.boost_in_kernel = boost_in_kernel
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        tf = np.asarray(freqs, dtype=np.float64)
+        dl = _DL64[np.asarray(norm_bytes, dtype=np.uint8)]
+        b = self.boost if self.boost_in_kernel else 1.0
+        return self.kernel(tf, dl, b).astype(np.float32)
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        return self.score(np.array([freq]), np.array([norm_byte]))[0]
+
+    def with_boost(self, boost: float) -> "GridScorer":
+        return GridScorer(self.kernel, self.boost * float(boost),
+                          self.boost_in_kernel)
+
+
+def _log2(x: float) -> float:
+    """SimilarityBase.log2 — Math.log(x)/log(2); math.log2 is the
+    correctly-rounded equivalent and matches DuckDB's log2."""
+    return math.log2(x)
+
+
+class _GridBase:
+    """scorer() plumbing shared by the grid similarities."""
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        if len(term_stats) == 1:
+            return self._one(boost, collection_stats, term_stats[0])
+        return MultiScorer(self._one(boost, collection_stats, ts)
+                           for ts in term_stats)
+
+
+class DFRGridSimilarity(_GridBase):
+    """The full DFR grid — DFRSimilarity(basicModel, afterEffect,
+    normalization) with the reference's CURRENT rewritten formulas
+    (DFRSimilarity.java:127-130; BasicModelG/IF/In/Ine.java;
+    AfterEffectB/L.java; NormalizationH1/H2/H3/Z.java):
+
+    - tfn:  h1: tf*c*(avgdl/dl)            (NormalizationH1.java:57)
+            h2: tf*log2(1 + c*avgdl/dl)    (NormalizationH2.java:57)
+            h3: (tf + mu*((F+1f)/(T+1f))) / (dl+mu) * mu  — the inner
+                ratio and its product with mu are JAVA FLOATS
+                (NormalizationH3.java:52-56: float fields, float ops,
+                then promotion to double by the + tf)
+            z:  tf*pow(avgdl/dl, z), z a float (NormalizationZ.java:53)
+    - aeTimes1pTfn: B: (F+2)/(n+1)  [F=ttf+1, n=df+1 per
+                AfterEffectB.java:30-33]; L: 1
+    - basic model score (all monotone rewrites, x aeTimes1pTfn):
+            G:   lam=(F+1)/(N+F+1); (B2 - (B2-A)/(1+tfn))*ae with
+                 A=log2(lam+1), B2=log2((1+lam)/lam)  (BasicModelG.java)
+            IF:  log2(1+(N+1)/(F+0.5)) * ae * (1 - 1/(1+tfn))
+            In:  log2((N+1)/(n+0.5))   * ae * (1 - 1/(1+tfn))
+            Ine: ne=N*(1-((N-1)/N)^F); log2((N+1)/(ne+0.5)) * ae *
+                 (1 - 1/(1+tfn))
+    - score = boost * basicModel (DFRSimilarity.java:130), >= 0 by the
+      monotone rewrites."""
+
+    def __init__(self, basic_model: str = "g", after_effect: str = "b",
+                 normalization: str = "h1", c: float = 1.0):
+        if basic_model not in ("g", "if", "in", "ine"):
+            raise ValueError(f"unknown basic model: {basic_model}")
+        if after_effect not in ("b", "l"):
+            raise ValueError(f"unknown after effect: {after_effect}")
+        if normalization not in ("h1", "h2", "h3", "z"):
+            raise ValueError(f"unknown normalization: {normalization}")
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
+        # hyperparameters are Java floats (NormalizationH1.java:34 etc.)
+        self.c = float(np.float32(c))
+
+    def _tfn_fn(self, avgdl: float, F: float, T: float):
+        c, norm = self.c, self.normalization
+        if norm == "h1":
+            return lambda tf, dl: tf * c * (avgdl / dl)
+        if norm == "h2":
+            return lambda tf, dl: tf * np.log2(1.0 + c * avgdl / dl)
+        if norm == "z":
+            return lambda tf, dl: tf * (avgdl / dl) ** c
+        # h3: mu * ((F+1f)/(T+1f)) in float32, then the double pipeline
+        mu = np.float32(c)
+        prior = float(mu * ((np.float32(F) + np.float32(1.0))
+                            / (np.float32(T) + np.float32(1.0))))
+        return lambda tf, dl: (tf + prior) / (dl + c) * c
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> GridScorer:
+        N = float(cs.doc_count)
+        n = float(ts.doc_freq)
+        F = float(ts.total_term_freq)
+        T = float(cs.sum_total_term_freq)
+        avgdl = T / N
+        tfn = self._tfn_fn(avgdl, F, T)
+        ae1p = (F + 2.0) / (n + 1.0) if self.after_effect == "b" else 1.0
+        model = self.basic_model
+        if model == "g":
+            Fg = F + 1.0
+            lam = Fg / (N + Fg)
+            A = _log2(lam + 1.0)
+            B2 = _log2((1.0 + lam) / lam)
+
+            def kernel(tf, dl, b):
+                t = tfn(tf, dl)
+                return b * ((B2 - (B2 - A) / (1.0 + t)) * ae1p)
+        else:
+            if model == "if":
+                A = _log2(1.0 + (N + 1.0) / (F + 0.5))
+            elif model == "in":
+                A = _log2((N + 1.0) / (n + 0.5))
+            else:  # ine
+                ne = N * (1.0 - ((N - 1.0) / N) ** F)
+                A = _log2((N + 1.0) / (ne + 0.5))
+
+            def kernel(tf, dl, b):
+                t = tfn(tf, dl)
+                return b * (A * ae1p * (1.0 - 1.0 / (1.0 + t)))
+        return GridScorer(kernel, boost)
+
+
+class IBGridSimilarity(_GridBase):
+    """Information-based grid — IBSimilarity(distribution, lambda,
+    normalization) (IBSimilarity.java:135-139):
+
+    - lambda: df:  float32((df+1)/(N+1))   (LambdaDF.java:28)
+              ttf: float32((F+1)/(N+1)), nextUp'd away from exactly 1
+                   (LambdaTTF.java:29-35)
+    - distribution: ll:  -ln(lambda/(tfn+lambda))  (DistributionLL.java:30)
+              spl: q=1-1/(tfn+1) (nextDown'd from 1); pow=lambda^q
+                   (nudged off lambda on float-rounding collisions);
+                   -ln((pow-lambda)/(1-lambda))  (DistributionSPL.java:29-49)
+    - tfn: same normalization grid as DFR (shared code)
+    - score = boost * distribution (IBSimilarity.java:136-138)."""
+
+    def __init__(self, distribution: str = "ll", lambda_: str = "df",
+                 normalization: str = "h1", c: float = 1.0):
+        if distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown distribution: {distribution}")
+        if lambda_ not in ("df", "ttf"):
+            raise ValueError(f"unknown lambda: {lambda_}")
+        self.distribution = distribution
+        self.lambda_ = lambda_
+        self._norm = DFRGridSimilarity("in", "l", normalization, c)
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> GridScorer:
+        N = float(cs.doc_count)
+        T = float(cs.sum_total_term_freq)
+        F = float(ts.total_term_freq)
+        tfn = self._norm._tfn_fn(T / N, F, T)
+        if self.lambda_ == "df":
+            lam32 = np.float32((ts.doc_freq + 1.0) / (N + 1.0))
+        else:
+            lam32 = np.float32((F + 1.0) / (N + 1.0))
+        if lam32 == np.float32(1.0) and self.distribution == "spl":
+            # LambdaTTF.java:31-34 nextUps away from exactly 1 because
+            # DistributionSPL cannot work there (its assert lambda != 1);
+            # we apply the same guard to LambdaDF (df == N), where the
+            # reference relies on the assert alone
+            lam32 = np.nextafter(lam32, np.float32(2.0))
+        lam = float(lam32)
+        if self.distribution == "ll":
+            def kernel(tf, dl, b):
+                t = tfn(tf, dl)
+                return b * -np.log(lam / (t + lam))
+        else:
+            def kernel(tf, dl, b):
+                t = tfn(tf, dl)
+                q = 1.0 - 1.0 / (t + 1.0)
+                q = np.where(q >= 1.0, np.nextafter(1.0, 0.0), q)
+                p = lam ** q
+                nudge = (np.nextafter(lam, np.inf) if lam < 1.0
+                         else np.nextafter(lam, -np.inf))
+                p = np.where(p == lam, nudge, p)
+                return b * -np.log((p - lam) / (1.0 - lam))
+        return GridScorer(kernel, boost)
+
+
+class AxiomaticSimilarity(_GridBase):
+    """Axiomatic variants F1EXP/F1LOG/F2LOG/F3EXP/F3LOG (Fang & Zhai
+    2005) — Axiomatic.java:142-150's
+    ``max(0, (tf*ln*tfln*idf - gamma) * boost)`` with each variant's
+    components (AxiomaticF*.java):
+
+    - F1*: tf = 1+ln(1+ln(freq+1)); ln = (avgdl+s)/(avgdl+dl*s); tfln=1
+    - F2*: tf = ln = 1; tfln = freq/(freq+s+s*dl/avgdl)
+    - F3*: tf as F1; ln = tfln = 1; gamma = (dl-queryLen)*s*queryLen/avgdl
+    - idf: EXP: ((N+1)/df)^k;  LOG: ln((N+1)/df)
+    Defaults follow Axiomatic() — s=0.25, queryLen=1, k=0.35
+    (Axiomatic.java:103-105); F2EXP with its historical s=0.5 remains the
+    separate AxiomaticF2EXPSimilarity."""
+
+    def __init__(self, variant: str, s: float = 0.25, k: float = 0.35,
+                 query_len: int = 1):
+        if variant not in ("f1exp", "f1log", "f2log", "f3exp", "f3log"):
+            raise ValueError(f"unknown axiomatic variant: {variant}")
+        self.variant = variant
+        self.s = float(np.float32(s))
+        self.k = float(np.float32(k))
+        self.query_len = int(query_len)
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> GridScorer:
+        N = float(cs.doc_count)
+        df = float(ts.doc_freq)
+        avgdl = cs.sum_total_term_freq / N
+        s, k, ql, variant = self.s, self.k, self.query_len, self.variant
+        idf = (((N + 1.0) / df) ** k if variant.endswith("exp")
+               else math.log((N + 1.0) / df))
+
+        def kernel(tf, dl, b):
+            if variant in ("f1exp", "f1log"):
+                t = 1.0 + np.log(1.0 + np.log(tf + 1.0))
+                ln_c = (avgdl + s) / (avgdl + dl * s)
+                core = t * ln_c * idf
+            elif variant == "f2log":
+                core = tf / (tf + s + s * dl / avgdl) * idf
+            else:  # f3exp / f3log
+                t = 1.0 + np.log(1.0 + np.log(tf + 1.0))
+                gamma = (dl - ql) * s * ql / avgdl
+                return np.maximum(0.0, (t * idf - gamma) * b)
+            return np.maximum(0.0, core * b)
+        return GridScorer(kernel, boost)
+
+
+class IndriDirichletSimilarity(_GridBase):
+    """Indri's Dirichlet-smoothed LM — IndriDirichletSimilarity.java:
+    score = ln((freq + mu * p(w|C)) / (docLen + mu)) with
+    p(w|C) = totalTermFreq / numberOfFieldTokens (IndriCollectionModel,
+    :159-163, NO +1 shift). Two faithful divergences from the rest of the
+    zoo: the score is UNCLAMPED (log of a probability — always negative)
+    and the reference's score() never multiplies stats.getBoost()
+    (:103-107), so boosts are ignored here too."""
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(np.float32(mu))
+
+    def _one(self, boost, cs: CollectionStats, ts: TermStats) -> GridScorer:
+        p = float(ts.total_term_freq) / float(cs.sum_total_term_freq)
+        mu = self.mu
+
+        def kernel(tf, dl, b):
+            # norm byte 0 decodes to length 0 (LENGTH_TABLE[0]); the shared
+            # inf guard would make this UNCLAMPED log -inf, so restore the
+            # reference's literal 0 length here (unreachable with freq > 0)
+            dl = np.where(np.isinf(dl), 0.0, dl)
+            return np.log((tf + mu * p) / (dl + mu))
+        return GridScorer(kernel, boost, boost_in_kernel=False)

@@ -14,9 +14,13 @@ import pytest
 from lucene_ray.codec.smallfloat import LENGTH_TABLE
 from lucene_ray.search.similarity import (
     AxiomaticF2EXPSimilarity,
+    AxiomaticSimilarity,
     DFISimilarity,
+    DFRGridSimilarity,
     DFRSimilarity,
+    IBGridSimilarity,
     IBSimilarity,
+    IndriDirichletSimilarity,
     RawTFSimilarity,
     BM25Similarity,
     BooleanSimilarity,
@@ -102,9 +106,20 @@ def test_length_table_values():
     [BM25Similarity(), ClassicSimilarity(), LMDirichletSimilarity(),
      LMJelinekMercerSimilarity(), BooleanSimilarity(), DFRSimilarity(),
      AxiomaticF2EXPSimilarity(), DFISimilarity(), IBSimilarity(),
-     RawTFSimilarity()],
+     RawTFSimilarity(),
+     DFRGridSimilarity("g", "l", "h1"), DFRGridSimilarity("ine", "b", "h2"),
+     DFRGridSimilarity("if", "b", "z", c=0.3),
+     DFRGridSimilarity("in", "l", "h3", c=800.0),
+     DFRGridSimilarity("g", "b", "h2"),
+     IBGridSimilarity("spl", "ttf", "h2"), IBGridSimilarity("spl", "df"),
+     AxiomaticSimilarity("f1exp"), AxiomaticSimilarity("f1log"),
+     AxiomaticSimilarity("f2log"), AxiomaticSimilarity("f3exp"),
+     AxiomaticSimilarity("f3log")],
     ids=["bm25", "classic", "lmdirichlet", "lmjm", "boolean", "dfr",
-         "axiomatic", "dfi", "ib", "rawtf"],
+         "axiomatic", "dfi", "ib", "rawtf",
+         "dfr_glh1", "dfr_inebh2", "dfr_ifbz", "dfr_inlh3", "dfr_gbh2",
+         "ib_spl_ttf", "ib_spl_df", "ax_f1exp", "ax_f1log", "ax_f2log",
+         "ax_f3exp", "ax_f3log"],
 )
 @pytest.mark.parametrize("stats", CORPUS_SHAPES)
 def test_similarity_contract_all_norms(sim, stats):
@@ -200,9 +215,12 @@ def test_boolean_similarity_scores_boost_only():
 @pytest.mark.parametrize(
     "sim", [LMDirichletSimilarity(), LMJelinekMercerSimilarity(0.3),
             BooleanSimilarity(), DFRSimilarity(), AxiomaticF2EXPSimilarity(),
-            DFISimilarity(), IBSimilarity(), RawTFSimilarity()],
+            DFISimilarity(), IBSimilarity(), RawTFSimilarity(),
+            DFRGridSimilarity("ine", "b", "h2"),
+            IBGridSimilarity("spl", "ttf", "h2"),
+            AxiomaticSimilarity("f3exp"), IndriDirichletSimilarity()],
     ids=["lmdirichlet", "lmjm", "boolean", "dfr", "axiomatic", "dfi", "ib",
-         "rawtf"],
+         "rawtf", "dfr_grid", "ib_spl", "ax_f3exp", "indri"],
 )
 def test_new_similarities_end_to_end_seam(ray_session, built_index, sim):
     """Search through the unchanged engine with each additional similarity
@@ -309,3 +327,132 @@ def test_axiomatic_f2exp_exact_formula():
             AxiomaticF2EXPSimilarity(s=bad_s)
     with pytest.raises(ValueError):
         AxiomaticF2EXPSimilarity(k=0.0)
+
+
+@pytest.mark.parametrize("stats", CORPUS_SHAPES)
+def test_indri_contract_all_norms(stats):
+    """IndriDirichlet's contract differs from the rest of the zoo in two
+    reference-faithful ways: scores are UNCLAMPED (log of a probability,
+    always <= 0) and the reference score() ignores the boost."""
+    sim = IndriDirichletSimilarity()
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        df = int(rng.integers(1, stats.doc_count + 1))
+        ttf = min(stats.sum_total_term_freq, df * int(rng.integers(1, 5)))
+        scorer = sim.scorer(1.0, stats, TermStats(df, ttf))
+        norms = np.arange(256, dtype=np.uint8)
+        for freq in [1, 2, 10, 255]:
+            s = scorer.score(np.full(256, freq), norms)
+            assert s.dtype == np.float32
+            assert np.isfinite(s).all()
+            # log of a probability on every PHYSICAL (freq <= doc length)
+            # pair; freq > length never occurs in a real posting
+            physical = freq <= LENGTH_TABLE[norms]
+            assert (s[physical] <= 0).all()
+        freqs = np.array([1, 2, 3, 10, 100, 255])
+        for nb in [1, 40, 128, 255]:
+            s = scorer.score(freqs, np.full(len(freqs), nb))
+            assert (np.diff(s) >= 0).all()
+        s = scorer.score(np.full(255, 10), np.arange(1, 256, dtype=np.uint8))
+        assert (np.diff(s) <= 1e-6).all()
+        # the reference's score() never multiplies stats.getBoost()
+        b = scorer.with_boost(2.0)
+        assert b.score(np.array([3]), np.array([10]))[0] == scorer.score(
+            np.array([3]), np.array([10]))[0]
+
+
+def test_dfr_grid_hand_checked():
+    """Spot-check the grid against hand-evaluated reference formulas."""
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    avgdl = 50.0
+    dl = float(LENGTH_TABLE[40])
+    tf = 3.0
+
+    # G x L x H1
+    s = DFRGridSimilarity("g", "l", "h1").scorer(1.0, cs, ts)
+    lam = 31.0 / (100.0 + 31.0)
+    A = math.log2(lam + 1.0)
+    B2 = math.log2((1.0 + lam) / lam)
+    tfn = tf * 1.0 * (avgdl / dl)
+    want = np.float32((B2 - (B2 - A) / (1.0 + tfn)) * 1.0)
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+    # Ine x B x H2
+    s = DFRGridSimilarity("ine", "b", "h2").scorer(1.0, cs, ts)
+    ne = 100.0 * (1.0 - (99.0 / 100.0) ** 30.0)
+    A = math.log2(101.0 / (ne + 0.5))
+    ae = (30.0 + 2.0) / (10.0 + 1.0)
+    tfn = tf * math.log2(1.0 + 1.0 * avgdl / dl)
+    want = np.float32(A * ae * (1.0 - 1.0 / (1.0 + tfn)))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+    # In x L x H3(mu=800)
+    s = DFRGridSimilarity("in", "l", "h3", c=800.0).scorer(1.0, cs, ts)
+    prior = float(np.float32(800.0) * ((np.float32(30.0) + np.float32(1.0))
+                                       / (np.float32(5000.0) + np.float32(1.0))))
+    tfn = (tf + prior) / (dl + 800.0) * 800.0
+    A = math.log2(101.0 / 10.5)
+    want = np.float32(A * 1.0 * (1.0 - 1.0 / (1.0 + tfn)))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+
+def test_ib_spl_hand_checked():
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    s = IBGridSimilarity("spl", "ttf", "h2").scorer(1.0, cs, ts)
+    lam = float(np.float32(31.0 / 101.0))
+    dl = float(LENGTH_TABLE[40])
+    tfn = 3.0 * math.log2(1.0 + 50.0 / dl)
+    q = 1.0 - 1.0 / (tfn + 1.0)
+    want = np.float32(-math.log((lam ** q - lam) / (1.0 - lam)))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+
+def test_axiomatic_variants_hand_checked():
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    dl = float(LENGTH_TABLE[40])
+    avgdl = 50.0
+    k = float(np.float32(0.35))
+    tf_c = 1.0 + math.log(1.0 + math.log(4.0))
+    ln_c = (avgdl + 0.25) / (avgdl + dl * 0.25)
+    # F1EXP
+    s = AxiomaticSimilarity("f1exp").scorer(1.0, cs, ts)
+    want = np.float32(max(0.0, tf_c * ln_c * ((101.0 / 10.0) ** k) * 1.0))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+    # F2LOG
+    s = AxiomaticSimilarity("f2log").scorer(1.0, cs, ts)
+    want = np.float32(max(0.0, 3.0 / (3.0 + 0.25 + 0.25 * dl / avgdl)
+                          * math.log(101.0 / 10.0) * 1.0))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+    # F3LOG (gamma term)
+    s = AxiomaticSimilarity("f3log").scorer(1.0, cs, ts)
+    want = np.float32(max(0.0, (tf_c * math.log(101.0 / 10.0)
+                                - (dl - 1.0) * 0.25 * 1.0 / avgdl) * 1.0))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+
+def test_indri_hand_checked():
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    s = IndriDirichletSimilarity().scorer(1.0, cs, ts)
+    dl = float(LENGTH_TABLE[40])
+    want = np.float32(math.log((3.0 + 2000.0 * (30.0 / 5000.0))
+                               / (dl + 2000.0)))
+    assert s.score(np.array([3]), np.array([40]))[0] == want
+
+
+def test_grid_param_validation():
+    with pytest.raises(ValueError):
+        DFRGridSimilarity("bogus")
+    with pytest.raises(ValueError):
+        DFRGridSimilarity("g", "x")
+    with pytest.raises(ValueError):
+        DFRGridSimilarity("g", "b", "h9")
+    with pytest.raises(ValueError):
+        IBGridSimilarity("nope")
+    with pytest.raises(ValueError):
+        IBGridSimilarity("ll", "nope")
+    with pytest.raises(ValueError):
+        AxiomaticSimilarity("f9")
