@@ -314,6 +314,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return idx.search(_query_vec(sf_dir), k=10,
                           oversample=5).select(["rank", "vec_id"])
 
+    def _ann_int4(sf_dir):
+        import hashlib
+        import os
+
+        src = f"{sf_dir}/embeddings.parquet"
+        key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:i4-v1".encode()).hexdigest()[:16]
+        d = f"/tmp/lucene_ray_cache/int4-{key}"
+        if os.path.exists(os.path.join(d, "int4_meta.json")):
+            idx = ann.Int4Index.open(d)
+        else:
+            idx = ann.Int4Index.build(_emb(sf_dir), d)
+        return idx.search(_query_vec(sf_dir), k=10,
+                          oversample=3).select(["rank", "vec_id"])
+
     def _ann_pq(sf_dir):
         import hashlib
         import os
@@ -1040,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # binary quantization (sign bits around the centroid, 32x smaller
         # scan, Hamming candidates + exact float rescore)
         "ann_binary_top10": _q(_ann_binary),
+        "ann_int4_top10": _q(_ann_int4),
         # IVF-PQ: coarse bucket pruning + M-byte ADC scan + exact rescore
         # from the probed buckets only (rows-only: nprobe makes the hit set
         # approximate in general; recall asserted by pytest)

@@ -503,6 +503,195 @@ class BinaryQuantIndex:
         return bb, fb
 
 
+def int4_quantize_rows(mat: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Global-bounds 4-bit scalar quantization, two dims packed per byte —
+    the 4-bit mode of Lucene99ScalarQuantizedVectorsFormat (lucene/core/src/
+    java/org/apache/lucene/codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:40-47
+    `bits=4, compress=true`; ScalarQuantizer.quantize clamps to the fitted
+    quantile bounds then rounds to the 0..15 grid). Even dims land in the
+    LOW nibble, odd dims in the HIGH nibble; odd dimension counts pad one
+    zero nibble."""
+    scale = 15.0 / max(hi - lo, 1e-12)
+    q = np.clip(np.round((np.clip(mat, lo, hi) - lo) * scale),
+                0, 15).astype(np.uint8)
+    if q.shape[1] % 2:
+        q = np.concatenate([q, np.zeros((len(q), 1), np.uint8)], axis=1)
+    return (q[:, 0::2] | (q[:, 1::2] << np.uint8(4))).astype(np.uint8)
+
+
+def int4_unpack(packed: np.ndarray, dim: int) -> np.ndarray:
+    """Inverse of the nibble packing: (n, ceil(d/2)) uint8 -> (n, d) uint8."""
+    lo = packed & np.uint8(0x0F)
+    hi = packed >> np.uint8(4)
+    out = np.empty((len(packed), packed.shape[1] * 2), dtype=np.uint8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out[:, :dim]
+
+
+class Int4Index:
+    """4-bit scalar-quantized ANN — the remaining point on the reference's
+    quantization curve between int8 and binary (Lucene99ScalarQuantized-
+    VectorsFormat's bits=4 compressed mode): ~2x smaller scan bytes than
+    the int8 path with near-int8 recall.
+
+    Bounds are a GLOBAL confidence-interval quantile fit over the
+    normalized components (ScalarQuantizer.fromVectors's default
+    confidenceInterval = 1 - 1/(dim+1): the (1-ci)/2 and 1-(1-ci)/2
+    quantiles of a sample), so the scan needs NO per-vector min/scale
+    columns — q4 alone carries the candidates. Exact float rescore of the
+    oversampled candidates, as everywhere else on the curve.
+
+    Ray shape: bounds from a driver-side sample (like IvfIndex's kmeans
+    seed), one streaming map_batches append pass, candidate scan reads
+    ONLY (id, q4)."""
+
+    def __init__(self, index_dir: str, lo: float, hi: float, dim: int,
+                 vec_col: str, id_col: str):
+        self.index_dir = index_dir
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.dim = int(dim)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, ds: ray.data.Dataset, index_dir: str,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              sample_rows: int = 4096) -> "Int4Index":
+        sample = ds.limit(sample_rows).to_pandas()
+        m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        dim = m.shape[1]
+        ci = 1.0 - 1.0 / (dim + 1.0)
+        lo, hi = np.quantile(m.ravel(), [(1 - ci) / 2, 1 - (1 - ci) / 2])
+        lo, hi = float(lo), float(hi)
+
+        def append_q4(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.append_column(
+                    "q4", pa.array([], pa.list_(pa.uint8())))
+            mat = _normalize(_list_matrix(batch.column(vec_col)))
+            packed = int4_quantize_rows(mat, lo, hi)
+            w = packed.shape[1]
+            q4 = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(packed) + 1) * w,
+                                   w, dtype=np.int32)),
+                pa.array(packed.ravel(), pa.uint8()),
+            )
+            return batch.append_column("q4", q4)
+
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(append_q4, batch_format="pyarrow").write_parquet(tmp)
+        for f in os.listdir(tmp):
+            os.replace(os.path.join(tmp, f), os.path.join(index_dir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(index_dir, "int4_meta.json"), "w") as f:
+            json.dump({"vec_col": vec_col, "id_col": id_col, "lo": lo,
+                       "hi": hi, "dim": dim}, f)
+        return cls(index_dir, lo, hi, dim, vec_col, id_col)
+
+    @classmethod
+    def open(cls, index_dir: str) -> "Int4Index":
+        with open(os.path.join(index_dir, "int4_meta.json")) as f:
+            meta = json.load(f)
+        return cls(index_dir, meta["lo"], meta["hi"], meta["dim"],
+                   meta["vec_col"], meta["id_col"])
+
+    def _paths(self) -> list[str]:
+        return [os.path.join(self.index_dir, f)
+                for f in sorted(os.listdir(self.index_dir))
+                if f.endswith(".parquet")]
+
+    def search(self, queries: np.ndarray, k: int = 10,
+               oversample: int = 3) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        qref = ray.put(q)
+        kk = k * max(1, oversample)
+        id_col, dim = self.id_col, self.dim
+        lo, hi = self.lo, self.hi
+        step = max(hi - lo, 1e-12) / 15.0
+
+        def approx_topk(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64())})
+            qm = ray.get(qref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            packed = _list_matrix(batch.column("q4"), dtype=np.uint8)
+            deq = int4_unpack(packed, dim).astype(np.float64) * step + lo
+            sims = qm @ deq.T
+            nq, nb = sims.shape
+            kb = min(kk, nb)
+            out_q, out_id = [], []
+            for qi in range(nq):
+                kth = np.partition(sims[qi], nb - kb)[nb - kb]
+                part = np.flatnonzero(sims[qi] >= kth)
+                out_q.append(np.full(len(part), qi, dtype=np.int64))
+                out_id.append(ids[part])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            })
+
+        paths = self._paths()
+        cand = ray.data.read_parquet(
+            paths, columns=[id_col, "q4"]
+        ).map_batches(approx_topk, batch_format="pyarrow").to_pandas()
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(cand) == 0:
+            return empty
+        wanted = np.unique(cand[id_col].to_numpy())
+        tbl = pads.dataset(paths, format="parquet").to_table(
+            columns=[id_col, self.vec_col],
+            filter=pads.field(id_col).isin(wanted.tolist()),
+        )
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        mat = _normalize(_list_matrix(tbl.column(self.vec_col)))
+        order = np.argsort(ids)
+        ids_s, mat_s = ids[order], mat[order]
+        rows = {"query_id": [], "rank": [], id_col: [], "cosine": []}
+        for qi, g in cand.groupby("query_id"):
+            cids = np.unique(g[id_col].to_numpy())
+            vecs = mat_s[np.searchsorted(ids_s, cids)]
+            sims = vecs @ q[qi]
+            o = np.lexsort((cids, -sims))[:k]
+            rows["query_id"].extend([int(qi)] * len(o))
+            rows["rank"].extend(range(1, len(o) + 1))
+            rows[id_col].extend(cids[o].tolist())
+            rows["cosine"].extend(sims[o].tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        })
+
+    def q4_scan_bytes(self) -> tuple[int, int]:
+        """(q4_scan_bytes, float_scan_bytes) from parquet column-chunk
+        metadata — the measured size win of the 4-bit scan path."""
+        import pyarrow.parquet as pq
+
+        qb = fb = 0
+        for p in self._paths():
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                for c in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(c)
+                    name = col.path_in_schema.split(".")[0]
+                    if name == "q4":
+                        qb += col.total_compressed_size
+                    elif name == self.vec_col:
+                        fb += col.total_compressed_size
+        return qb, fb
+
+
 def cluster_embeddings(ds: ray.data.Dataset, n_clusters: int = 8,
                        iters: int = 6, vec_col: str = "embedding",
                        id_col: str = "vec_id", seed: int = 42) -> pa.Table:
