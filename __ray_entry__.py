@@ -523,6 +523,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uax29 (multilingual) grammar build path; == code grammar on the
         # pure-ASCII test corpus, so the shared-token oracle is exact
         "ft_uax29_term_hits": _q(lambda sf: ft.uax29_term_hits(sf, "join")),
+        # WB6/7 + WB11/12 joiner rules over a derived joiner-bearing corpus
+        # ("join" -> " o'join ", "scan" -> " 3.14 "): the probe terms exist
+        # ONLY if the joiners hold; the split fragments must hit nothing
+        "ft_uax29_joiner_hits": _q(ft.uax29_joiner_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1239,6 +1243,19 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id",
         "ft_uax29_term_hits": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
+        # joiner-bearing derived corpus (pipelines/fulltext.JOINER_SUBS):
+        # an injected "o'join" / "3.14" token exists exactly where the raw
+        # text contains the replaced substring; the split fragments (join /
+        # scan / 14) must not exist, so they contribute NO rows
+        "ft_uax29_joiner_hits": (
+            "SELECT * FROM ("
+            "SELECT '3.14' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'scan') "
+            "UNION ALL "
+            "SELECT 'o''join' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'join')"
+            ") ORDER BY term, doc_id"
+        ),
         # tf of the interior bigram 本語 of the injected run 日本語学
         # ('hash' -> 日本語学): exactly one per substring occurrence of
         # 'hash' — seams between adjacent injections can only produce

@@ -179,12 +179,23 @@ class WordDelimiterTokenizer:
 # - KATAKANA / HANGUL: maximal same-class runs;
 # - everything else separates; tokens longer than max_token_length split at
 #   max_token_length-char intervals (same over-long rule as the code grammar).
+# - JOINERS (round 5): the UAX#29 WB6/7 and WB11/12 rules from
+#   StandardTokenizerImpl.jflex:91-92,216,238-247 —
+#     AHLetter (MidLetter | MidNumLet | ') AHLetter   stays one token
+#     Numeric  (MidNum    | MidNumLet | ') Numeric    stays one token
+#   so "can't" -> can't, "3.14" -> 3.14, "1,000" -> 1,000,
+#   "wiki.apache.org" -> wiki.apache.org, while "a.4" / "3:4" / "a..b"
+#   still split (wrong neighbor class / double joiner). The joiner must sit
+#   between a LETTER/DIGIT directly — '_' (ExtendNumLet) is not an anchor
+#   ("x_:y" -> x_|y), matching the jflex grammar's iteration structure.
 #
-# Documented divergences from full UAX#29: MidLetter/MidNum joiners are NOT
-# honored ("can't" -> can|t, "3.14" -> 3|14 — identical to the pinned ASCII
-# code grammar, so a uax29 index of pure-ASCII text equals the code-grammar
-# index), and Extend/Format/ZWJ/regional-indicator rules are omitted.
-# On pure-ASCII input the two grammars are token-for-token identical.
+# Remaining documented divergences from full UAX#29:
+# Extend/Format/ZWJ/regional-indicator rules and WB7a (Hebrew_Letter x
+# Single_Quote) are omitted; '_' between katakana runs separates (WB13's
+# Katakana x ExtendNumLet is not honored across our class runs).
+# NOTE: with joiners, pure-ASCII text containing [letter]'[letter] /
+# [digit].[digit] etc. now tokenizes DIFFERENTLY from the pinned code
+# grammar (which is the point — StandardTokenizer-faithful).
 # ---------------------------------------------------------------------------
 
 CLS_SEP, CLS_WORD, CLS_IDEO, CLS_HIRA, CLS_KATA, CLS_HANG = 0, 1, 2, 3, 4, 5
@@ -219,6 +230,44 @@ def codepoint_class(cp: int) -> int:
     return CLS_WORD
 
 
+# UAX#29 Word_Break joiner properties (Unicode 15 WordBreakProperty.txt
+# values, the sets JFlex resolves for \p{WB:...} in
+# StandardTokenizerImpl.jflex:91-96). jtype bit 1 = joins letters (WB6/7),
+# bit 2 = joins numerics (WB11/12); MidNumLet and Single_Quote carry both.
+_WB_MIDLETTER = frozenset([0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027,
+                           0xFE13, 0xFE55, 0xFF1A])
+_WB_MIDNUM = frozenset([0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C,
+                        0x7F8, 0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54,
+                        0xFF0C, 0xFF1B])
+_WB_MIDNUMLET = frozenset([0x2E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07,
+                           0xFF0E])
+_WB_SQ = frozenset([0x27])
+
+
+def codepoint_joiner_type(cp: int) -> int:
+    if cp in _WB_MIDNUMLET or cp in _WB_SQ:
+        return 3
+    if cp in _WB_MIDLETTER:
+        return 1
+    if cp in _WB_MIDNUM:
+        return 2
+    return 0
+
+
+def codepoint_anchor_type(cp: int) -> int:
+    """1 = letter anchor (AHLetter side of WB6/7), 2 = numeric anchor
+    (WB11/12), 0 = neither. '_' is ExtendNumLet — NOT an anchor — and CJK
+    single-char classes are not AHLetter."""
+    ch = chr(cp)
+    if ch.isdigit():
+        return 2
+    if ch == "_" or not ch.isalnum():
+        return 0
+    if codepoint_class(cp) != CLS_WORD:
+        return 0
+    return 1
+
+
 def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
                    cjk_bigrams: bool = False):
     """Vectorized uax29-grammar tokenization of ALREADY-LOWERCASED texts.
@@ -250,7 +299,14 @@ def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_L
         z = np.zeros(0, np.int64)
         return [], z, z, z, z
     uniq, inv = np.unique(cp, return_inverse=True)
-    cls = np.array([codepoint_class(int(c)) for c in uniq], dtype=np.int8)[inv]
+    cls_u = np.array([codepoint_class(int(c)) for c in uniq], dtype=np.int8)
+    jt_u = np.array([codepoint_joiner_type(int(c)) for c in uniq],
+                    dtype=np.int8)
+    at_u = np.array([codepoint_anchor_type(int(c)) for c in uniq],
+                    dtype=np.int8)
+    cls = cls_u[inv]
+    jtype = jt_u[inv]
+    atype = at_u[inv]
 
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     doc_start = np.zeros(len(texts), dtype=np.int64)
@@ -265,6 +321,26 @@ def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_L
 
     single = np.isin(run_cls, SINGLE_CHAR_CLASSES)
     multi = (run_cls != CLS_SEP) & ~single
+
+    # ---- WB6/7 + WB11/12 joiners: a 1-char separator run whose codepoint
+    # is a Mid* joiner glues its two neighboring WORD runs when the chars
+    # DIRECTLY beside it are the right anchors (letter-letter for
+    # MidLetter/MidNumLetQ, digit-digit for MidNum/MidNumLetQ)
+    glue = np.zeros(len(run_s), dtype=bool)
+    cand = np.flatnonzero(
+        (run_cls == CLS_SEP) & (run_e - run_s == 1)
+        & (jtype[run_s] != 0)
+    )
+    cand = cand[(cand > 0) & (cand < len(run_s) - 1)]
+    if len(cand):
+        prev_word = run_cls[cand - 1] == CLS_WORD
+        next_word = run_cls[cand + 1] == CLS_WORD
+        jt = jtype[run_s[cand]]
+        pa_t = atype[run_s[cand] - 1]
+        na_t = atype[run_e[cand]]
+        let_ok = ((jt & 1) != 0) & (pa_t == 1) & (na_t == 1)
+        num_ok = ((jt & 2) != 0) & (pa_t == 2) & (na_t == 2)
+        glue[cand[prev_word & next_word & (let_ok | num_ok)]] = True
 
     parts_s, parts_e = [], []
     if single.any():
@@ -300,7 +376,24 @@ def tokenize_uax29(texts: list[str], max_token_length: int = DEFAULT_MAX_TOKEN_L
             parts_s.append(idx)
             parts_e.append(idx + 1)
     if multi.any():
-        s_r, e_r = run_s[multi], run_e[multi]
+        # WORD runs collapse across valid glue runs into one span; KATA /
+        # HANG runs stay maximal same-class runs (no Mid* joins)
+        word_idx = np.flatnonzero(run_cls == CLS_WORD)
+        span_s, span_e = [], []
+        if len(word_idx):
+            chained = np.zeros(len(word_idx), dtype=bool)
+            if len(word_idx) > 1:
+                chained[1:] = (np.diff(word_idx) == 2) & glue[word_idx[1:] - 1]
+            first = np.flatnonzero(~chained)
+            last = np.r_[first[1:] - 1, len(word_idx) - 1]
+            span_s.append(run_s[word_idx[first]])
+            span_e.append(run_e[word_idx[last]])
+        other = multi & (run_cls != CLS_WORD)
+        if other.any():
+            span_s.append(run_s[other])
+            span_e.append(run_e[other])
+        s_r = np.concatenate(span_s)
+        e_r = np.concatenate(span_e)
         lengths = e_r - s_r
         if lengths.max() > max_token_length:
             ns, ne = [], []

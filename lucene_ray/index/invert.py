@@ -594,9 +594,23 @@ def _tokenize_column_uax29(
         empty = pa.array([], pa.string())
         z = np.zeros(0, np.int64)
         return (empty, z, z, z, z) if with_offsets else (empty, z, z)
-    non_ascii = data[lo:hi] >= 0x80
+    seg = data[lo:hi]
+    non_ascii = seg >= 0x80
+    # ASCII docs that may carry a UAX#29 Mid* joiner (alnum JOINER alnum,
+    # bytes ' , . : ;) must ALSO take the codepoint path — the pinned code
+    # grammar splits them. Byte-level candidate test is a superset (the
+    # exact anchor rules run inside tokenize_uax29); a cross-doc-boundary
+    # false positive only routes one extra doc, never changes tokens.
+    joiner = (np.isin(seg, np.frombuffer(b"',.:;", dtype=np.uint8))
+              if len(seg) else np.zeros(0, bool))
+    alnum = (((seg >= 0x61) & (seg <= 0x7A))
+             | ((seg >= 0x30) & (seg <= 0x39)))
+    cand = np.zeros(len(seg), dtype=bool)
+    if len(seg) > 2:
+        cand[1:-1] = joiner[1:-1] & alnum[:-2] & alnum[2:]
+    route = non_ascii | cand
     pref = np.zeros(hi - lo + 1, dtype=np.int64)
-    np.cumsum(non_ascii, out=pref[1:])
+    np.cumsum(route, out=pref[1:])
     has_uni = (pref[doc_offsets[1:] - base] - pref[doc_offsets[:-1] - base]) > 0
     if not has_uni.any():
         return tokenize_column(contents, max_token_length, stopwords,

@@ -318,6 +318,80 @@ def folded_tf(sf_dir: str, term: str = "join") -> pa.Table:
     return _term_freqs_on(reader, term)
 
 
+# joiner-bearing derived corpus: each substitution injects a standalone
+# uax29 token that only survives as ONE token because the WB6/7 / WB11/12
+# joiner rules hold (apostrophe between letters, dot between digits)
+JOINER_SUBS = (("join", " o'join "), ("scan", " 3.14 "))
+
+
+def documents_joiner_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived JOINER-BEARING twin
+    of ``text`` (every 'join' substring becomes the standalone token
+    "o'join", every 'scan' becomes "3.14"), analyzed with the uax29
+    grammar. The WB6/7 + WB11/12 joiner rules
+    (StandardTokenizerImpl.jflex:91-92,216,238-247) must keep each injected
+    occurrence ONE token — with the pre-round-5 split behavior the probe
+    terms would not exist in the term dictionary and the oracle breaks."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:joiner-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-joiner-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = b.column("text")
+                for pat, rep in JOINER_SUBS:
+                    t = pc.replace_substring(t, pattern=pat, replacement=rep)
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def uax29_joiner_hits(sf_dir: str) -> pa.Table:
+    """(term, doc_id) hit sets of the joiner-bearing probe terms over the
+    derived corpus, plus NEGATIVE probes ('join', 'scan', '14' — the
+    fragments a joiner-less tokenizer would have emitted) which must hit
+    nothing. Exact SQL oracle: substring containment on the raw text."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_joiner_index(sf_dir)
+    parts = []
+    for term in ("3.14", "o'join", "join", "scan", "14"):
+        t = _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader),
+                      reader)
+        if len(t):
+            parts.append(pa.table({
+                "term": pa.array([term] * len(t), pa.string()),
+                "doc_id": t.column("doc_id"),
+            }))
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
 def documents_pattern_index(sf_dir: str) -> IndexReader:
     """Build-or-open a documents index under a ``pattern:`` grammar
     (PatternTokenizer, analysis/pattern/PatternTokenizer.java:40-56):

@@ -30,10 +30,51 @@ def test_scripts_and_token_types():
 
 
 def test_ascii_equivalence_with_code_grammar():
+    # equivalence holds on ASCII WITHOUT joiner contexts; joiner-bearing
+    # text now diverges deliberately (StandardTokenizer-faithful WB6/7 +
+    # WB11/12 — see test_uax29_joiners)
     code = CodeTokenizer()
-    for s in ["Hello World_42", "can't stop 3.14", "x" * 600 + " y",
-              "", "   ", "a b c d"]:
+    for s in ["Hello World_42", "x" * 600 + " y",
+              "", "   ", "a b c d", "end. .start a. .b a , b"]:
         assert TOK(s) == code(s), s
+
+
+def test_uax29_joiners():
+    """Golden WB6/7 (MidLetter/MidNumLetQ between letters) and WB11/12
+    (MidNum/MidNumLetQ between numerics) segmentation, matching
+    StandardTokenizer (StandardTokenizerImpl.jflex:91-92,216,238-247)."""
+    cases = {
+        "can't": ["can't"],              # ' = Single_Quote, letter join
+        "can’t": ["can’t"],              # U+2019 = MidNumLet
+        "3.14": ["3.14"],                # . = MidNumLet, digit join
+        "1,000,000": ["1,000,000"],      # , = MidNum, digit join
+        "x_y": ["x_y"],                  # _ = ExtendNumLet (run member)
+        "a:b": ["a:b"],                  # : = MidLetter, letter join
+        "wiki.apache.org": ["wiki.apache.org"],
+        "a.b.c.d.e": ["a.b.c.d.e"],      # chained joins
+        "O'Neill's": ["o'neill's"],
+        "3.14 and 2.71": ["3.14", "and", "2.71"],
+        # NON-joins: wrong anchor class, double joiner, edge position
+        "a.4": ["a", "4"], "1.a": ["1", "a"],
+        "3:4": ["3", "4"],               # colon joins letters only
+        "a,b": ["a", "b"],               # comma joins digits only
+        "a..b": ["a", "b"], "end.": ["end"], ".start": ["start"],
+        "'quoted'": ["quoted"],
+        "x_:y": ["x_", "y"],             # '_' is not an AHLetter anchor
+        "漢.字": ["漢", "字"],            # ideographs are not AHLetter
+    }
+    for s, want in cases.items():
+        assert TOK(s) == want, (s, TOK(s))
+    # column kernel agrees on the same corpus (incl. the pure-ASCII docs
+    # that now must route off the code-grammar fast path)
+    docs = list(cases)
+    flat, doc_idx, _pos = tokenize_column(
+        pa.array(docs, pa.string()), grammar="uax29")
+    got = [[] for _ in docs]
+    for t, d in zip(flat.to_pylist(), doc_idx):
+        got[d].append(t)
+    for i, s in enumerate(docs):
+        assert got[i] == cases[s], s
 
 
 def test_overlong_token_split():
