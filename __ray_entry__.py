@@ -1153,6 +1153,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_passages_top": _q(
             lambda sf: passages_top(sf, ["join", "hash"], window=32, n_passages=2)
         ),
+        # BM25-weighted passages (PassageScorer.java:63-104, float32-exact;
+        # token-unit adaptation documented in highlight.passages_bm25)
+        "ft_passages_bm25": _q(
+            lambda sf: __import__(
+                "lucene_ray.pipelines.highlight",
+                fromlist=["passages_bm25"]).passages_bm25(
+                    sf, ["join", "hash"], window=32, n_passages=2)
+        ),
         # --- fuzzy suggester (suggest/analyzing.FuzzySuggester shape) ---
         "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
         # --- did-you-mean (suggest/spell.DirectSpellChecker shape) ---
@@ -2417,6 +2425,38 @@ def oracle_sql() -> dict[str, str]:
         "AS rank FROM pc) "
         "SELECT doc_id, passage, n_matches, rank FROM rk WHERE rank <= 2 "
         "ORDER BY doc_id, rank",
+        # BM25-weighted passages (PassageScorer.java:63-104): the engine's
+        # exact float32 operation order — weight's REAL numDocs then double
+        # log then REAL cast, all-REAL tf, REAL products summed in DOUBLE,
+        # REAL position norm, final REAL cast. Token units, pivot 14.
+        "ft_passages_bm25": _PT
+        + ", pc2 AS (SELECT doc_id, (pos // 32)::BIGINT AS passage, tok, "
+        "count(*)::BIGINT AS n FROM pt WHERE tok IN ('join', 'hash') "
+        "GROUP BY doc_id, pos // 32, tok), "
+        "dl AS (SELECT doc_id, len(l)::BIGINT AS dlen FROM tl), "
+        "tt AS (SELECT doc_id, tok, sum(n)::BIGINT AS ttf FROM pc2 "
+        "GROUP BY doc_id, tok), "
+        "w AS (SELECT tt.doc_id, tt.tok, "
+        "(CAST(1.2 AS REAL) + CAST(1 AS REAL)) * CAST(ln(1.0 + "
+        "(CAST(CAST(1 AS REAL) + CAST(dlen AS REAL) / CAST(14 AS REAL) "
+        "AS DOUBLE) + 0.5) / (ttf + 0.5)) AS REAL) AS w32 "
+        "FROM tt JOIN dl USING (doc_id)), "
+        "nc AS (SELECT CAST(1.2 AS REAL) * ((CAST(1 AS REAL) - "
+        "CAST(0.75 AS REAL)) + CAST(0.75 AS REAL) * (CAST(32 AS REAL) / "
+        "CAST(14 AS REAL))) AS c), "
+        "ct AS (SELECT p.doc_id, p.passage, CAST(CAST(p.n AS REAL) / "
+        "(CAST(p.n AS REAL) + (SELECT c FROM nc)) * w.w32 AS DOUBLE) "
+        "AS contrib FROM pc2 p JOIN w ON p.doc_id = w.doc_id "
+        "AND p.tok = w.tok), "
+        "sc2 AS (SELECT doc_id, passage, CAST(sum(contrib) * "
+        "CAST(CAST(1 AS REAL) + CAST(1 AS REAL) / CAST(ln(CAST("
+        "CAST(14 AS REAL) + CAST(passage * 32 AS REAL) AS DOUBLE)) AS REAL) "
+        "AS DOUBLE) AS REAL) AS s FROM ct GROUP BY doc_id, passage), "
+        "rk2 AS (SELECT doc_id, passage, s, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY s DESC, passage ASC)::BIGINT AS rank "
+        "FROM sc2) "
+        "SELECT doc_id, passage, rank, round(s::DOUBLE, 6) AS score_r6 "
+        "FROM rk2 WHERE rank <= 2 ORDER BY doc_id, rank",
         # fuzzy suggester: dictionary terms whose first-4-chars prefix is
         # within 1 edit of the (analyzed) typed text, by doc_freq desc
         "ft_suggest_fuzzy": _TOKS

@@ -94,3 +94,39 @@ def test_snippet_invariant_through_built_index(ray_session, tmp_path):
                     assert text[int(s[k]):int(e[k])] == term
                     found += 1
     assert found > 100
+
+
+def test_passages_bm25_hand_checked(ray_session):
+    """BM25 passage weights on a tiny two-term case, replicating
+    PassageScorer.java:63-104 float op order by hand (token units,
+    pivot=14)."""
+    import numpy as np
+
+    f32 = np.float32
+    k1, b, pivot, window = f32(1.2), f32(0.75), f32(14.0), 32
+
+    def weight(dlen, ttf):
+        nd = f32(1) + f32(dlen) / pivot
+        return (k1 + f32(1)) * f32(np.log(1.0 + (float(nd) + 0.5) / (ttf + 0.5)))
+
+    def tf(n):
+        nc = k1 * ((f32(1) - b) + b * (f32(window) / pivot))
+        return f32(n) / (f32(n) + nc)
+
+    def pos_norm(passage):
+        return f32(1) + f32(1) / f32(np.log(float(pivot + f32(passage * window))))
+
+    # doc: len 100 tokens, 'join' x3 in passage 0 and x1 in passage 1,
+    # 'hash' x2 in passage 0 -> ttf(join)=4, ttf(hash)=2
+    s0 = float(np.float64(f32(tf(3) * weight(100, 4)))
+               + np.float64(f32(tf(2) * weight(100, 2))))
+    score0 = f32(s0 * float(pos_norm(0)))
+    s1 = float(np.float64(f32(tf(1) * weight(100, 4))))
+    score1 = f32(s1 * float(pos_norm(1)))
+    assert score0 > score1 > 0
+    # and the ranking flips vs raw counts when a rarer term concentrates:
+    # passage A: 1x hash (rare, high weight); passage B: 1x join with
+    # ttf(join) huge -> low weight
+    wa = float(f32(tf(1) * weight(1000, 2)))
+    wb = float(f32(tf(1) * weight(1000, 900)))
+    assert wa > wb  # same count, different BM25 weight
