@@ -527,6 +527,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ("join" -> " o'join ", "scan" -> " 3.14 "): the probe terms exist
         # ONLY if the joiners hold; the split fragments must hit nothing
         "ft_uax29_joiner_hits": _q(ft.uax29_joiner_hits),
+        # Viterbi costed-lattice dict segmentation over the injected 東京都
+        # ambiguity: 京都/東 hit (min-cost path), 東京/都 (the MaxMatch
+        # segmentation) must contribute NO rows
+        "ft_dict_viterbi_hits": _q(ft.dict_viterbi_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1262,6 +1266,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'o''join' AS term, doc_id FROM documents "
             "WHERE contains(text, 'join')"
+            ") ORDER BY term, doc_id"
+        ),
+        # Viterbi dict grammar ('merge' -> 東京都, costed lexicon picks
+        # 東|京都): both lattice terms hit the merge-containing docs, the
+        # MaxMatch terms contribute nothing
+        "ft_dict_viterbi_hits": (
+            "SELECT * FROM ("
+            "SELECT '京都' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'merge') "
+            "UNION ALL "
+            "SELECT '東' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'merge')"
             ") ORDER BY term, doc_id"
         ),
         # tf of the interior bigram 本語 of the injected run 日本語学

@@ -481,10 +481,58 @@ def maxmatch_spans(s: str, lexicon: frozenset, max_word: int) -> list[tuple[int,
     return out
 
 
+#: cost charged for an uncovered single ideograph on the Viterbi lattice —
+#: kuromoji's unknown-word shape (high, but finite so every run segments).
+#: Lexicon entry costs must stay below this for known words to win.
+DICT_UNK_COST = 10000.0
+
+
+def viterbi_spans(s: str, costs: dict, max_word: int) -> list[tuple[int, int]]:
+    """Min-cost segmentation of an ideographic run over a COSTED lexicon —
+    the costed-lattice core of the reference's morphological tokenizers
+    (kuromoji's ViterbiNBest over dictionary word costs,
+    lucene/analysis/kuromoji/src/java/org/apache/lucene/analysis/ja/
+    JapaneseTokenizer.java:52's lattice; connection costs omitted — the
+    sandbox has no bundled connection matrix, so the path cost is the sum
+    of word costs, uncovered single chars charged :data:`DICT_UNK_COST`).
+
+    dp[i] = min cost of segmenting s[:i]; on cost ties the LONGER last
+    word wins (deterministic, mirrors dictionary-preference ordering).
+    Resolves the ambiguities greedy MaxMatch cannot: with
+    costs 東(800) 京都(400) 東京(500) 都(800), "東京都" segments as
+    東|京都 (1200) rather than MaxMatch's 東京|都 (1300)."""
+    n = len(s)
+    INF = float("inf")
+    dp = [INF] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = 0.0
+    for i in range(1, n + 1):
+        best_c, best_l = dp[i - 1] + DICT_UNK_COST, 1
+        for L in range(min(max_word, i), 1, -1):
+            c = costs.get(s[i - L:i])
+            if c is not None and dp[i - L] + c < best_c:
+                best_c, best_l = dp[i - L] + c, L
+        c1 = costs.get(s[i - 1:i])
+        if c1 is not None and dp[i - 1] + c1 < best_c:
+            best_c, best_l = dp[i - 1] + c1, 1
+        dp[i] = best_c
+        back[i] = best_l
+    out = []
+    i = n
+    while i > 0:
+        out.append((i - back[i], i))
+        i -= back[i]
+    out.reverse()
+    return out
+
+
 def merge_ideo_tokens(toks: list[str], starts: list[int], ends: list[int],
-                      lexicon: frozenset, max_word: int):
+                      lexicon: frozenset, max_word: int,
+                      costs: dict | None = None):
     """Merge adjacent ideographic unigrams (contiguous char offsets) of ONE
-    document by MaxMatch. Returns (tokens, start_chars, end_chars)."""
+    document — by the Viterbi costed lattice when ``costs`` is given
+    (:func:`viterbi_spans`), else by greedy MaxMatch. Returns
+    (tokens, start_chars, end_chars)."""
     out_t: list[str] = []
     out_s: list[int] = []
     out_e: list[int] = []
@@ -504,7 +552,9 @@ def merge_ideo_tokens(toks: list[str], starts: list[int], ends: list[int],
                and starts[j] == ends[j - 1]):
             j += 1
         run = "".join(toks[i:j])
-        for a, b in maxmatch_spans(run, lexicon, max_word):
+        spans = (viterbi_spans(run, costs, max_word) if costs is not None
+                 else maxmatch_spans(run, lexicon, max_word))
+        for a, b in spans:
             out_t.append(run[a:b])
             out_s.append(starts[i + a])
             out_e.append(ends[i + b - 1])
@@ -512,16 +562,31 @@ def merge_ideo_tokens(toks: list[str], starts: list[int], ends: list[int],
     return out_t, out_s, out_e
 
 
+def parse_dict_lexicon(entries) -> tuple[frozenset, int, dict | None]:
+    """Normalize a ``dict_lexicon`` config into (word set, max word length,
+    costs-or-None). Entries are either plain words (MaxMatch) or
+    ``(word, cost)`` pairs (Viterbi costed lattice). The two forms must not
+    be mixed."""
+    entries = tuple(entries)
+    costed = bool(entries) and not isinstance(entries[0], str)
+    if costed:
+        costs = {w: float(c) for w, c in entries}
+        lex = frozenset(costs)
+        return lex, max((len(w) for w in lex), default=1), costs
+    lex = frozenset(entries)
+    return lex, max((len(w) for w in lex), default=1), None
+
+
 class DictTokenizer:
-    """``text -> list[str]`` under the dict grammar: uax29 + MaxMatch
-    merging of ideographic runs against the lexicon. The SAME lexicon must
-    be used on the build side (IndexConfig.dict_lexicon)."""
+    """``text -> list[str]`` under the dict grammar: uax29 + merging of
+    ideographic runs against the lexicon — Viterbi over (word, cost)
+    entries, greedy MaxMatch over plain-word entries. The SAME lexicon
+    must be used on the build side (IndexConfig.dict_lexicon)."""
 
     grammar = "dict"
 
     def __init__(self, lexicon, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
-        self.lexicon = frozenset(lexicon)
-        self.max_word = max((len(w) for w in self.lexicon), default=1)
+        self.lexicon, self.max_word, self.costs = parse_dict_lexicon(lexicon)
         self.max_token_length = max_token_length
 
     def __call__(self, text: str) -> list[str]:
@@ -532,6 +597,6 @@ class DictTokenizer:
         toks, _d, _p, sc, ec = tokenize_uax29([lower], self.max_token_length)
         out, _s, _e = merge_ideo_tokens(
             list(toks), [int(x) for x in sc], [int(x) for x in ec],
-            self.lexicon, self.max_word,
+            self.lexicon, self.max_word, self.costs,
         )
         return out

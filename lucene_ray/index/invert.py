@@ -461,16 +461,19 @@ def _tokenize_column_dict(
     with_offsets: bool,
     dict_lexicon: tuple,
 ) -> tuple:
-    """dict-grammar column tokenization: uax29 first, then MaxMatch merging
-    of ideographic runs against the configured lexicon (the kuromoji/nori/
-    smartcn dictionary-segmentation seam; analysis/tokenizer.py). Docs with
-    no ideographs pass through the vectorized uax29/code kernels untouched;
-    only CJK-bearing docs take the per-run Python merge (work bounded by
-    the corpus's CJK token count)."""
+    """dict-grammar column tokenization: uax29 first, then merging of
+    ideographic runs against the configured lexicon — Viterbi costed
+    lattice for (word, cost) entries, greedy MaxMatch for plain words (the
+    kuromoji/nori/smartcn dictionary-segmentation seam;
+    analysis/tokenizer.py). Docs with no ideographs pass through the
+    vectorized uax29/code kernels untouched; only CJK-bearing docs take
+    the per-run Python merge (work bounded by the corpus's CJK token
+    count)."""
     from lucene_ray.analysis.tokenizer import (
         CLS_IDEO,
         codepoint_class,
         merge_ideo_tokens,
+        parse_dict_lexicon,
     )
 
     flat, doc_idx, positions, sc, ec = _tokenize_column_uax29(
@@ -490,8 +493,7 @@ def _tokenize_column_dict(
     else:
         ideo = np.zeros(0, dtype=bool)
     if ideo.any():
-        lex = frozenset(dict_lexicon)
-        max_word = max((len(w) for w in lex), default=1)
+        lex, max_word, costs = parse_dict_lexicon(dict_lexicon)
         doc64 = np.asarray(doc_idx, dtype=np.int64)
         sc64 = np.asarray(sc, dtype=np.int64)
         ec64 = np.asarray(ec, dtype=np.int64)
@@ -515,7 +517,7 @@ def _tokenize_column_dict(
                 [toks_all[k] for k in sel],
                 [int(sc64[k]) for k in sel],
                 [int(ec64[k]) for k in sel],
-                lex, max_word,
+                lex, max_word, costs,
             )
             new_t.extend(t)
             new_doc.extend([int(doc)] * len(t))

@@ -251,6 +251,81 @@ def documents_cjk_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+# costed lexicon for the Viterbi dict grammar: MaxMatch on 東京都 picks
+# 東京|都 (500+800); the lattice picks 東|京都 (800+400) — so a hit on the
+# term 京都 proves the VITERBI segmentation ran, and 東京 must hit nothing
+VITERBI_SUB = ("merge", " 東京都 ")
+VITERBI_LEXICON = (("東京", 500.0), ("京都", 400.0), ("東", 800.0),
+                   ("都", 800.0))
+
+
+def documents_viterbi_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived corpus injecting the
+    classic 東京都 ambiguity (every 'merge' substring), analyzed with the
+    ``dict`` grammar over a COSTED lexicon — the Viterbi lattice core of
+    the reference's morphological tokenizers (kuromoji JapaneseTokenizer's
+    dictionary word costs; analysis/tokenizer.viterbi_spans)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:vit-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-vit-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=VITERBI_SUB[0],
+                                         replacement=VITERBI_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="dict",
+            dict_lexicon=VITERBI_LEXICON,
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def dict_viterbi_hits(sf_dir: str) -> pa.Table:
+    """(term, doc_id) hit sets over the Viterbi-segmented derived corpus:
+    京都 and 東 hit exactly the docs whose raw text contains 'merge'
+    (the lattice's min-cost path), while MaxMatch's segmentation 東京 / 都
+    must hit NOTHING. Exact substring-containment SQL oracle."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_viterbi_index(sf_dir)
+    parts = []
+    for term in ("京都", "東", "東京", "都"):
+        t = _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader),
+                      reader)
+        if len(t):
+            parts.append(pa.table({
+                "term": pa.array([term] * len(t), pa.string()),
+                "doc_id": t.column("doc_id"),
+            }))
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
 def cjk_bigram_tf(sf_dir: str, bigram: str = "本語") -> pa.Table:
     """(doc_id, tf) of one CJK bigram term over the derived-CJK index —
     exercises the whole CJKBigramFilter path (region detection, overlap,
