@@ -56,6 +56,16 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # CPUs while matching at 8 (BENCH/scaling_proof.jsonl stage_a_task_ms
     # vs body_task_ms). Run workers at nice 0 like any other process.
     os.environ.setdefault("RAY_worker_niceness", "0")
+    # Quiet Ray's sidecar bookkeeping: per-task status events streamed to
+    # GCS, the metrics reporter, and event-stats aggregation all burn CPU in
+    # raylet/GCS/core-worker threads. The no-Ray multiprocessing twin has
+    # none of these, and at full 32-way saturation every background thread
+    # steals share from the 32 workers; the driver never reads any of it in
+    # a bench run (dashboard is off).
+    os.environ.setdefault("RAY_task_events_report_interval_ms", "0")
+    os.environ.setdefault("RAY_enable_metrics_collection", "false")
+    os.environ.setdefault("RAY_event_stats", "0")
+    os.environ.setdefault("RAY_usage_stats_enabled", "0")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=8 << 30)  # shuffles are ~100s of MB; a
@@ -117,6 +127,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
         qs = entrymod.queries()
         pipeline_secs: dict[str, float] = {}
+        ann_cold_secs: dict[str, float] = {}
         for name in ["ft_term_hits_join", "ft_bm25_top10_customer",
                      "ft_phrase_slop_hits", "ft_snippet_join", "dedup_exact",
                      "dedup_minhash_pairs", "text_token_stats",
@@ -149,10 +160,39 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_cjk_bigram_hits", "ft_folded_hits",
                      "geo_shape_intersects_hits", "geo_shape_within_hits",
                      "ft_suggest_freetext", "ft_dfi_top10", "ft_ib_top10",
-                     "ft_rawtf_top10", "ann_binary_top10"]:
+                     "ft_rawtf_top10", "ann_binary_top10",
+                     "ann_int4_top10", "ft_passages_bm25",
+                     "ft_dict_viterbi_hits", "ft_uax29_joiner_hits",
+                     "ft_dfr_g_top10", "ft_ib_spl_top10", "ft_indri_top10",
+                     "ft_axiomatic_f2log_top10"]:
+            # ANN entries build a /tmp-cached index on first touch; a cold
+            # battery number would conflate one-time build with per-query
+            # search (the round-4 ann_ivf 0.84->4.56s adjudication). Warm
+            # each ANN entry once untimed, report that cold pass separately
+            # as <name>_cold_build_sec, and time the warm search.
+            if name.startswith("ann_"):
+                t0 = time.time()
+                qs[name](sf_dir)
+                ann_cold_secs[name] = round(time.time() - t0, 3)
             t0 = time.time()
             qs[name](sf_dir)
             pipeline_secs[name] = round(time.time() - t0, 3)
+
+        # per-entry regression gate: compare against the best recorded time
+        # for the same entry across prior batteries (driver BENCH_r*.json +
+        # local battery history), so window noise vs real regressions is
+        # machine-visible. >1.5x best = flagged; top 10 by ratio reported
+        # (a degraded host window flags everything — the cap keeps the
+        # headline parse-safe).
+        best = _battery_best(sf_dir)
+        flagged = sorted(
+            ((sec / best[name], name, sec) for name, sec in
+             pipeline_secs.items()
+             if name in best and best[name] > 0 and sec > 1.5 * best[name]),
+            reverse=True)
+        regressions = {name: {"sec": sec, "best": best[name],
+                              "ratio": round(ratio, 2)}
+                       for ratio, name, sec in flagged[:10]}
 
         return {
             "metric": "index_build_sec",
@@ -165,11 +205,58 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             "query_p50_sec": overall_p50,
             "query_p50_detail": query_p50,
             "queries": pipeline_secs,
+            "ann_cold_build_sec": ann_cold_secs,
+            "regressions": regressions,
         }
     finally:
         import ray
 
         ray.shutdown()
+
+
+def _battery_best(sf_dir: str) -> dict:
+    """Best (min) recorded seconds per battery entry across the driver's
+    per-round records (BENCH_r*.json) and local battery history, restricted
+    to runs over the SAME sf tables (times at different scale factors are
+    not comparable)."""
+    import glob
+
+    best: dict[str, float] = {}
+    sf_key = os.path.normpath(sf_dir)
+
+    def _fold(rec: dict) -> None:
+        if os.path.normpath(str(rec.get("sf", sf_key))) != sf_key:
+            return
+        for k, v in (rec.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and (k not in best or v < best[k]):
+                best[k] = float(v)
+
+    for path in glob.glob("BENCH_r*.json"):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            _fold(d.get("parsed") or d)
+        except Exception:
+            continue
+    try:
+        with open("BENCH/battery_history.jsonl") as f:
+            for line in f:
+                if line.strip():
+                    _fold(json.loads(line))
+    except FileNotFoundError:
+        pass
+    return best
+
+
+def _append_battery_history(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/battery_history.jsonl", "a") as f:
+        f.write(json.dumps({
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "num_cpus": result.get("num_cpus"),
+            "docs_per_sec": result.get("docs_per_sec"),
+            "queries": result.get("queries"),
+        }) + "\n")
 
 
 def run_build_only(num_cpus: int) -> dict:
@@ -189,6 +276,16 @@ def run_build_only(num_cpus: int) -> dict:
     # CPUs while matching at 8 (BENCH/scaling_proof.jsonl stage_a_task_ms
     # vs body_task_ms). Run workers at nice 0 like any other process.
     os.environ.setdefault("RAY_worker_niceness", "0")
+    # Quiet Ray's sidecar bookkeeping: per-task status events streamed to
+    # GCS, the metrics reporter, and event-stats aggregation all burn CPU in
+    # raylet/GCS/core-worker threads. The no-Ray multiprocessing twin has
+    # none of these, and at full 32-way saturation every background thread
+    # steals share from the 32 workers; the driver never reads any of it in
+    # a bench run (dashboard is off).
+    os.environ.setdefault("RAY_task_events_report_interval_ms", "0")
+    os.environ.setdefault("RAY_enable_metrics_collection", "false")
+    os.environ.setdefault("RAY_event_stats", "0")
+    os.environ.setdefault("RAY_usage_stats_enabled", "0")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              object_store_memory=8 << 30)
@@ -670,6 +767,9 @@ if __name__ == "__main__":
             "n_contract_pipelines": len(q),
             "contract_total_sec": round(sum(q.values()), 2),
             "slowest_pipelines": slowest,
+            "ann_cold_build_sec": result.get("ann_cold_build_sec", {}),
+            "regressions": result.get("regressions", {}),
             "details_file": "BENCH/details_last.json",
         }
+        _append_battery_history(result)
         print(json.dumps(headline))

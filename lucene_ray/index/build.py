@@ -1961,18 +1961,20 @@ class _StageCTask:
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
-def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
-                 only_pids: list[int] | None = None, append: bool = False,
-                 deleted: dict | None = None) -> None:
-    """The merge stage, parameterized so incremental builds and compaction
-    reuse it over a subset of partitions. A map-side shuffle (module
-    docstring): Stage A already wrote partials pre-bucketed by
-    crc32(term) % merge_buckets, so this stage is one pruned-read +
-    merge+encode + direct-write task per (segment, bucket) — no all-to-all
-    exchange, no sort, no postings bytes through the object store."""
+def _plan_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
+                  only_pids: list[int] | None = None,
+                  deleted: dict | None = None,
+                  n_cpus: int | None = None) -> tuple[list[dict], dict]:
+    """Pure (no-Ray) planning half of Stage C: returns (specs, ctx).
+
+    Split out so scripts/microbench_invert.py's ``--body-full`` twin can run
+    the IDENTICAL merge work under plain multiprocessing — same cost-balanced
+    (segment, bucket-range) specs, same shared ctx — making the
+    pipeline-vs-no-Ray scaling comparison cover the whole build, not just
+    Stage A. ``n_cpus`` overrides the live-cluster CPU count the auto
+    granularity sizes one wave against."""
     import zlib
 
-    postings_dir = os.path.join(index_dir, "postings")
     n_pids = len(manifest.partitions)
     doc_base_arr = np.zeros(n_pids, dtype=np.int64)
     pid_pos_arr = np.zeros(n_pids, dtype=np.int32)
@@ -2003,45 +2005,6 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
     )
     merge_buckets = max(1, cfg.merge_buckets)
 
-    # hot pre-pass: extract every hot term's row from each partial file ONCE
-    # into a tiny per-pid sidecar (<=|hot| rows). Without it, every
-    # (seg, bucket-range) task re-decoded the scattered home-bucket row
-    # groups of every pid it routes from — tasks_per_seg x the decode.
-    hot_dir = None
-    if hot_terms and cfg.stage_c_hot_prepass:
-        hot_dir = os.path.join(index_dir, "hot_spill")
-        shutil.rmtree(hot_dir, ignore_errors=True)
-        os.makedirs(hot_dir, exist_ok=True)
-        homes = {zlib.crc32(t.encode()) % merge_buckets for t in hot_terms}
-        hot_sorted = sorted(hot_terms)
-        all_pids = sorted({p for ps in seg_pids.values() for p in ps})
-        idir, hdir = index_dir, hot_dir
-
-        def _extract(batch: pa.Table) -> pa.Table:
-            done = []
-            for pid in batch.column("pid").to_pylist():
-                t = _read_hot_rows(partials_path(idir, pid), homes,
-                                   merge_buckets, hot_sorted)
-                if t is not None:
-                    # term-sorted + tiny row groups: hot rows are the
-                    # heaviest in the index (that is why they are salted),
-                    # so consumers must be able to term-prune the decode
-                    t = t.sort_by("term")
-                    _atomic_write_table(
-                        t, os.path.join(hdir, f"pid={pid:06d}.parquet"),
-                        cfg.partials_compression, row_group_size=4)
-                done.append(pid)
-            return pa.table({"pid": pa.array(done, pa.int64())})
-
-        with _no_probe_ramp():
-            for _ in ray.data.from_items(
-                [{"pid": p} for p in all_pids],
-                override_num_blocks=len(all_pids),
-            ).map_batches(
-                _extract, batch_format="pyarrow", batch_size=1, num_cpus=1,
-            ).iter_batches(batch_format="pyarrow"):
-                pass
-
     ctx = {
         "doc_base": doc_base_arr,
         "pid_pos": pid_pos_arr,
@@ -2052,13 +2015,8 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
         "max_chunks_per_salt": max_chunks_per_salt,
         "merge_buckets": merge_buckets,
         "deleted": deleted or {},
-        "hot_dir": hot_dir,
+        "hot_dir": None,
     }
-    ctx_ref = ray.put(ctx)
-
-    tmp = postings_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
     if cfg.stage_c_buckets_per_task:
         bpt = cfg.stage_c_buckets_per_task
         specs = [
@@ -2077,10 +2035,11 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
         # stage wall == slowest task, so equal-rows ranges beat equal-width
         # ones whenever bucket sizes skew. At very large partition counts
         # this driver-side footer scan becomes its own tiny map round.
-        try:
-            n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            n_cpus = 8
+        if n_cpus is None:
+            try:
+                n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                n_cpus = 8
         n_segs = max(1, len(seg_pids))
         tasks_per_seg = max(1, min(merge_buckets,
                                    -(-max(n_segs, n_cpus) // n_segs)))
@@ -2125,6 +2084,66 @@ def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
                 if hi > lo:
                     specs.append({"seg": s, "bucket": int(lo),
                                   "bucket_hi": int(hi)})
+    return specs, ctx
+
+
+def _run_stage_c(index_dir: str, manifest: Manifest, cfg: IndexConfig,
+                 only_pids: list[int] | None = None, append: bool = False,
+                 deleted: dict | None = None) -> None:
+    """The merge stage, parameterized so incremental builds and compaction
+    reuse it over a subset of partitions. A map-side shuffle (module
+    docstring): Stage A already wrote partials pre-bucketed by
+    crc32(term) % merge_buckets, so this stage is one pruned-read +
+    merge+encode + direct-write task per (segment, bucket) — no all-to-all
+    exchange, no sort, no postings bytes through the object store."""
+    postings_dir = os.path.join(index_dir, "postings")
+    specs, ctx = _plan_stage_c(index_dir, manifest, cfg, only_pids, deleted)
+    merge_buckets = ctx["merge_buckets"]
+
+    # hot pre-pass: extract every hot term's row from each partial file ONCE
+    # into a tiny per-pid sidecar (<=|hot| rows). Without it, every
+    # (seg, bucket-range) task re-decoded the scattered home-bucket row
+    # groups of every pid it routes from — tasks_per_seg x the decode.
+    hot_dir = None
+    if ctx["hot"] and cfg.stage_c_hot_prepass:
+        hot_dir = os.path.join(index_dir, "hot_spill")
+        shutil.rmtree(hot_dir, ignore_errors=True)
+        os.makedirs(hot_dir, exist_ok=True)
+        homes = {crc % merge_buckets for _, crc in ctx["hot"]}
+        hot_sorted = sorted(t for t, _ in ctx["hot"])
+        all_pids = sorted({p for ps in ctx["seg_pids"].values() for p in ps})
+        idir, hdir = index_dir, hot_dir
+
+        def _extract(batch: pa.Table) -> pa.Table:
+            done = []
+            for pid in batch.column("pid").to_pylist():
+                t = _read_hot_rows(partials_path(idir, pid), homes,
+                                   merge_buckets, hot_sorted)
+                if t is not None:
+                    # term-sorted + tiny row groups: hot rows are the
+                    # heaviest in the index (that is why they are salted),
+                    # so consumers must be able to term-prune the decode
+                    t = t.sort_by("term")
+                    _atomic_write_table(
+                        t, os.path.join(hdir, f"pid={pid:06d}.parquet"),
+                        cfg.partials_compression, row_group_size=4)
+                done.append(pid)
+            return pa.table({"pid": pa.array(done, pa.int64())})
+
+        with _no_probe_ramp():
+            for _ in ray.data.from_items(
+                [{"pid": p} for p in all_pids],
+                override_num_blocks=len(all_pids),
+            ).map_batches(
+                _extract, batch_format="pyarrow", batch_size=1, num_cpus=1,
+            ).iter_batches(batch_format="pyarrow"):
+                pass
+        ctx["hot_dir"] = hot_dir
+
+    ctx_ref = ray.put(ctx)
+    tmp = postings_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     with _no_probe_ramp():
         metrics = ray.data.from_items(
             specs, override_num_blocks=len(specs)

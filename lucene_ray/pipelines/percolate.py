@@ -81,10 +81,16 @@ class _OneDocBM25Scorer:
         return s
 
 
-def _expand_against_vocab(q, vocab: list[str]) -> list[str]:
+def _expand_against_vocab(q, vocab: list[str],
+                          arr: "pa.Array | None" = None) -> list[str]:
     """Multi-term expansion against a batch vocabulary (AutomatonTermsEnum
-    over the MemoryIndex terms)."""
+    over the MemoryIndex terms). Vectorized: the vocab is matched as one
+    Arrow array through pyarrow.compute's RE2 kernels instead of a Python
+    loop per term; patterns RE2 cannot compile fall back to the scalar
+    path."""
     import re as _re
+
+    import pyarrow.compute as pc
 
     from lucene_ray.index.reader import _levenshtein_within
     from lucene_ray.search.query import (
@@ -95,27 +101,47 @@ def _expand_against_vocab(q, vocab: list[str]) -> list[str]:
         WildcardQuery,
     )
 
+    if arr is None:
+        arr = pa.array(vocab, pa.string())
+
+    def _take(mask) -> list[str]:
+        return arr.filter(mask).to_pylist()
+
     if isinstance(q, PrefixQuery):
-        return [t for t in vocab if t.startswith(q.prefix)]
+        return _take(pc.starts_with(arr, pattern=q.prefix))
     if isinstance(q, WildcardQuery):
-        rx = _re.compile(
-            "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                    for c in q.pattern) + r"\Z"
-        )
-        return [t for t in vocab if rx.match(t)]
+        pat = "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                      for c in q.pattern)
+        return _take(pc.match_substring_regex(arr, pattern=f"^(?:{pat})$"))
     if isinstance(q, RegexpQuery):
-        rx = _re.compile(q.pattern + r"\Z")
-        return [t for t in vocab if rx.match(t)]
+        try:
+            return _take(pc.match_substring_regex(
+                arr, pattern=f"^(?:{q.pattern})$"))
+        except pa.ArrowInvalid:  # RE2 can't compile it (e.g. backreference)
+            rx = _re.compile(q.pattern + r"\Z")
+            return [t for t in vocab if rx.match(t)]
     if isinstance(q, FuzzyQuery):
-        return [t for t in vocab if _levenshtein_within(t, q.term, q.max_edits)]
+        # length pre-filter: |len(t) - len(term)| <= max_edits is necessary
+        # for edit distance <= max_edits, so the O(len^2) DP only runs on
+        # the few survivors
+        ln = pc.utf8_length(arr)
+        lo, hi = len(q.term) - q.max_edits, len(q.term) + q.max_edits
+        mask = pc.and_(pc.greater_equal(ln, lo), pc.less_equal(ln, hi))
+        return [t for t in _take(mask)
+                if _levenshtein_within(t, q.term, q.max_edits)]
     if isinstance(q, TermRangeQuery):
-        def ok(t):
-            if q.lower is not None and (t < q.lower or (t == q.lower and not q.include_lower)):
-                return False
-            if q.upper is not None and (t > q.upper or (t == q.upper and not q.include_upper)):
-                return False
-            return True
-        return [t for t in vocab if ok(t)]
+        mask = None
+        if q.lower is not None:
+            m = (pc.greater_equal(arr, q.lower) if q.include_lower
+                 else pc.greater(arr, q.lower))
+            mask = m
+        if q.upper is not None:
+            m = (pc.less_equal(arr, q.upper) if q.include_upper
+                 else pc.less(arr, q.upper))
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is None:
+            return list(vocab)
+        return _take(mask)
     raise TypeError(q)
 
 
@@ -268,7 +294,8 @@ class Percolator:
             needed |= collect_terms(q)
             for m in collect_multi_term(q):
                 if m not in all_expansions:
-                    all_expansions[m] = _expand_against_vocab(m, vocab)
+                    all_expansions[m] = _expand_against_vocab(
+                        m, vocab, arr=partials.column("term").combine_chunks())
                 needed.update(all_expansions[m])
         for t in needed:
             i = row_of.get(t)

@@ -138,6 +138,140 @@ def run_body_level(n_procs: int, corpus: str, spawn: bool = False) -> tuple:
     return rows_total / wall, dist
 
 
+def _full_worker_a(specs, out_root, barrier, outq) -> None:
+    """Stage-A leg of the full-build twin: same as _body_worker but also
+    returns the per-partition metric rows Stage B needs (terms/tokens)."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    import pyarrow as pa
+
+    from lucene_ray.index.build import IndexConfig, _StageA
+
+    cfg = IndexConfig(partitions_per_segment=8)
+    sa = _StageA(cfg, out_root)
+    batch = pa.Table.from_pylist(specs)
+    sa(batch)  # untimed warm-up pass (pages, code paths)
+    barrier.wait()
+    t0 = time.time()
+    res = sa(batch)
+    outq.put((time.time() - t0, res.to_pylist()))
+
+
+def _full_worker_c(specs, cfg_kw, out_root, tmp, ctx, barrier, outq) -> None:
+    """Stage-C leg: the exact _StageCTask work over this worker's
+    cost-balanced (seg, bucket-range) specs, ctx passed as a plain dict
+    (the no-Ray path _StageCTask.ctx already supports)."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    import shutil
+
+    import pyarrow as pa
+
+    from lucene_ray.index.build import IndexConfig, _StageCTask
+
+    cfg = IndexConfig(**cfg_kw)
+    batch = pa.Table.from_pylist(specs)
+    warm_tmp = tmp + f".warm{os.getpid()}"
+    os.makedirs(warm_tmp, exist_ok=True)
+    _StageCTask(cfg, out_root, warm_tmp, dict(ctx))(batch)  # warm-up
+    shutil.rmtree(warm_tmp, ignore_errors=True)
+    barrier.wait()
+    t0 = time.time()
+    _StageCTask(cfg, out_root, tmp, dict(ctx))(batch)
+    outq.put(time.time() - t0)
+
+
+def run_full_body_level(n_procs: int, corpus: str, spawn: bool = False) -> tuple:
+    """Full-build no-Ray twin: Stage A (invert+flush) + Stage B (driver
+    groupby) + Stage C (merge+encode) under plain multiprocessing with the
+    SAME partition plan, segment layout, and cost-balanced Stage-C specs as
+    the Ray pipeline sized for ``n_procs`` CPUs. The complete identical-work
+    baseline for the pipeline-vs-host scaling adjudication (the A-only twin
+    leaves Stage C's heavier IO profile out of the comparison)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import (
+        IndexConfig, Manifest, _plan_stage_c, _run_stage_b, plan_partitions,
+        plan_segments,
+    )
+
+    total_rows = pq.ParquetFile(corpus).metadata.num_rows
+    n_parts = int(os.environ.get("BENCH_PARTS", "32"))
+    cfg = IndexConfig(
+        target_rows_per_partition=max(1000, total_rows // n_parts),
+        partitions_per_segment=8,
+        hot_df_threshold=total_rows // 4,
+    )
+    specs = plan_partitions([corpus], cfg)
+    out_root = f"/tmp/lucene_ray_bench/fullbody_{n_procs}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    manifest = Manifest(index_dir=out_root, config=cfg.to_dict(),
+                        partitions=specs, segments=plan_segments(specs, cfg))
+    ctx_mp = mp.get_context("spawn" if spawn else "fork")
+
+    # ---- Stage A ----
+    chunks = [specs[i::n_procs] for i in range(n_procs)]
+    chunks = [c for c in chunks if c]
+    barrier = ctx_mp.Barrier(len(chunks))
+    out_q = ctx_mp.Queue()
+    procs = [ctx_mp.Process(target=_full_worker_a,
+                            args=(c, out_root, barrier, out_q))
+             for c in chunks]
+    for p in procs:
+        p.start()
+    res = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    a_wall = max(r[0] for r in res)
+    import json as _json
+    for r in res:
+        for row in r[1]:
+            manifest.partials_done[str(row["pid"])] = {
+                "rows": row["rows"], "tokens": row["tokens"],
+                "terms": row["terms"],
+                "ftokens": _json.loads(row.get("ftokens") or "{}"),
+            }
+    manifest.save()
+
+    # ---- Stage B (driver-side groupby, same as the pipeline's fast path) --
+    t0 = time.time()
+    _run_stage_b(out_root, manifest)
+    b_sec = time.time() - t0
+
+    # ---- Stage C ----
+    c_specs, c_ctx = _plan_stage_c(out_root, manifest, cfg, n_cpus=n_procs)
+    tmp = os.path.join(out_root, "postings.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    c_chunks = [c_specs[i::n_procs] for i in range(n_procs)]
+    c_chunks = [c for c in c_chunks if c]
+    barrier = ctx_mp.Barrier(len(c_chunks))
+    out_q = ctx_mp.Queue()
+    cfg_kw = {"target_rows_per_partition": cfg.target_rows_per_partition,
+              "partitions_per_segment": cfg.partitions_per_segment,
+              "hot_df_threshold": cfg.hot_df_threshold}
+    procs = [ctx_mp.Process(target=_full_worker_c,
+                            args=(c, cfg_kw, out_root, tmp, c_ctx, barrier,
+                                  out_q))
+             for c in c_chunks]
+    for p in procs:
+        p.start()
+    c_walls = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    c_wall = max(c_walls)
+
+    total = a_wall + b_sec + c_wall
+    detail = {"A_invert": round(a_wall, 2), "B_term_stats": round(b_sec, 2),
+              "C_merge_encode": round(c_wall, 2),
+              "n_stage_c_tasks": len(c_specs)}
+    shutil.rmtree(out_root, ignore_errors=True)
+    return total_rows / total, detail
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4000)
@@ -147,12 +281,38 @@ def main() -> None:
     ap.add_argument("--body", action="store_true",
                     help="run the full Stage-A body over the bench corpus "
                          "instead of the pure invert kernel")
+    ap.add_argument("--body-full", action="store_true",
+                    help="run the COMPLETE build (Stage A+B+C) over the "
+                         "bench corpus under plain multiprocessing — the "
+                         "whole-pipeline no-Ray twin")
     ap.add_argument("--spawn", action="store_true",
                     help="body workers via spawn (exec, no fork COW) — the "
                          "Ray-worker process model")
     ap.add_argument("--corpus", type=str, default="")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+
+    if args.body_full:
+        corpus = args.corpus
+        if not corpus:
+            rows = int(os.environ.get("BENCH_CORPUS_ROWS", "300000"))
+            corpus = f"/tmp/lucene_ray_bench/corpus_{rows}.parquet"
+        pairs = {str(n): run_full_body_level(n, corpus, args.spawn)
+                 for n in levels}
+        results = {k: round(v[0], 1) for k, v in pairs.items()}
+        out = {
+            "metric": "full_build_body_docs_per_sec_multiprocessing",
+            "note": "complete build (Stage A+B+C), no Ray"
+                    + (", spawn (exec) workers" if args.spawn else ""),
+            "start_method": "spawn" if args.spawn else "fork",
+            "corpus": corpus,
+            "docs_per_sec": results,
+            "stage_seconds": {k: v[1] for k, v in pairs.items()},
+        }
+        if "8" in results and "32" in results:
+            out["eff_8_32"] = round(results["32"] / results["8"] / 4, 3)
+        print(json.dumps(out))
+        return
 
     if args.body:
         corpus = args.corpus

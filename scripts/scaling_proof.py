@@ -79,14 +79,32 @@ def body_dps(ncpu: int, spawn: bool = False) -> tuple:
             r.get("task_ms", {}).get(str(ncpu), {}))
 
 
-def one_round(rnd: int) -> dict:
+def full_body_dps(ncpu: int) -> tuple:
+    """COMPLETE build (Stage A+B+C) under plain multiprocessing — the
+    whole-pipeline no-Ray twin. Unlike the A-only body, this covers Stage
+    C's heavier shuffle-read + encode + write profile, so
+    pipeline-vs-full-body is the apples-to-apples zero-overhead test for
+    the build pipeline's committed eff(8->32)."""
+    env = dict(os.environ, BENCH_CORPUS_ROWS=str(PROOF_ROWS))
+    r = _run_json(
+        [sys.executable, os.path.join(REPO, "scripts", "microbench_invert.py"),
+         "--body-full", "--levels", str(ncpu)],
+        env,
+    )
+    return (float(r["docs_per_sec"][str(ncpu)]),
+            r.get("stage_seconds", {}).get(str(ncpu), {}))
+
+
+def one_round(rnd: int, include_spawn: bool = False) -> dict:
     levels = [8, 32] if rnd % 2 == 0 else [32, 8]
     pipe: dict[str, float] = {}
     micro: dict[str, float] = {}
     body: dict[str, float] = {}
+    fullb: dict[str, float] = {}
     spawnb: dict[str, float] = {}
     stage_a: dict[str, float] = {}
     stages: dict[str, dict] = {}
+    full_stages: dict[str, dict] = {}
     task_ms: dict[str, dict] = {}
     body_ms: dict[str, dict] = {}
     spawn_ms: dict[str, dict] = {}
@@ -100,31 +118,42 @@ def one_round(rnd: int) -> dict:
             stage_a[str(n)] = round(PROOF_ROWS / sa, 1)
         micro[str(n)] = micro_dps(n)
         body[str(n)], body_ms[str(n)] = body_dps(n)
-        spawnb[str(n)], spawn_ms[str(n)] = body_dps(n, spawn=True)
+        fullb[str(n)], full_stages[str(n)] = full_body_dps(n)
+        if include_spawn:
+            spawnb[str(n)], spawn_ms[str(n)] = body_dps(n, spawn=True)
     pipe_eff = pipe["32"] / pipe["8"] / 4
     micro_eff = micro["32"] / micro["8"] / 4
     body_eff = body["32"] / body["8"] / 4
-    spawn_eff = spawnb["32"] / spawnb["8"] / 4
+    full_eff = fullb["32"] / fullb["8"] / 4
     out = {
         "metric": "scaling_proof_interleaved",
         "corpus_rows": PROOF_ROWS,
         "pipeline_docs_per_sec": pipe,
         "micro_docs_per_sec": micro,
         "body_docs_per_sec": body,
+        "full_body_docs_per_sec": fullb,
         "stage_a_docs_per_sec": stage_a,
-        "spawn_body_docs_per_sec": spawnb,
         "pipeline_eff_8_32": round(pipe_eff, 3),
         "micro_eff_8_32": round(micro_eff, 3),
         "body_eff_8_32": round(body_eff, 3),
-        "spawn_body_eff_8_32": round(spawn_eff, 3),
+        "full_body_eff_8_32": round(full_eff, 3),
         "ratio_pipeline_over_micro": round(pipe_eff / micro_eff, 3) if micro_eff else None,
         "ratio_pipeline_over_body": round(pipe_eff / body_eff, 3) if body_eff else None,
-        "ratio_pipeline_over_spawn": round(pipe_eff / spawn_eff, 3) if spawn_eff else None,
+        "ratio_pipeline_over_full_body": round(pipe_eff / full_eff, 3) if full_eff else None,
+        # absolute throughput ratio at 32 — Ray pipeline vs the identical
+        # no-Ray build in the SAME window (1.0 = Ray adds zero overhead)
+        "pipe_over_full_body_dps_32": round(pipe["32"] / fullb["32"], 3) if fullb.get("32") else None,
         "stage_seconds": stages,
+        "full_body_stage_seconds": full_stages,
         "stage_a_task_ms": task_ms,
         "body_task_ms": body_ms,
-        "spawn_body_task_ms": spawn_ms,
     }
+    if include_spawn:
+        spawn_eff = spawnb["32"] / spawnb["8"] / 4
+        out["spawn_body_docs_per_sec"] = spawnb
+        out["spawn_body_eff_8_32"] = round(spawn_eff, 3)
+        out["ratio_pipeline_over_spawn"] = round(pipe_eff / spawn_eff, 3) if spawn_eff else None
+        out["spawn_body_task_ms"] = spawn_ms
     if stage_a.get("8") and stage_a.get("32"):
         # Ray Stage A vs the identical no-Ray body: the zero-overhead test
         a_eff = stage_a["32"] / stage_a["8"] / 4
@@ -136,10 +165,12 @@ def one_round(rnd: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--spawn-twin", action="store_true",
+                    help="also run the spawn (exec) Stage-A body twin")
     args = ap.parse_args()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     for rnd in range(args.rounds):
-        r = one_round(rnd)
+        r = one_round(rnd, include_spawn=args.spawn_twin)
         print(json.dumps(r))
         with open(os.path.join(REPO, "BENCH", "scaling_proof.jsonl"), "a") as f:
             f.write(json.dumps({"ts": time.strftime("%Y-%m-%d %H:%M:%S"), **r}) + "\n")
