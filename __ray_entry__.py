@@ -531,6 +531,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ambiguity: 京都/東 hit (min-cost path), 東京/都 (the MaxMatch
         # segmentation) must contribute NO rows
         "ft_dict_viterbi_hits": _q(ft.dict_viterbi_hits),
+        # dictionary decompounding ('hash' -> ' donaudampfschiff ' with the
+        # 3-morpheme dictionary): subwords injected at the compound's
+        # position, original kept
+        "ft_decompound_hits": _q(ft.decompound_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1278,6 +1282,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT '東' AS term, doc_id FROM documents "
             "WHERE contains(text, 'merge')"
+            ") ORDER BY term, doc_id"
+        ),
+        # dictionary decompounding: the compound token and each of its
+        # three dictionary morphemes hit exactly the 'hash'-bearing docs
+        "ft_decompound_hits": (
+            "SELECT * FROM ("
+            "SELECT t.term, d.doc_id FROM documents d CROSS JOIN (VALUES "
+            "('donau'), ('dampf'), ('schiff'), ('donaudampfschiff')) "
+            "t(term) WHERE contains(d.text, 'hash')"
             ") ORDER BY term, doc_id"
         ),
         # tf of the interior bigram 本語 of the injected run 日本語学

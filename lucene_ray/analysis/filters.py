@@ -266,6 +266,22 @@ def build_filters(specs) -> tuple:
             out.append(StemmerOverrideFilter(spec[1]))
         elif kind == "length":
             out.append(LengthFilter(spec[1]["min"], spec[1]["max"]))
+        elif kind == "dict_decompound":
+            from lucene_ray.analysis.compound import DictionaryCompoundFilter
+
+            p = spec[1]
+            out.append(DictionaryCompoundFilter(
+                p["dict"], p.get("min_word", 5), p.get("min_sub", 2),
+                p.get("max_sub", 15), p.get("longest", False)))
+        elif kind == "hyph_decompound":
+            from lucene_ray.analysis.compound import (
+                HyphenationCompoundFilter, HyphenationPatterns)
+
+            p = spec[1]
+            out.append(HyphenationCompoundFilter(
+                HyphenationPatterns(p["patterns"]), p.get("dict"),
+                p.get("min_word", 5), p.get("min_sub", 2),
+                p.get("max_sub", 15), p.get("longest", False)))
         else:
             raise ValueError(f"unknown token filter spec: {spec!r}")
     return tuple(out)

@@ -302,6 +302,83 @@ def documents_viterbi_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+# compound injection for the decompounder index: every 'hash' substring
+# becomes the standalone compound token below; the dictionary covers its
+# three morphemes, so dict_decompound must emit each of them at the
+# compound's position (CompoundWordTokenFilterBase posInc-0 contract) and
+# every subword term hits exactly the 'hash'-containing docs
+COMPOUND_SUB = ("hash", " donaudampfschiff ")
+COMPOUND_DICT = ("donau", "dampf", "schiff")
+
+
+def documents_decompound_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived compound-bearing twin
+    of ``text`` analyzed with uax29 + DictionaryCompoundFilter — the
+    decompounding chain (lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/compound/DictionaryCompoundWordTokenFilter.java)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:decomp-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-decomp-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=COMPOUND_SUB[0],
+                                         replacement=COMPOUND_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("dict_decompound",
+                            {"dict": list(COMPOUND_DICT)}),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def decompound_hits(sf_dir: str) -> pa.Table:
+    """(term, doc_id) hit sets over the decompounded derived corpus: each
+    dictionary morpheme AND the original compound hit exactly the docs
+    whose raw text contains 'hash' — exact substring-containment SQL
+    oracle proving subwords are injected and the original is kept."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_decompound_index(sf_dir)
+    parts = []
+    for term in COMPOUND_DICT + (COMPOUND_SUB[1].strip(),):
+        t = _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader),
+                      reader)
+        if len(t):
+            parts.append(pa.table({
+                "term": pa.array([term] * len(t), pa.string()),
+                "doc_id": t.column("doc_id"),
+            }))
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
 def dict_viterbi_hits(sf_dir: str) -> pa.Table:
     """(term, doc_id) hit sets over the Viterbi-segmented derived corpus:
     京都 and 東 hit exactly the docs whose raw text contains 'merge'
