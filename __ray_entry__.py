@@ -535,6 +535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3-morpheme dictionary): subwords injected at the compound's
         # position, original kept
         "ft_decompound_hits": _q(ft.decompound_hits),
+        # leading wildcard *qzx as PrefixQuery('xzq…') over the
+        # ReverseStringFilter mirror index ('scan' -> ' wunderqzx ')
+        "ft_suffix_wildcard_hits": _q(ft.suffix_wildcard_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -736,6 +739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ib_top10": _q(
             lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
                                                     "ib_ll_df_h1"))
+        ),
+        "ft_multisim_top10": _q(
+            lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
+                                                    "multi_rawtf_ib"))
         ),
         "ft_rawtf_top10": _q(
             lambda sf: _score_r6(ft.similarity_topk(sf, "customer",
@@ -1283,6 +1290,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '東' AS term, doc_id FROM documents "
             "WHERE contains(text, 'merge')"
             ") ORDER BY term, doc_id"
+        ),
+        # reversed mirror field: *qzx hits exactly the docs whose raw text
+        # contains 'scan' (the only source of qzx-suffixed tokens)
+        "ft_suffix_wildcard_hits": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'scan') "
+            "ORDER BY doc_id"
         ),
         # dictionary decompounding: the compound token and each of its
         # three dictionary morphemes hit exactly the 'hash'-bearing docs
@@ -2619,6 +2632,17 @@ def oracle_sql() -> dict[str, str]:
     # raw tf as the score
     out["ft_rawtf_top10"] = _sim_base + (
         "sc AS (SELECT doc_id, CAST(tf AS REAL) AS s FROM tf) "
+    ) + _rank_tail
+    # MultiSimilarity(RawTF, IB LL/DF/H1): float32(tf) + float32(ib) with
+    # one more float32 cast — the _SumScorer accumulation order
+    out["ft_multisim_top10"] = _sim_base + (
+        "lam AS (SELECT CAST(CAST(((SELECT df FROM agg) + 1.0) / "
+        "((SELECT n FROM stats) + 1.0) AS REAL) AS DOUBLE) AS l), "
+        "sc AS (SELECT tf.doc_id, CAST("
+        "CAST(tf.tf AS REAL) + CAST(greatest(0.0, "
+        "-ln((SELECT l FROM lam) / (tf.tf::DOUBLE * 1.0 * "
+        "((SELECT avgdl FROM stats) / ld.dl2) + (SELECT l FROM lam)))"
+        ") AS REAL) AS REAL) AS s FROM tf JOIN ld USING (doc_id)) "
     ) + _rank_tail
     # ---- round-5 similarity grid (float32-exact: double pipeline, same
     # operation order as the GridScorer kernels, one REAL cast) ----

@@ -164,7 +164,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ann_int4_top10", "ft_passages_bm25",
                      "ft_dict_viterbi_hits", "ft_uax29_joiner_hits",
                      "ft_dfr_g_top10", "ft_ib_spl_top10", "ft_indri_top10",
-                     "ft_axiomatic_f2log_top10"]:
+                     "ft_axiomatic_f2log_top10", "ft_decompound_hits",
+                     "ft_suffix_wildcard_hits", "ft_multisim_top10"]:
             # ANN entries build a /tmp-cached index on first touch; a cold
             # battery number would conflate one-time build with per-query
             # search (the round-4 ann_ivf 0.84->4.56s adjudication). Warm

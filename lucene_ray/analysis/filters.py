@@ -90,6 +90,58 @@ class LengthFilter(TokenFilter):
         return not (self.min_len <= len(term) <= self.max_len)
 
 
+class ReverseStringFilter(TokenFilter):
+    """ReverseStringFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/reverse/ReverseStringFilter.java:39): reverses every
+    token. Indexing a mirror field through this filter turns a leading
+    wildcard (``*suffix``) into a cheap PrefixQuery on the reversed field —
+    the classic Solr ReversedWildcardFilter pattern."""
+
+    spec = ("reverse",)
+
+    def map_term(self, term: str) -> str:
+        return term[::-1]
+
+
+class ElisionFilter(TokenFilter):
+    """ElisionFilter (lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/util/ElisionFilter.java:34): strips a leading article +
+    apostrophe ("l'avion" -> "avion") when the article is in the configured
+    set (FrenchAnalyzer's DEFAULT_ARTICLES by default)."""
+
+    DEFAULT_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                        "jusqu", "quoiqu", "lorsqu", "puisqu")
+
+    def __init__(self, articles=None):
+        arts = tuple(articles) if articles is not None else self.DEFAULT_ARTICLES
+        self.articles = frozenset(a.lower() for a in arts)
+        self.spec = ("elision", sorted(self.articles))
+
+    def map_term(self, term: str) -> str:
+        for apos in ("'", "’"):
+            i = term.find(apos)
+            if 0 < i < len(term) - 1 and term[:i].lower() in self.articles:
+                return term[i + 1:]
+        return term
+
+
+class DecimalDigitFilter(TokenFilter):
+    """DecimalDigitFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/core/DecimalDigitFilter.java:30): folds any Unicode
+    decimal digit (Nd) to its 0-9 equivalent ('٣' -> '3')."""
+
+    spec = ("decimal_digit",)
+
+    def map_term(self, term: str) -> str:
+        if term.isascii():
+            return term
+        out = []
+        for c in term:
+            d = unicodedata.digit(c, None)
+            out.append(str(d) if d is not None and not c.isascii() else c)
+        return "".join(out)
+
+
 class AsciiFoldingFilter(TokenFilter):
     """NFKD-decompose and drop combining marks — covers the accented-Latin
     core of Lucene's ASCIIFoldingFilter table."""
@@ -266,6 +318,12 @@ def build_filters(specs) -> tuple:
             out.append(StemmerOverrideFilter(spec[1]))
         elif kind == "length":
             out.append(LengthFilter(spec[1]["min"], spec[1]["max"]))
+        elif kind == "reverse":
+            out.append(ReverseStringFilter())
+        elif kind == "elision":
+            out.append(ElisionFilter(spec[1] if len(spec) > 1 else None))
+        elif kind == "decimal_digit":
+            out.append(DecimalDigitFilter())
         elif kind == "dict_decompound":
             from lucene_ray.analysis.compound import DictionaryCompoundFilter
 

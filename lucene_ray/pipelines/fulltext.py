@@ -379,6 +379,70 @@ def decompound_hits(sf_dir: str) -> pa.Table:
     return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
 
 
+# reversed-field injection: every 'scan' substring becomes the standalone
+# token below; its suffix 'qzx' occurs nowhere else in the deterministic
+# corpus, so PrefixQuery('xzq…') over the REVERSED index == leading
+# wildcard *qzx == exactly the 'scan'-bearing docs
+REVERSE_SUB = ("scan", " wunderqzx ")
+
+
+def documents_reversed_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index whose tokens pass through
+    ReverseStringFilter (lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/reverse/ReverseStringFilter.java) — the mirror field that
+    makes leading wildcards cheap (Solr ReversedWildcardFilterFactory
+    pattern: ``*suffix`` becomes a prefix scan on the reversed field)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:rev-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-rev-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=REVERSE_SUB[0],
+                                         replacement=REVERSE_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("reverse",),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def suffix_wildcard_hits(sf_dir: str, suffix: str = "qzx") -> pa.Table:
+    """doc_ids matching the leading wildcard ``*suffix`` executed as a
+    PrefixQuery(reversed(suffix)) over the reversed-token index — no term
+    enumeration over the whole dictionary, the point of the mirror field."""
+    from lucene_ray.search.query import PrefixQuery
+
+    reader = documents_reversed_index(sf_dir)
+    t = _orig_ids(sf_dir,
+                  _all_matches(sf_dir, PrefixQuery(suffix[::-1]), reader),
+                  reader)
+    return t.sort_by("doc_id")
+
+
 def dict_viterbi_hits(sf_dir: str) -> pa.Table:
     """(term, doc_id) hit sets over the Viterbi-segmented derived corpus:
     京都 and 東 hit exactly the docs whose raw text contains 'merge'
@@ -1268,6 +1332,10 @@ _SIMS.update({
     "axiomatic_f3exp": lambda: _sim_mod().AxiomaticSimilarity("f3exp"),
     "axiomatic_f3log": lambda: _sim_mod().AxiomaticSimilarity("f3log"),
     "indri_dirichlet": lambda: _sim_mod().IndriDirichletSimilarity(),
+    # MultiSimilarity.java: a term's score is the SUM of the subs' scores
+    # (float32 accumulation in sub order, oracle-replayable)
+    "multi_rawtf_ib": lambda: _sim_mod().MultiSimilarity(
+        [_sim_mod().RawTFSimilarity(), _sim_mod().IBSimilarity()]),
 })
 
 

@@ -585,6 +585,53 @@ class RawTFSimilarity:
                            for ts in term_stats)
 
 
+class _SumScorer:
+    """Sums the scores of heterogeneous sub-scorers for the SAME term —
+    MultiSimilarity.MultiSimScorer.score (lucene/core/src/java/org/apache/
+    lucene/search/similarities/MultiSimilarity.java:58-66: ``sum +=
+    subScorer.score(freq, norm)``). float32 accumulation in sub order, so
+    an oracle can replay the exact addition sequence."""
+
+    __slots__ = ("subs",)
+
+    def __init__(self, subs):
+        self.subs = tuple(subs)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        acc = self.subs[0].score(freqs, norm_bytes).astype(np.float32)
+        for s in self.subs[1:]:
+            acc = (acc + s.score(freqs, norm_bytes).astype(np.float32)
+                   ).astype(np.float32)
+        return acc
+
+    def max_score(self, freq: int, norm_byte: int) -> np.float32:
+        # upper bound: sum of the subs' bounds (each is itself admissible)
+        return np.float32(sum(s.max_score(freq, norm_byte)
+                              for s in self.subs))
+
+    def with_boost(self, boost: float) -> "_SumScorer":
+        return _SumScorer(s.with_boost(boost) for s in self.subs)
+
+
+class MultiSimilarity:
+    """MultiSimilarity (lucene/core/src/java/org/apache/lucene/search/
+    similarities/MultiSimilarity.java:29): wraps N similarities; a term's
+    score is the SUM of the sub-similarities' scores (the Java computes the
+    norm with the first sub — our norms are SmallFloat bytes shared by all
+    sims, so that detail is moot here)."""
+
+    def __init__(self, subs):
+        if not subs:
+            raise ValueError("MultiSimilarity needs at least one sub")
+        self.subs = tuple(subs)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        per_sub = [s.scorer(boost, collection_stats, *term_stats)
+                   for s in self.subs]
+        return _SumScorer(per_sub)
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):

@@ -456,3 +456,34 @@ def test_grid_param_validation():
         IBGridSimilarity("ll", "nope")
     with pytest.raises(ValueError):
         AxiomaticSimilarity("f9")
+
+
+def test_multi_similarity_sums_sub_scores():
+    from lucene_ray.search.similarity import (
+        BM25Similarity, MultiSimilarity, RawTFSimilarity)
+
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    multi = MultiSimilarity([RawTFSimilarity(), BM25Similarity()])
+    s = multi.scorer(1.0, cs, ts)
+    raw = RawTFSimilarity().scorer(1.0, cs, ts)
+    bm = BM25Similarity().scorer(1.0, cs, ts)
+    freqs = np.array([1, 3, 7])
+    norms = np.array([40, 80, 120])
+    want = (raw.score(freqs, norms).astype(np.float32)
+            + bm.score(freqs, norms).astype(np.float32)).astype(np.float32)
+    got = s.score(freqs, norms)
+    assert got.dtype == np.float32
+    assert np.array_equal(got, want)
+    # max_score admissible: bound >= every achievable score
+    assert s.max_score(7, 120) >= got[2]
+    # boost distributes into the subs
+    sb = multi.scorer(2.0, cs, ts)
+    assert np.all(sb.score(freqs, norms) >= got)
+
+
+def test_multi_similarity_empty_rejected():
+    from lucene_ray.search.similarity import MultiSimilarity
+
+    with pytest.raises(ValueError):
+        MultiSimilarity([])
