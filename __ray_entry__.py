@@ -538,6 +538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leading wildcard *qzx as PrefixQuery('xzq…') over the
         # ReverseStringFilter mirror index ('scan' -> ' wunderqzx ')
         "ft_suffix_wildcard_hits": _q(ft.suffix_wildcard_hits),
+        # index-time multi-word synonym ('new york' -> 'ny', flattened):
+        # contraction term + still-matching source phrase
+        "ft_phrase_synonym_hits": _q(ft.phrase_synonym_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1289,6 +1292,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT '東' AS term, doc_id FROM documents "
             "WHERE contains(text, 'merge')"
+            ") ORDER BY term, doc_id"
+        ),
+        # multi-word synonym: both the contraction 'ny' and the source
+        # phrase 'new york' hit exactly the 'hash'-bearing docs ('york'
+        # never occurs naturally, so the adjacent pair is injection-only)
+        "ft_phrase_synonym_hits": (
+            "SELECT * FROM ("
+            "SELECT 'ny' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'hash') "
+            "UNION ALL "
+            "SELECT 'new york' AS term, doc_id FROM documents "
+            "WHERE contains(text, 'hash')"
             ") ORDER BY term, doc_id"
         ),
         # reversed mirror field: *qzx hits exactly the docs whose raw text

@@ -155,6 +155,12 @@ class IndexConfig:
     # (posInc-0 overlap tokens). Enables exact-bigram filters/speedups the
     # CommonGrams way; no '_' filler across stopword holes (documented)
     shingles: tuple = ()
+    # multi-word synonym rules ((src_tokens...), dst_token) applied to the
+    # analyzed stream — the index-time SynonymGraphFilter+FlattenGraphFilter
+    # chain (synonym/SynonymGraphFilter.java): dst injected at the matched
+    # phrase's first position (posInc 0, outside norms), offsets spanning
+    # the whole phrase. Single-token outputs only (invert._inject_phrase_synonyms)
+    phrase_synonyms: tuple = ()
     compression: str = "zstd"
     # codec for the INTERMEDIATE shuffle files (Stage-A partials + hot
     # sidecars): written once, read once by Stage C, then deleted — decode
@@ -200,6 +206,10 @@ class IndexConfig:
         ]
         d["dict_lexicon"] = list(self.dict_lexicon)
         d["shingles"] = list(self.shingles)
+        d["phrase_synonyms"] = [
+            [list(src) if isinstance(src, (list, tuple)) else [src], dst]
+            for src, dst in self.phrase_synonyms
+        ]
         return d
 
 
@@ -600,6 +610,7 @@ class _StageA:
                     dict_lexicon=cfg.dict_lexicon,
                     char_filters=cfg.char_filters,
                     shingles=cfg.shingles,
+                    phrase_synonyms=cfg.phrase_synonyms,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -635,6 +646,7 @@ class _StageA:
                         dict_lexicon=cfg.dict_lexicon,
                         char_filters=cfg.char_filters,
                         shingles=cfg.shingles,
+                        phrase_synonyms=cfg.phrase_synonyms,
                     )
                     part = part.set_column(
                         part.schema.get_field_index("term"), "term",
@@ -1272,7 +1284,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
 _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
-    "path_cols", "text_cols", "char_filters", "shingles", "index_sort", "block_col",
+    "path_cols", "text_cols", "char_filters", "shingles", "phrase_synonyms", "index_sort", "block_col",
     "compute_sha256", "merge_buckets", "id_cols",
 )
 

@@ -758,6 +758,94 @@ def _apply_token_filters(filters, tok_ids, vocab, doc_idx, positions,
     return tok_ids, vocab, doc_idx, positions, start_chars, end_chars, drop_counts
 
 
+def _inject_phrase_synonyms(tok_ids, vocab, doc_idx, positions, start_chars,
+                            end_chars, rules):
+    """Multi-word synonym injection — the index-time SynonymGraphFilter +
+    FlattenGraphFilter chain (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/synonym/SynonymGraphFilter.java:58: "when used during
+    indexing, it's necessary to ... use FlattenGraphFilter"). A rule
+    (src_tokens, dst_token) matches every occurrence of the src tokens at
+    consecutive positions within a doc and injects dst at the FIRST token's
+    position (posInc 0 — outside field length/norms: callers compute
+    lengths before injection), offsets spanning first-token start ..
+    last-token end, exactly the flattened single-position synonym Lucene
+    indexes for a contraction rule ("new york => ny").
+
+    Rules are matched on the ANALYZED stream (this runs after the filter
+    chain), mirroring SynonymMap.Builder's analyze() of rule text. Only
+    single-token outputs are supported — a flattened multi-token output
+    collapses positions and silently breaks phrase queries, so we reject it
+    rather than mis-index (documented divergence; Lucene emits it with the
+    same caveat).
+
+    Vectorized: one shifted-array mask per rule over the (doc, pos) arrays;
+    the combined stream re-interns with one dictionary_encode."""
+    n_tok = len(tok_ids)
+    vocab_py = vocab.to_pylist()
+    vid = {t: i for i, t in enumerate(vocab_py)}
+    stream = None
+    str_parts: list = []
+    doc_parts = [doc_idx]
+    pos_parts = [positions]
+    sc_parts = [start_chars] if start_chars is not None else None
+    ec_parts = [end_chars] if end_chars is not None else None
+    for rule in rules:
+        src, dst = rule[0], rule[1]
+        src = [src] if isinstance(src, str) else list(src)
+        if not isinstance(dst, str):
+            if len(dst) != 1:
+                raise ValueError(
+                    f"phrase synonym output must be a single token: {dst!r}")
+            dst = dst[0]
+        k = len(src)
+        ids = [vid.get(t) for t in src]
+        if any(i is None for i in ids) or n_tok < k:
+            continue  # a src token absent from this partition: no matches
+        head = np.arange(0, n_tok - k + 1)
+        ok = tok_ids[head] == ids[0]
+        for j in range(1, k):
+            ok &= tok_ids[head + j] == ids[j]
+        if k > 1:
+            ok &= (doc_idx[head + k - 1] == doc_idx[head]) & (
+                positions[head + k - 1] == positions[head] + (k - 1)
+            )
+        sel = head[ok]
+        if len(sel) == 0:
+            continue
+        if stream is None:
+            stream = pc.take(vocab, pa.array(tok_ids, pa.int32()))
+            if isinstance(stream, pa.ChunkedArray):
+                stream = stream.combine_chunks()
+            str_parts.append(stream)
+        str_parts.append(pa.array([dst] * len(sel), pa.string()))
+        doc_parts.append(doc_idx[sel])
+        pos_parts.append(positions[sel])
+        if sc_parts is not None:
+            sc_parts.append(start_chars[sel])
+            ec_parts.append(end_chars[sel + k - 1])
+    if stream is None:  # no rule matched anywhere
+        return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+    all_str = pa.concat_arrays([p.cast(pa.string()) for p in str_parts])
+    d = all_str.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    tok_ids = np.asarray(d.indices, dtype=np.int32)
+    vocab = d.dictionary
+    doc_idx = np.concatenate(doc_parts)
+    positions = np.concatenate(pos_parts)
+    if sc_parts is not None:
+        start_chars = np.concatenate(sc_parts)
+        end_chars = np.concatenate(ec_parts)
+    order = np.lexsort((positions, doc_idx))
+    tok_ids = tok_ids[order]
+    doc_idx = doc_idx[order]
+    positions = positions[order]
+    if sc_parts is not None:
+        start_chars = start_chars[order]
+        end_chars = end_chars[order]
+    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+
+
 def _inject_shingles(tok_ids, vocab, doc_idx, positions, start_chars,
                      end_chars, sizes):
     """ShingleFilter analog (analysis/shingle/ShingleFilter.java:66-101):
@@ -835,6 +923,7 @@ def invert_partition(
     dict_lexicon: tuple = (),
     char_filters: tuple = (),
     shingles: tuple = (),
+    phrase_synonyms: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -899,6 +988,16 @@ def invert_partition(
             lengths = lengths - np.pad(
                 drop_counts, (0, n_docs - len(drop_counts)))
             norm_bytes = int_to_byte4_array(lengths)
+
+    if phrase_synonyms:
+        if not with_offsets:
+            start_chars = end_chars = None
+        tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
+            _inject_phrase_synonyms(tok_ids, vocab, doc_idx, positions,
+                                    start_chars, end_chars,
+                                    phrase_synonyms)
+        )
+        total = len(tok_ids)
 
     if shingles:
         if not with_offsets:

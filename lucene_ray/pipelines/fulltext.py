@@ -379,6 +379,91 @@ def decompound_hits(sf_dir: str) -> pa.Table:
     return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
 
 
+# multi-word synonym injection: every 'hash' substring becomes the token
+# pair below; the rule maps the ADJACENT pair to 'ny', so tf/hits of 'ny'
+# replay exactly as substring counts of 'hash' ('york' never occurs
+# naturally in the deterministic code corpus, so the pair can only come
+# from an injection)
+PHRASE_SYN_SUB = ("hash", " new york ")
+PHRASE_SYN_RULES = ((("new", "york"), "ny"),)
+
+
+def documents_phrase_syn_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with the index-time multi-word
+    synonym chain (SynonymGraphFilter + FlattenGraphFilter — lucene/
+    analysis/common/src/java/org/apache/lucene/analysis/synonym/
+    SynonymGraphFilter.java): 'new york' -> 'ny' injected at the phrase's
+    first position."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:psyn-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-psyn-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=PHRASE_SYN_SUB[0],
+                                         replacement=PHRASE_SYN_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            phrase_synonyms=PHRASE_SYN_RULES,
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def phrase_synonym_hits(sf_dir: str) -> pa.Table:
+    """(term, doc_id) over the multi-word-synonym index: the contraction
+    'ny' AND the phrase tokens 'new'/'york' (kept beside the synonym) all
+    hit the 'hash'-bearing docs ('new' additionally hits its natural
+    occurrences — replayed in SQL via token containment)."""
+    from lucene_ray.search.query import PhraseQuery, TermQuery
+
+    reader = documents_phrase_syn_index(sf_dir)
+    parts = []
+    t = _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery("ny"), reader),
+                  reader)
+    if len(t):
+        parts.append(pa.table({
+            "term": pa.array(["ny"] * len(t), pa.string()),
+            "doc_id": t.column("doc_id"),
+        }))
+    # the original phrase still matches beside the flattened synonym
+    p = _orig_ids(sf_dir,
+                  _all_matches(sf_dir, PhraseQuery(("new", "york")), reader),
+                  reader)
+    if len(p):
+        parts.append(pa.table({
+            "term": pa.array(["new york"] * len(p), pa.string()),
+            "doc_id": p.column("doc_id"),
+        }))
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts)
+    return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
 # reversed-field injection: every 'scan' substring becomes the standalone
 # token below; its suffix 'qzx' occurs nowhere else in the deterministic
 # corpus, so PrefixQuery('xzq…') over the REVERSED index == leading
