@@ -414,6 +414,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_table(sample_stratified(
             _docs(sf_dir), {"en": "80", "fr": "40", "de": "20"}))
 
+    def _domain_cap(sf_dir):
+        import pyarrow as _pa
+
+        from lucene_ray.ops.curate import cap_per_group
+
+        kept = cap_per_group(_docs(sf_dir), 40, group_col="source")
+        t = _pa.Table.from_pandas(
+            kept.select_columns(["doc_id", "source"]).to_pandas(),
+            preserve_index=False)
+        return t.sort_by("doc_id")
+
     def _decontaminate(sf_dir):
         import pyarrow as _pa
 
@@ -541,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index-time multi-word synonym ('new york' -> 'ny', flattened):
         # contraction term + still-matching source phrase
         "ft_phrase_synonym_hits": _q(ft.phrase_synonym_hits),
+        # Arabic light10 pack ('hash' -> ' الكتاب '): the bare stem كتاب
+        # hits exactly the injected docs (normalize + article strip)
+        "ft_arabic_stem_hits": _q(ft.arabic_stem_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1133,6 +1147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_high_value_orders": _q(rel.filter_high_value_orders),
         # --- corpus curation (training-data pipeline ops) ---
         "curate_sample_hash": _q(_sample_hash),
+        # per-domain cap (RefinedWeb-style): deterministic n smallest
+        # fmix32(doc_id) per source, exact window-function twin
+        "curate_domain_cap": _q(_domain_cap),
         "curate_sample_stratified": _q(_sample_stratified),
         "curate_decontaminate": _q(_decontaminate),
         # --- geo (LatLonPoint family over derived customer points) ---
@@ -1293,6 +1310,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '東' AS term, doc_id FROM documents "
             "WHERE contains(text, 'merge')"
             ") ORDER BY term, doc_id"
+        ),
+        # Arabic pack: stem hits == 'hash'-bearing docs
+        "ft_arabic_stem_hits": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'hash') "
+            "ORDER BY doc_id"
         ),
         # multi-word synonym: both the contraction 'ny' and the source
         # phrase 'new york' hit exactly the 'hash'-bearing docs ('york'
@@ -2374,6 +2396,12 @@ def oracle_sql() -> dict[str, str]:
         "curate_sample_hash": (
             "SELECT doc_id FROM documents WHERE "
             f"{_fmix32_sql('doc_id')} < {_hex_thr('2a')} ORDER BY doc_id"
+        ),
+        "curate_domain_cap": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            f"PARTITION BY source ORDER BY {_fmix32_sql('doc_id')}, doc_id"
+            ") AS rn FROM documents) WHERE rn <= 40 ORDER BY doc_id"
         ),
         "curate_sample_stratified": (
             "SELECT doc_id FROM documents WHERE "

@@ -90,6 +90,71 @@ class LengthFilter(TokenFilter):
         return not (self.min_len <= len(term) <= self.max_len)
 
 
+class TruncateTokenFilter(TokenFilter):
+    """TruncateTokenFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/miscellaneous/TruncateTokenFilter.java:29): truncates
+    every token to at most ``length`` chars. Keyword-aware, as in the
+    Java."""
+
+    respects_keyword = True
+
+    def __init__(self, length: int):
+        if length < 1:
+            raise ValueError("length must be >= 1")
+        self.length = int(length)
+        self.spec = ("truncate", self.length)
+
+    def map_term(self, term: str) -> str:
+        return term[: self.length]
+
+
+class PatternReplaceFilter(TokenFilter):
+    """PatternReplaceFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/pattern/PatternReplaceFilter.java:33): regex
+    substitution on every token (all occurrences when ``replace_all``,
+    else the first)."""
+
+    def __init__(self, pattern: str, replacement: str = "",
+                 replace_all: bool = True):
+        import re as _re
+
+        self.pattern = pattern
+        self.replacement = replacement
+        self.replace_all = bool(replace_all)
+        self._rx = _re.compile(pattern)
+        self.spec = ("pattern_replace", {"pattern": pattern,
+                                         "replacement": replacement,
+                                         "all": self.replace_all})
+
+    def map_term(self, term: str) -> str:
+        return self._rx.sub(self.replacement, term,
+                            count=0 if self.replace_all else 1)
+
+
+class PatternCaptureGroupFilter(TokenFilter):
+    """PatternCaptureGroupTokenFilter (lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/pattern/PatternCaptureGroupTokenFilter.java:56):
+    emits every capture group of every pattern as a same-position token
+    (posInc 0), preserving the original — e.g. splitting
+    "camelCaseToken" into its parts for code search."""
+
+    def __init__(self, patterns):
+        import re as _re
+
+        self.patterns = tuple(patterns)
+        self._rxs = tuple(_re.compile(p) for p in self.patterns)
+        self.spec = ("pattern_capture", list(self.patterns))
+
+    def synonyms(self, term: str) -> tuple:
+        out: list[str] = []
+        for rx in self._rxs:
+            for m in rx.finditer(term):
+                for g in m.groups():
+                    if g and g != term:
+                        out.append(g)
+        return tuple(dict.fromkeys(out))
+
+
 class ReverseStringFilter(TokenFilter):
     """ReverseStringFilter (lucene/analysis/common/src/java/org/apache/
     lucene/analysis/reverse/ReverseStringFilter.java:39): reverses every
@@ -320,6 +385,14 @@ def build_filters(specs) -> tuple:
             out.append(LengthFilter(spec[1]["min"], spec[1]["max"]))
         elif kind == "reverse":
             out.append(ReverseStringFilter())
+        elif kind == "truncate":
+            out.append(TruncateTokenFilter(spec[1]))
+        elif kind == "pattern_replace":
+            p = spec[1]
+            out.append(PatternReplaceFilter(p["pattern"], p["replacement"],
+                                            p.get("all", True)))
+        elif kind == "pattern_capture":
+            out.append(PatternCaptureGroupFilter(spec[1]))
         elif kind == "elision":
             out.append(ElisionFilter(spec[1] if len(spec) > 1 else None))
         elif kind == "decimal_digit":

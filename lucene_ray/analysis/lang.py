@@ -41,6 +41,16 @@ from lucene_ray.analysis.filters import TokenFilter
 # ---------------------------------------------------------------------------
 
 STOPWORDS: dict[str, frozenset] = {
+    # Arabic/Persian: high-frequency core of the Snowball-distributed lists
+    # (ar_stop / fa_stop shipped with lucene/analysis/common)
+    "ar": frozenset(
+        "من في على و ان الى عن مع هذا هذه ذلك التي الذي لا ما كان كانت هو هي"
+        .split()
+    ),
+    "fa": frozenset(
+        "و در به از که این آن را با برای است بود شد هم نیز تا بر او ما"
+        .split()
+    ),
     "en": frozenset(
         """a an and are as at be but by for if in into is it no not of on or
         such that the their then there these they this to was will with"""
@@ -534,6 +544,98 @@ def russian_light_stem(t: str) -> str:
     return t
 
 
+# ---------------------------------------------------------------------------
+# Arabic & Persian (non-Latin packs; pair with the uax29 grammar, which
+# tokenizes Arabic-script letters — the pinned ASCII grammar cannot)
+
+_AR_DIACRITICS = frozenset("ًٌٍَُِّْ")
+_AR_TATWEEL = "ـ"
+
+
+def arabic_normalize(t: str) -> str:
+    """ArabicNormalizer (lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/ar/ArabicNormalizer.java:30, after Larkey, Ballesteros &
+    Connell 2002 "Improving stemming for Arabic information retrieval"):
+    strip tashkeel diacritics and tatweel, fold alef variants (آ أ إ) to
+    bare alef ا, alef maksura ى to yeh ي, teh marbuta ة to heh ه."""
+    if not t or ord(max(t)) < 0x600:
+        return t
+    out = []
+    for c in t:
+        if c in _AR_DIACRITICS or c == _AR_TATWEEL:
+            continue
+        if c in ("آ", "أ", "إ"):   # آ أ إ -> ا
+            c = "ا"
+        elif c == "ى":                        # ى -> ي
+            c = "ي"
+        elif c == "ة":                        # ة -> ه
+            c = "ه"
+        out.append(c)
+    return "".join(out)
+
+
+_AR_PREFIXES = ("ال",                   # ال
+                "وال",             # وال
+                "بال",             # بال
+                "كال",             # كال
+                "فال",             # فال
+                "لل",                   # لل
+                "و")                         # و
+_AR_SUFFIXES = ("ها",                   # ها
+                "ان",                   # ان
+                "ات",                   # ات
+                "ون",                   # ون
+                "ين",                   # ين
+                "يه",                   # يه
+                "ية",                   # ية
+                "ه",                         # ه
+                "ة",                         # ة
+                "ي")                         # ي
+
+
+def arabic_light_stem(t: str) -> str:
+    """Light10 stemmer (Larkey et al. 2002) as pinned by ArabicStemmer
+    (lucene/analysis/common/src/java/org/apache/lucene/analysis/ar/
+    ArabicStemmer.java:35): normalize, strip ONE definite-article prefix
+    (waw only when the word keeps >= 3 chars, articles when >= 2 remain),
+    then strip each listed suffix in order while >= 2 chars remain."""
+    t = arabic_normalize(t)
+    for p in _AR_PREFIXES:
+        if t.startswith(p):
+            if p == "و":
+                if len(t) > 3:
+                    t = t[1:]
+                    break
+            elif len(t) >= len(p) + 2:
+                t = t[len(p):]
+                break
+    for s in _AR_SUFFIXES:
+        if t.endswith(s) and len(t) >= len(s) + 2:
+            t = t[: -len(s)]
+    return t
+
+
+def persian_normalize(t: str) -> str:
+    """PersianNormalizer (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/fa/PersianNormalizer.java:29): fold arabic yeh ي and
+    yeh barree ے to farsi yeh ی, kaf ك to keheh ک, heh+hamza/heh goal
+    variants to heh ه, and drop hamza above."""
+    if not t or ord(max(t)) < 0x600:
+        return t
+    out = []
+    for c in t:
+        if c == "ٔ":                           # hamza above: delete
+            continue
+        if c in ("ي", "ے", "ى"):     # ي ے ى -> ی
+            c = "ی"
+        elif c == "ك":                         # ك -> ک
+            c = "ک"
+        elif c in ("ۀ", "ہ"):             # ۀ ہ -> ه
+            c = "ه"
+        out.append(c)
+    return "".join(out)
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
@@ -547,6 +649,8 @@ STEMMERS = {
     "fi": finnish_light_stem,
     "hu": hungarian_light_stem,
     "ru": russian_light_stem,
+    "ar": arabic_light_stem,
+    "fa": persian_normalize,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))

@@ -123,6 +123,50 @@ def sample_stratified(ds: ray.data.Dataset, rates: dict,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def cap_per_group(ds: ray.data.Dataset, n: int, group_col: str = "source",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-domain document cap — the RefinedWeb/CCNet-style guard against a
+    handful of hosts dominating the corpus (Penedo et al. 2023, "The
+    RefinedWeb dataset": per-domain limits during curation). Keeps at most
+    ``n`` rows per ``group_col`` value, chosen DETERMINISTICALLY: the n
+    smallest ``fmix32(id)`` values (ties by id), so the survivor set is
+    identical across runs/workers and SQL-replayable via
+    ``row_number() OVER (PARTITION BY group ORDER BY fmix32(id), id)``.
+
+    Scale shape: a map-side combiner first reduces every batch to <= n rows
+    per group it contains (vectorized lexsort — no per-row Python), so the
+    following groupby shuffles at most n rows per (batch, group) instead of
+    the whole corpus; the map_groups finalizer re-applies the same exact
+    rule. Domains >> workers, so the hash groupby balances."""
+    if n <= 0:
+        raise ValueError("cap must be positive")
+
+    def _top_n(batch: pa.Table) -> pa.Table:
+        if len(batch) <= n:
+            return batch
+        h = fmix32(batch.column(id_col))
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        groups = batch.column(group_col)
+        enc = pc.dictionary_encode(
+            groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
+            else groups)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        # rank within group by (hash, id): one lexsort + segmented cumcount
+        order = np.lexsort((ids, h, codes))
+        sc = codes[order]
+        seg_start = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        rank = np.arange(len(sc)) - np.repeat(
+            seg_start, np.diff(np.r_[seg_start, len(sc)]))
+        keep_sorted = order[rank < n]
+        mask = np.zeros(len(batch), dtype=bool)
+        mask[keep_sorted] = True
+        return batch.filter(pa.array(mask))
+
+    combined = ds.map_batches(_top_n, batch_format="pyarrow")
+    return combined.groupby(group_col).map_groups(
+        _top_n, batch_format="pyarrow")
+
+
 def _shingle_strings(batch: pa.Table, text_col: str, k: int):
     """(shingle_string_array, doc_idx) of every k-token shingle in the
     batch — Arrow-vectorized: tokenize_column's flat token stream, then one

@@ -379,6 +379,69 @@ def decompound_hits(sf_dir: str) -> pa.Table:
     return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
 
 
+# Arabic pack injection: every 'hash' substring becomes the definite-form
+# token below; the ar light10 chain (normalize + strip ال + suffixes) must
+# index it under the bare stem, so TermQuery on the stem replays exactly as
+# substring containment of 'hash'
+ARABIC_SUB = ("hash", " الكتاب ")
+ARABIC_STEM_TERM = "كتاب"
+
+
+def documents_arabic_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived Arabic-bearing twin
+    analyzed with uax29 + the ar light10 pack (ArabicNormalizer +
+    ArabicStemmer — lucene/analysis/common/src/java/org/apache/lucene/
+    analysis/ar/, after Larkey et al. 2002)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:ar-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-ar-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=ARABIC_SUB[0],
+                                         replacement=ARABIC_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("light_stem", {"lang": "ar"}),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def arabic_stem_hits(sf_dir: str) -> pa.Table:
+    """doc_ids where the bare stem كتاب matches — every injected الكتاب
+    must have been normalized + article-stripped by the ar pack."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_arabic_index(sf_dir)
+    t = _orig_ids(sf_dir,
+                  _all_matches(sf_dir, TermQuery(ARABIC_STEM_TERM), reader),
+                  reader)
+    return t.sort_by("doc_id")
+
+
 # multi-word synonym injection: every 'hash' substring becomes the token
 # pair below; the rule maps the ADJACENT pair to 'ny', so tf/hits of 'ny'
 # replay exactly as substring counts of 'hash' ('york' never occurs

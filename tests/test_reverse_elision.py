@@ -77,3 +77,40 @@ def test_chain_reverse_applies_to_vocab():
         (ReverseStringFilter(),), ["abc", "de"])
     assert mapped == ["cba", "ed"]
     assert dropped == [False, False]
+
+
+def test_truncate():
+    from lucene_ray.analysis.filters import TruncateTokenFilter
+
+    f = TruncateTokenFilter(4)
+    assert f.map_term("tokenizer") == "toke"
+    assert f.map_term("abc") == "abc"
+    (g,) = build_filters([f.spec])
+    assert g.map_term("tokenizer") == "toke"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TruncateTokenFilter(0)
+
+
+def test_pattern_replace():
+    from lucene_ray.analysis.filters import PatternReplaceFilter
+
+    f = PatternReplaceFilter(r"[0-9]+", "#")
+    assert f.map_term("a1b22c") == "a#b#c"
+    first = PatternReplaceFilter(r"[0-9]+", "#", replace_all=False)
+    assert first.map_term("a1b22c") == "a#b22c"
+    (g,) = build_filters([f.spec])
+    assert g.map_term("a1b22c") == "a#b#c"
+
+
+def test_pattern_capture_groups():
+    from lucene_ray.analysis.filters import PatternCaptureGroupFilter
+
+    # camelCase splitter: the canonical PatternCaptureGroupTokenFilter use
+    f = PatternCaptureGroupFilter([r"([a-z]+)", r"([A-Z][a-z]*)"])
+    assert set(f.synonyms("camelCaseToken")) == {
+        "camel", "ase", "oken", "Case", "Token"}
+    # whole-token group is not re-emitted
+    assert f.synonyms("lower") == ()
+    (g,) = build_filters([f.spec])
+    assert g.synonyms("fooBar") == f.synonyms("fooBar")
