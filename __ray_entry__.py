@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Arabic light10 pack ('hash' -> ' الكتاب '): the bare stem كتاب
         # hits exactly the injected docs (normalize + article strip)
         "ft_arabic_stem_hits": _q(ft.arabic_stem_hits),
+        # CommonGrams: 'the_fast' one-term lookup == adjacent pair oracle
+        "ft_common_grams_hits": _q(ft.common_grams_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
         # of the corpus; tf of one interior bigram == substring count of
         # the ASCII source token, replayed exactly in SQL
@@ -1310,6 +1312,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '東' AS term, doc_id FROM documents "
             "WHERE contains(text, 'merge')"
             ") ORDER BY term, doc_id"
+        ),
+        # CommonGrams: docs with an adjacent (the, fast) token pair — or a
+        # literal the_fast identifier (the code grammar keeps '_' in
+        # tokens, so such a token is the same term the gram produces)
+        "ft_common_grams_hits": (
+            "WITH tl AS (SELECT doc_id, " + _TOKLIST + " AS l FROM documents) "
+            "SELECT doc_id FROM tl WHERE len(list_filter("
+            "generate_series(1, len(l) - 1), "
+            "i -> l[i] = 'the' AND l[i+1] = 'fast')) > 0 "
+            "OR list_contains(l, 'the_fast') "
+            "ORDER BY doc_id"
         ),
         # Arabic pack: stem hits == 'hash'-bearing docs
         "ft_arabic_stem_hits": (

@@ -161,6 +161,10 @@ class IndexConfig:
     # phrase's first position (posInc 0, outside norms), offsets spanning
     # the whole phrase. Single-token outputs only (invert._inject_phrase_synonyms)
     phrase_synonyms: tuple = ()
+    # common words for CommonGramsFilter-style '_'-joined bigrams beside
+    # unigrams (analysis/commongrams/CommonGramsFilter.java): phrase
+    # queries touching these words become single term lookups
+    common_grams: tuple = ()
     compression: str = "zstd"
     # codec for the INTERMEDIATE shuffle files (Stage-A partials + hot
     # sidecars): written once, read once by Stage C, then deleted — decode
@@ -206,6 +210,7 @@ class IndexConfig:
         ]
         d["dict_lexicon"] = list(self.dict_lexicon)
         d["shingles"] = list(self.shingles)
+        d["common_grams"] = list(self.common_grams)
         d["phrase_synonyms"] = [
             [list(src) if isinstance(src, (list, tuple)) else [src], dst]
             for src, dst in self.phrase_synonyms
@@ -611,6 +616,7 @@ class _StageA:
                     char_filters=cfg.char_filters,
                     shingles=cfg.shingles,
                     phrase_synonyms=cfg.phrase_synonyms,
+                    common_grams=cfg.common_grams,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -647,6 +653,7 @@ class _StageA:
                         char_filters=cfg.char_filters,
                         shingles=cfg.shingles,
                         phrase_synonyms=cfg.phrase_synonyms,
+                        common_grams=cfg.common_grams,
                     )
                     part = part.set_column(
                         part.schema.get_field_index("term"), "term",
@@ -1284,7 +1291,7 @@ def add_documents(index_dir: str, source: str | list[str]) -> Manifest:
 _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
-    "path_cols", "text_cols", "char_filters", "shingles", "phrase_synonyms", "index_sort", "block_col",
+    "path_cols", "text_cols", "char_filters", "shingles", "phrase_synonyms", "common_grams", "index_sort", "block_col",
     "compute_sha256", "merge_buckets", "id_cols",
 )
 

@@ -846,6 +846,59 @@ def _inject_phrase_synonyms(tok_ids, vocab, doc_idx, positions, start_chars,
     return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
 
 
+def _inject_common_grams(tok_ids, vocab, doc_idx, positions, start_chars,
+                         end_chars, common_words):
+    """CommonGramsFilter analog (lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/commongrams/CommonGramsFilter.java:43): for each
+    adjacent token pair where EITHER side is a common word, inject the
+    bigram joined with '_' at the first token's position (posInc 0 beside
+    the kept unigrams — the gram-plus-unigram stream the Java emits).
+    Phrase-with-stopword queries then run as one cheap term lookup
+    ("the_quick") instead of a positional scan over a huge posting list.
+
+    Vectorized like _inject_shingles: one adjacency + membership mask, one
+    binary_join, one re-intern."""
+    n_tok = len(tok_ids)
+    if n_tok < 2:
+        return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+    common = pa.array(sorted(set(common_words)), pa.string())
+    is_common = np.asarray(pc.is_in(vocab, value_set=common))
+    head = np.arange(0, n_tok - 1)
+    ok = (doc_idx[head + 1] == doc_idx[head]) & (
+        positions[head + 1] == positions[head] + 1
+    ) & (is_common[tok_ids[head]] | is_common[tok_ids[head + 1]])
+    sel = head[ok]
+    if len(sel) == 0:
+        return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+    stream = pc.take(vocab, pa.array(tok_ids, pa.int32()))
+    if isinstance(stream, pa.ChunkedArray):
+        stream = stream.combine_chunks()
+    grams = pc.binary_join_element_wise(
+        stream.take(pa.array(sel, pa.int64())),
+        stream.take(pa.array(sel + 1, pa.int64())),
+        pa.scalar("_"))
+    all_str = pa.concat_arrays([stream.cast(pa.string()),
+                                grams.cast(pa.string())])
+    d = all_str.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    tok_ids = np.asarray(d.indices, dtype=np.int32)
+    vocab = d.dictionary
+    doc_idx = np.concatenate([doc_idx, doc_idx[sel]])
+    positions = np.concatenate([positions, positions[sel]])
+    if start_chars is not None:
+        start_chars = np.concatenate([start_chars, start_chars[sel]])
+        end_chars = np.concatenate([end_chars, end_chars[sel + 1]])
+    order = np.lexsort((positions, doc_idx))
+    tok_ids = tok_ids[order]
+    doc_idx = doc_idx[order]
+    positions = positions[order]
+    if start_chars is not None:
+        start_chars = start_chars[order]
+        end_chars = end_chars[order]
+    return tok_ids, vocab, doc_idx, positions, start_chars, end_chars
+
+
 def _inject_shingles(tok_ids, vocab, doc_idx, positions, start_chars,
                      end_chars, sizes):
     """ShingleFilter analog (analysis/shingle/ShingleFilter.java:66-101):
@@ -924,6 +977,7 @@ def invert_partition(
     char_filters: tuple = (),
     shingles: tuple = (),
     phrase_synonyms: tuple = (),
+    common_grams: tuple = (),
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -996,6 +1050,15 @@ def invert_partition(
             _inject_phrase_synonyms(tok_ids, vocab, doc_idx, positions,
                                     start_chars, end_chars,
                                     phrase_synonyms)
+        )
+        total = len(tok_ids)
+
+    if common_grams:
+        if not with_offsets:
+            start_chars = end_chars = None
+        tok_ids, vocab, doc_idx, positions, start_chars, end_chars = (
+            _inject_common_grams(tok_ids, vocab, doc_idx, positions,
+                                 start_chars, end_chars, common_grams)
         )
         total = len(tok_ids)
 

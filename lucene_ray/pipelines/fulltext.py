@@ -379,6 +379,42 @@ def decompound_hits(sf_dir: str) -> pa.Table:
     return out.sort_by([("term", "ascending"), ("doc_id", "ascending")])
 
 
+def documents_common_grams_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index with CommonGramsFilter-style
+    '_'-joined bigrams beside unigrams for the common word 'the'
+    (lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    commongrams/CommonGramsFilter.java) over the pinned code grammar."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:cgram-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-cgram-{key}")
+    if index_dir not in _readers:
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            common_grams=("the",),
+        )
+        manifest = build_index(src, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def common_grams_hits(sf_dir: str, gram: str = "the_fast") -> pa.Table:
+    """doc_ids where the common-gram term matches — one term lookup
+    replacing a positional phrase over the huge 'the' posting list; exact
+    adjacent-token-pair SQL oracle."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_common_grams_index(sf_dir)
+    t = _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(gram), reader),
+                  reader)
+    return t.sort_by("doc_id")
+
+
 # Arabic pack injection: every 'hash' substring becomes the definite-form
 # token below; the ar light10 chain (normalize + strip ال + suffixes) must
 # index it under the bare stem, so TermQuery on the stem replays exactly as
