@@ -403,6 +403,22 @@ def documents_common_grams_index(sf_dir: str) -> IndexReader:
     return _readers[index_dir]
 
 
+def rewrite_phrase_with_common_grams(terms, common_words):
+    """Query-side CommonGramsQueryFilter analog (lucene/analysis/common/
+    src/java/org/apache/lucene/analysis/commongrams/
+    CommonGramsQueryFilter.java:47): a two-term phrase where either side is
+    a common word is exactly one gram-term lookup on a common-grams index.
+    Returns the rewritten TermQuery, or None when the phrase is not of
+    that exactly-rewritable shape (caller falls back to PhraseQuery)."""
+    from lucene_ray.search.query import TermQuery
+
+    terms = list(terms)
+    if len(terms) == 2 and (terms[0] in common_words
+                            or terms[1] in common_words):
+        return TermQuery(f"{terms[0]}_{terms[1]}")
+    return None
+
+
 def common_grams_hits(sf_dir: str, gram: str = "the_fast") -> pa.Table:
     """doc_ids where the common-gram term matches — one term lookup
     replacing a positional phrase over the huge 'the' posting list; exact

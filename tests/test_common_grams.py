@@ -64,3 +64,50 @@ def test_gram_offsets_span_pair():
 def test_no_common_words_noop():
     part, _, _ = invert_partition(DOCS, common_grams=("zzz",))
     assert not any("_" in t and t != "_" for t in part["term"].to_pylist())
+
+
+def test_query_rewrite_matches_phrase(tmp_path):
+    """CommonGramsQueryFilter parity: the gram term lookup on a
+    common-grams index returns exactly the docs the positional phrase
+    returns on a plain index."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import IndexConfig, build_index
+    from lucene_ray.index.reader import IndexReader
+    from lucene_ray.pipelines.fulltext import (
+        rewrite_phrase_with_common_grams)
+    from lucene_ray.search.query import PhraseQuery
+    from lucene_ray.search.searcher import Searcher
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "content": pa.array([
+            "the quick brown fox",
+            "quick the end game",
+            "nothing here",
+            "the quick and the dead",
+            "a the b",
+            "quick the quick",
+        ]),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    plain_dir = str(tmp_path / "plain")
+    gram_dir = str(tmp_path / "gram")
+    build_index(src, plain_dir, IndexConfig(partitions_per_segment=2, id_cols=("doc_id",)),
+                resume=False)
+    build_index(src, gram_dir,
+                IndexConfig(partitions_per_segment=2, id_cols=("doc_id",),
+                            common_grams=("the",)), resume=False)
+
+    q = rewrite_phrase_with_common_grams(["the", "quick"], {"the"})
+    assert q is not None
+    gram_hits = sorted(Searcher(IndexReader(gram_dir)).search(
+        q, 10).doc_ids.tolist())
+    phrase_hits = sorted(Searcher(IndexReader(plain_dir)).search(
+        PhraseQuery(("the", "quick")), 10).doc_ids.tolist())
+    assert gram_hits == phrase_hits == [0, 3, 5]
+    # non-rewritable shapes fall back
+    assert rewrite_phrase_with_common_grams(["a", "b", "c"], {"a"}) is None
+    assert rewrite_phrase_with_common_grams(["x", "y"], {"the"}) is None
