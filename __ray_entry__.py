@@ -201,8 +201,45 @@ def _shape_sql() -> dict:
             )
     within = ("SELECT c_custkey FROM customer WHERE "
               + " AND ".join(vert_preds) + " ORDER BY c_custkey")
+
+    # segment vs POLYGON intersects: endpoint even-odd crossing counts
+    # (point_in_polygon's exact expression) OR a strict-sign edge crossing
+    # — identical float64 arithmetic as ops/geo.segment_polygon_intersects
+    from lucene_ray.pipelines.geo import SHAPE_POLY_LATS, SHAPE_POLY_LONS
+
+    def _pip(lat_e: str, lon_e: str) -> str:
+        terms = []
+        nv = len(SHAPE_POLY_LATS)
+        for i in range(nv):
+            yi, xi = SHAPE_POLY_LATS[i], SHAPE_POLY_LONS[i]
+            yj, xj = SHAPE_POLY_LATS[i - 1], SHAPE_POLY_LONS[i - 1]
+            if yi == yj:
+                continue
+            terms.append(
+                f"(CASE WHEN (({yi!r} > {lat_e}) <> ({yj!r} > {lat_e})) AND "
+                f"{lon_e} < ({xj!r} - {xi!r}) * ({lat_e} - {yi!r}) / "
+                f"({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END)")
+        return "(" + " + ".join(terms) + ") % 2 = 1"
+
+    poly_cross = []
+    nv = len(SHAPE_POLY_LATS)
+    for i in range(nv):
+        ay, ax = SHAPE_POLY_LATS[i - 1], SHAPE_POLY_LONS[i - 1]
+        by, bx = SHAPE_POLY_LATS[i], SHAPE_POLY_LONS[i]
+        dbx, dby = bx - ax, by - ay
+        d12 = (f"((x2 - x1) * ({ay!r} - y1) - (y2 - y1) * ({ax!r} - x1)) * "
+               f"((x2 - x1) * ({by!r} - y1) - (y2 - y1) * ({bx!r} - x1))")
+        d34 = (f"({dbx!r} * (y1 - {ay!r}) - {dby!r} * (x1 - {ax!r})) * "
+               f"({dbx!r} * (y2 - {ay!r}) - {dby!r} * (x2 - {ax!r}))")
+        poly_cross.append(f"(({d12}) < 0.0 AND ({d34}) < 0.0)")
+    poly_intersects = (
+        seg_cte + "SELECT c_custkey FROM seg WHERE ("
+        + _pip("y1", "x1") + ") OR (" + _pip("y2", "x2") + ") OR "
+        + " OR ".join(poly_cross) + " ORDER BY c_custkey"
+    )
     return {"geo_shape_intersects_hits": intersects,
-            "geo_shape_within_hits": within}
+            "geo_shape_within_hits": within,
+            "geo_shape_polygon_hits": poly_intersects}
 
 
 def entry() -> Any:
@@ -1166,6 +1203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every-tessellation-triangle WITHIN over derived per-doc geometry
         "geo_shape_intersects_hits": _q(geo_pipe.geo_shape_intersects_hits),
         "geo_shape_within_hits": _q(geo_pipe.geo_shape_within_hits),
+        # LatLonShape.newPolygonQuery INTERSECTS over segment tessellations
+        "geo_shape_polygon_hits": _q(geo_pipe.geo_shape_polygon_hits),
         # --- intervals (minimal-interval queries, intervals/IntervalQuery) ---
         "ft_interval_ordered_hits": _q(
             lambda sf: ft.interval_ordered_hits(sf, ["table", "row", "filter"])

@@ -275,6 +275,56 @@ def triangle_within_box(lats, lons, min_lat, max_lat,
     return mask
 
 
+def segment_polygon_intersects(y1, x1, y2, x2, poly_lats,
+                               poly_lons) -> np.ndarray:
+    """True where segment (y1,x1)-(y2,x2) intersects the polygon —
+    LatLonShape.newPolygonQuery with QueryRelation.INTERSECTS evaluated
+    over segment tessellation rows (lucene/core/src/java/org/apache/
+    lucene/document/LatLonShapeQuery.java + Polygon2D edge tree; here the
+    polygon is small, so a dense edge loop replaces the tree): either
+    endpoint inside the polygon (even-odd crossing, point_in_polygon's
+    exact expression) or a proper strict-sign crossing with any polygon
+    edge (same _orient arithmetic as segment_box_intersects). Polygon
+    vertices are expected OFF the data lattice so degenerate touch cases
+    cannot arise."""
+    y1 = np.asarray(y1, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    hit = (point_in_polygon(y1, x1, poly_lats, poly_lons)
+           | point_in_polygon(y2, x2, poly_lats, poly_lons))
+    n = len(poly_lats)
+    for i in range(n):
+        ay, ax = poly_lats[i - 1], poly_lons[i - 1]
+        by, bx = poly_lats[i], poly_lons[i]
+        d12 = (_orient(x1, y1, x2, y2, ax, ay)
+               * _orient(x1, y1, x2, y2, bx, by))
+        d34 = (_orient(ax, ay, bx, by, x1, y1)
+               * _orient(ax, ay, bx, by, x2, y2))
+        hit = hit | ((d12 < 0.0) & (d34 < 0.0))
+    return hit
+
+
+def geo_shape_polygon_intersects(ds: ray.data.Dataset, poly_lats, poly_lons,
+                                 id_col: str = "doc_id") -> pa.Table:
+    """Doc ids whose shape INTERSECTS the polygon: same per-batch
+    vectorized ANY-component shape as geo_shape_box_intersects."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = segment_polygon_intersects(
+            batch.column("lat1"), batch.column("lon1"),
+            batch.column("lat2"), batch.column("lon2"),
+            poly_lats, poly_lons)
+        ids = np.unique(np.asarray(batch.column(id_col), dtype=np.int64)[m])
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    parts = [np.asarray(b.column(id_col), dtype=np.int64)
+             for b in ds.map_batches(keep, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    ids = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    return pa.table({id_col: pa.array(ids, pa.int64())})
+
+
 def geo_shape_box_intersects(ds: ray.data.Dataset, min_lat: float,
                              max_lat: float, min_lon: float, max_lon: float,
                              id_col: str = "doc_id") -> pa.Table:

@@ -184,6 +184,22 @@ def customer_triangles(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(derive, batch_format="pyarrow")
 
 
+# off-lattice chevron (non-convex) for the shape-vs-POLYGON relation —
+# same shape family as the point polygon query, .005 offsets keep every
+# vertex off the derived 0.01 lattice
+SHAPE_POLY_LATS = (-10.005, 55.005, -10.005, 20.005)
+SHAPE_POLY_LONS = (-30.005, 0.005, 30.005, 0.005)
+
+
+def geo_shape_polygon_hits(sf_dir: str) -> pa.Table:
+    """Customers whose derived segment INTERSECTS the pinned chevron
+    polygon (LatLonShape.newPolygonQuery, QueryRelation.INTERSECTS),
+    sorted by key."""
+    return geo.geo_shape_polygon_intersects(
+        customer_segments(sf_dir), SHAPE_POLY_LATS, SHAPE_POLY_LONS,
+        id_col="c_custkey")
+
+
 def geo_shape_intersects_hits(sf_dir: str) -> pa.Table:
     """Customers whose derived segment INTERSECTS the pinned box
     (LatLonShape.newBoxQuery, QueryRelation.INTERSECTS), sorted by key."""

@@ -76,3 +76,38 @@ def test_within_all_rows_aggregation(ray_session):
     ds = ray.data.from_items(rows, override_num_blocks=4)
     out = geo_shape_within_box(ds, *BOX, id_col="doc_id")
     assert out.column("doc_id").to_pylist() == [1]
+
+
+def test_segment_polygon_intersects_cases():
+    import numpy as np
+
+    from lucene_ray.ops.geo import segment_polygon_intersects
+
+    # unit square polygon (slightly off-integer to match the off-lattice
+    # convention)
+    plats = (0.005, 10.005, 10.005, 0.005)
+    plons = (0.005, 0.005, 10.005, 10.005)
+    y1 = np.array([5.0, -5.0, -5.0, 20.0, 5.0])
+    x1 = np.array([5.0, -5.0,  5.0, 20.0, -20.0])
+    y2 = np.array([6.0, -6.0, 15.0, 30.0, 5.0])
+    x2 = np.array([6.0, -6.0,  5.0, 30.0, 20.0])
+    got = segment_polygon_intersects(y1, x1, y2, x2, plats, plons)
+    # fully inside; fully outside; crossing top edge; far outside;
+    # horizontal pierce straight through
+    assert got.tolist() == [True, False, True, False, True]
+
+
+def test_shape_polygon_pipeline_matches_duckdb(tmp_path, ray_session):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    res = entrymod.queries()["geo_shape_polygon_hits"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{sf}/customer.parquet')")
+    exp = con.execute(
+        entrymod.oracle_sql()["geo_shape_polygon_hits"]).df()
+    assert res["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert len(res) > 0
