@@ -878,6 +878,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_textfield_top10": _q(
             lambda sf: _score_r6(ft.textfield_topk(sf, "vector", 10))
         ),
+        # PerFieldSimilarityWrapper: content term scored BM25, head-field
+        # term scored RawTF, one SHOULD query (per-term sim dispatch)
+        "ft_perfield_sim_top10": _q(
+            lambda sf: _score_r6(ft.perfield_sim_topk(sf, "vector", 10))
+        ),
         # FunctionScoreQuery: scores replaced by an expression over _score
         # and doc values (queries/function surface)
         "ft_function_score_top10": _q(
@@ -2897,6 +2902,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (SELECT doc_id, row_number() OVER "
         "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
         "round(s::DOUBLE, 6) AS score_r6 FROM sc) "
+        "WHERE rank <= 10 ORDER BY rank"
+    )
+    # PerFieldSimilarityWrapper: BM25(content) + RawTF(head tf), SHOULD
+    # union with per-side zero fill — per-term similarity dispatch
+    out["ft_perfield_sim_top10"] = _bm25_cte(["vector"]) + (
+        ", ht AS (SELECT doc_id, count(*)::BIGINT AS tf FROM "
+        "(SELECT doc_id, unnest(" + _HEAD_TOKLIST + ") AS tok "
+        "FROM documents) WHERE tok = 'vector' GROUP BY doc_id), "
+        "ps AS (SELECT COALESCE(sc.doc_id, ht.doc_id) AS doc_id, "
+        "COALESCE(sc.s, CAST(0 AS FLOAT)) + "
+        "COALESCE(CAST(ht.tf AS FLOAT), CAST(0 AS FLOAT)) AS s "
+        "FROM sc FULL OUTER JOIN ht ON sc.doc_id = ht.doc_id) "
+        "SELECT * FROM (SELECT doc_id, row_number() OVER "
+        "(ORDER BY s DESC, doc_id)::BIGINT AS rank, "
+        "round(s::DOUBLE, 6) AS score_r6 FROM ps) "
         "WHERE rank <= 10 ORDER BY rank"
     )
     # FunctionScoreQuery: float64 expression over (float32 _score, dv),

@@ -1566,6 +1566,38 @@ def similarity_topk(sf_dir: str, term: str, sim: str, k: int = 10) -> pa.Table:
     })
 
 
+def perfield_sim_topk(sf_dir: str, term: str, k: int = 10) -> pa.Table:
+    """Scored top-k of a SHOULD pair (content term, head-field term) under
+    a PerFieldSimilarityWrapper: content scored BM25 against its own
+    norms/avgdl, the head field scored RawTF — one query, two similarities
+    (similarities/PerFieldSimilarityWrapper.java). Float32-exact SQL oracle
+    (content BM25 CTE + head tf, per-doc sum)."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+    from lucene_ray.search.searcher import Searcher
+    from lucene_ray.search.similarity import (BM25Similarity,
+                                              PerFieldSimilarity,
+                                              RawTFSimilarity)
+
+    reader = documents_multifield_index(sf_dir)
+    sim = PerFieldSimilarity(BM25Similarity(),
+                             {"head": RawTFSimilarity()})
+    planner = Searcher(reader, similarity=sim)
+    q = BooleanQuery(should=(TermQuery(term), TermQuery(f"head:{term}")))
+    td = _pool(reader).search([(0, q)], k, planner=planner)[0]
+    if len(td.doc_ids) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    t = reader.lookup_docs(td.doc_ids, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(),
+                 t.column("doc_id_orig").to_pylist()))
+    return pa.table({
+        "doc_id": pa.array([int(m[int(g)]) for g in td.doc_ids], pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+        "score": pa.array(td.scores, pa.float32()),
+    })
+
+
 def word_break_suggest(sf_dir: str, term: str, k: int = 5,
                        min_break_length: int = 2,
                        min_freq: int = 1) -> pa.Table:

@@ -99,16 +99,25 @@ class Searcher:
                 _field_cstats[f] = self.reader.collection_stats(field=f)
             return _field_cstats[f]
 
+        def _sim_for(t: str):
+            # PerFieldSimilarityWrapper dispatch: a similarity exposing
+            # for_field routes each term's FIELD to its own sub-similarity
+            fw = getattr(self.sim, "for_field", None)
+            if fw is None:
+                return self.sim
+            return fw(self.reader.text_field_of(t))
+
         scorers = {}
         for t in terms:
             ts = stats.get(t, TermStats(0, 0))
             if ts.doc_freq > 0:
-                scorers[t] = self.sim.scorer(1.0, _cstats_for(t), ts)
+                scorers[t] = _sim_for(t).scorer(1.0, _cstats_for(t), ts)
         phrase_scorers = {}
         for ph in _collect_phrases(q):
             tss = [stats.get(t, TermStats(0, 0)) for t in ph]
             if all(ts.doc_freq > 0 for ts in tss):
-                phrase_scorers[ph] = self.sim.scorer(1.0, _cstats_for(ph[0]), *tss)
+                phrase_scorers[ph] = _sim_for(ph[0]).scorer(
+                    1.0, _cstats_for(ph[0]), *tss)
         # SynonymQuery pseudo-term stats: docFreq = max over terms (df>0),
         # totalTermFreq = sum — SynonymQuery.java SynonymWeight ctor :213-231
         from lucene_ray.search.query import collect_synonyms

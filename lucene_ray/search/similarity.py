@@ -632,6 +632,25 @@ class MultiSimilarity:
         return _SumScorer(per_sub)
 
 
+class PerFieldSimilarity:
+    """PerFieldSimilarityWrapper (lucene/core/src/java/org/apache/lucene/
+    search/similarities/PerFieldSimilarityWrapper.java:28): routes each
+    field to its own Similarity; fields not in the map use the default.
+    The engine's Searcher dispatches per term via ``for_field`` (the field
+    of a namespaced term, None = the main content field)."""
+
+    def __init__(self, default, per_field: dict | None = None):
+        self.default = default
+        self.per_field = dict(per_field or {})
+
+    def for_field(self, field: str | None):
+        return self.per_field.get(field, self.default)
+
+    def scorer(self, boost: float, collection_stats: CollectionStats,
+               *term_stats: TermStats):
+        return self.default.scorer(boost, collection_stats, *term_stats)
+
+
 class BM25Similarity:
     def __init__(self, k1: float = 1.2, b: float = 0.75):
         if not (k1 >= 0 and math.isfinite(k1)):
