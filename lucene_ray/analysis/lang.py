@@ -51,6 +51,10 @@ STOPWORDS: dict[str, frozenset] = {
         "و در به از که این آن را با برای است بود شد هم نیز تا بر او ما"
         .split()
     ),
+    "hi": frozenset(
+        "का की के में है हैं को पर से और एक यह वह भी नहीं था थी तो ही कि"
+        .split()
+    ),
     "en": frozenset(
         """a an and are as at be but by for if in into is it no not of on or
         such that the their then there these they this to was will with"""
@@ -615,6 +619,58 @@ def arabic_light_stem(t: str) -> str:
     return t
 
 
+_HI_NUKTA = {
+    "क़": "क", "ख़": "ख", "ग़": "ग", "ज़": "ज",
+    "ड़": "ड", "ढ़": "ढ", "फ़": "फ", "य़": "य",
+}
+# suffix families of the lightweight Hindi stemmer (A. Ramanathan &
+# D. Rao 2003, "A Lightweight Stemmer for Hindi" — the algorithm behind
+# lucene/analysis/common/.../hi/HindiStemmer.java). Rule set pinned here;
+# a k-char suffix strips only when the word is longer than k+2 chars
+# (HindiStemmer's length-tier gates — the stem keeps >= 3 chars), one
+# strip, longer tiers first:
+_HI_SUFFIX_TIERS = {
+    1: ("ा", "ि", "ी", "ु", "ू", "ृ", "े", "ै", "ो", "ौ"),
+    2: ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना",
+        "ते", "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें"),
+    3: ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
+        "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं",
+        "ुओं", "ुएं", "ुआं"),
+    4: ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "ेंगी", "ेंगे",
+        "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं",
+        "ियाँ", "ियों", "ियां"),
+}
+
+
+def hindi_normalize(t: str) -> str:
+    """HindiNormalizer core (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/hi/HindiNormalizer.java:34): fold nukta consonants to
+    their base forms and chandrabindu to anusvara."""
+    if not t or ord(max(t)) < 0x900:
+        return t
+    out = []
+    for c in t:
+        if c == "़":          # combining nukta: delete
+            continue
+        if c == "ँ":          # chandrabindu -> anusvara
+            c = "ं"
+        out.append(_HI_NUKTA.get(c, c))
+    return "".join(out)
+
+
+def hindi_light_stem(t: str) -> str:
+    """Lightweight Hindi stemmer (Ramanathan & Rao 2003; HindiStemmer.java
+    applies the same length-gated one-suffix strip)."""
+    t = hindi_normalize(t)
+    n = len(t)
+    for k in (4, 3, 2, 1):
+        if n > k + 2:
+            for s in _HI_SUFFIX_TIERS[k]:
+                if t.endswith(s):
+                    return t[:-k]
+    return t
+
+
 def persian_normalize(t: str) -> str:
     """PersianNormalizer (lucene/analysis/common/src/java/org/apache/
     lucene/analysis/fa/PersianNormalizer.java:29): fold arabic yeh ي and
@@ -651,6 +707,7 @@ STEMMERS = {
     "ru": russian_light_stem,
     "ar": arabic_light_stem,
     "fa": persian_normalize,
+    "hi": hindi_light_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))

@@ -78,3 +78,41 @@ def test_packs_registered():
         assert isinstance(f, LightStemFilter)
     assert build_filters([("light_stem", {"lang": "ar"})])[0].map_term(
         "الكتاب") == "كتاب"
+
+
+def test_hindi_normalize():
+    from lucene_ray.analysis.lang import hindi_normalize
+
+    assert hindi_normalize("ज़रूर") == "जरूर"      # nukta consonant folds
+    assert hindi_normalize("हँस") == "हंस"          # chandrabindu -> anusvara
+    assert hindi_normalize("hello") == "hello"
+
+
+def test_hindi_stem_matras_and_suffixes():
+    from lucene_ray.analysis.lang import hindi_light_stem
+
+    assert hindi_light_stem("लडके") == "लडक"        # े matra
+    assert hindi_light_stem("लडकियों") == "लडक"    # ियों (4-char tier)
+    assert hindi_light_stem("चलाकर") == "चला"        # कर (2-char tier)
+    # length gates: a 4-char word only reaches the 1-char tier
+    assert hindi_light_stem("खाना") == "खान"
+    # too short for any tier: unchanged
+    assert hindi_light_stem("ने") == "ने"
+
+
+def test_hindi_longest_match_single_strip():
+    from lucene_ray.analysis.lang import hindi_light_stem
+
+    # len-5 word: only the 1-char tier applies ("ी"), ONE strip
+    assert hindi_light_stem("खाएगी") == "खाएग"
+    # len-7 word reaches the 4-char tier first (ताएं)
+    assert hindi_light_stem("बनाताएं") == "बना"
+
+
+def test_hindi_pack_registered():
+    from lucene_ray.analysis.lang import language_pack
+
+    pack = language_pack("hi")
+    assert pack["stopwords"]
+    (f,) = build_filters(pack["filter_specs"])
+    assert f.map_term("लडके") == "लडक"
