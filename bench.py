@@ -165,7 +165,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_dict_viterbi_hits", "ft_uax29_joiner_hits",
                      "ft_dfr_g_top10", "ft_ib_spl_top10", "ft_indri_top10",
                      "ft_axiomatic_f2log_top10", "ft_decompound_hits",
-                     "ft_suffix_wildcard_hits", "ft_multisim_top10"]:
+                     "ft_suffix_wildcard_hits", "ft_multisim_top10",
+                     "ft_phrase_synonym_hits", "ft_arabic_stem_hits",
+                     "ft_common_grams_hits", "ft_perfield_sim_top10",
+                     "geo_shape_polygon_hits", "curate_domain_cap"]:
             # ANN entries build a /tmp-cached index on first touch; a cold
             # battery number would conflate one-time build with per-query
             # search (the round-4 ann_ivf 0.84->4.56s adjudication). Warm

@@ -487,3 +487,17 @@ def test_multi_similarity_empty_rejected():
 
     with pytest.raises(ValueError):
         MultiSimilarity([])
+
+
+def test_per_field_similarity_dispatch():
+    from lucene_ray.search.similarity import (
+        BM25Similarity, PerFieldSimilarity, RawTFSimilarity)
+
+    sim = PerFieldSimilarity(BM25Similarity(), {"head": RawTFSimilarity()})
+    assert isinstance(sim.for_field("head"), RawTFSimilarity)
+    assert isinstance(sim.for_field(None), BM25Similarity)
+    assert isinstance(sim.for_field("other"), BM25Similarity)
+    cs = CollectionStats(doc_count=100, sum_total_term_freq=5000)
+    ts = TermStats(doc_freq=10, total_term_freq=30)
+    s = sim.for_field("head").scorer(1.0, cs, ts)
+    assert s.score(np.array([7]), np.array([40]))[0] == np.float32(7.0)
