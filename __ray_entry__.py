@@ -602,6 +602,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fold back to their ASCII source or the tf oracle breaks
         "ft_folded_hits": _q(lambda sf: ft.folded_tf(sf, "join")),
         "ft_suggest_s": _q(lambda sf: ft.suggest_terms(sf, "s", 10)),
+        # infix suggester (AnalyzingInfixSuggester: match anywhere)
+        "ft_suggest_infix": _q(lambda sf: ft.suggest_infix(sf, "er", 10)),
+        # MoreLikeThis: top tf*idf terms of doc 7 OR'd into a query
+        "ft_mlt_hits": _q(ft.mlt_hits),
         # FreeTextSuggester: bigram-LM continuation of prefix 's' after
         # context token 'hash', stupid-backoff (ALPHA=0.4) to the unigram
         "ft_suggest_freetext": _q(
@@ -1422,6 +1426,23 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
         "FROM toks WHERE tok LIKE 's%' GROUP BY tok "
         "ORDER BY doc_freq DESC, term LIMIT 10",
+        "ft_suggest_infix": _TOKS
+        + "SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS doc_freq "
+        "FROM toks WHERE contains(tok, 'er') GROUP BY tok "
+        "ORDER BY doc_freq DESC, term LIMIT 10",
+        # MoreLikeThis: source-doc terms with tf>=2 and df>=5, top-5 by
+        # tf * (ln(N/(df+1)) + 1) (ties by term), OR'd — hit set
+        "ft_mlt_hits": _PT
+        + ", srctf AS (SELECT tok, count(*)::BIGINT AS c FROM pt "
+        "WHERE doc_id = 7 GROUP BY tok HAVING count(*) >= 2), "
+        "dfs AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM pt "
+        "WHERE tok IN (SELECT tok FROM srctf) GROUP BY tok), "
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+        "sel AS (SELECT s.tok FROM srctf s JOIN dfs USING (tok) "
+        "WHERE dfs.df >= 5 ORDER BY s.c * (ln((SELECT n FROM nn) / "
+        "(dfs.df + 1.0)) + 1.0) DESC, s.tok LIMIT 5) "
+        "SELECT DISTINCT doc_id FROM pt WHERE tok IN (SELECT tok FROM sel) "
+        "ORDER BY doc_id",
         # two-stage like the engine: top-50 candidates by GLOBAL df, then
         # ranked by in-context (lang='fr') doc count
         # stupid-backoff continuation: bigram P(w|'hash') when the bigram

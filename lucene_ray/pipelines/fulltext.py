@@ -1216,6 +1216,73 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def mlt_hits(sf_dir: str, doc_id: int = 7, max_terms: int = 5,
+             min_tf: int = 2, min_df: int = 5) -> pa.Table:
+    """MoreLikeThis standalone query (lucene/queries/src/java/org/apache/
+    lucene/queries/mlt/MoreLikeThis.java:70: "Generate a more-like-this
+    query"): analyze the source doc, keep terms with tf >= minTermFreq and
+    df >= minDocFreq, rank by tf * idf with TFIDFSimilarity's idf
+    (log(numDocs / (df + 1)) + 1, MoreLikeThis.createQueue), take
+    maxQueryTerms, OR them, return the hit set. Term selection reads ONE
+    bucket-pruned term_stats lookup; float64 idf replayed exactly in SQL."""
+    import math
+
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from lucene_ray.analysis.tokenizer import CodeTokenizer
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    reader = documents_index(sf_dir)
+    src = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") == doc_id)
+    text = src.column("text")[0].as_py()
+    toks = CodeTokenizer()(text)
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    cand = sorted(t for t, c in tf.items() if c >= min_tf)
+    stats = reader.term_stats(cand)
+    n_docs = reader.manifest.stats["doc_count"]
+    scored = []
+    for t in cand:
+        ts = stats.get(t)
+        if ts is None or ts.doc_freq < min_df:
+            continue
+        idf = math.log(n_docs / (ts.doc_freq + 1.0)) + 1.0
+        scored.append((-(tf[t] * idf), t))
+    scored.sort()
+    sel = [t for _, t in scored[:max_terms]]
+    if not sel:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    q = BooleanQuery(should=tuple(TermQuery(t) for t in sel))
+    t = _orig_ids(sf_dir, _all_matches(sf_dir, q, reader), reader)
+    return t.sort_by("doc_id")
+
+
+def suggest_infix(sf_dir: str, needle: str, k: int = 10) -> pa.Table:
+    """AnalyzingInfixSuggester analog (lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:72: match
+    anywhere inside the suggestion, not just at its start): terms whose
+    text CONTAINS the needle, ranked weight (doc_freq) desc then term asc.
+    One Arrow match_substring over the term dictionary — no range pruning
+    possible for infix (the Java pays the same price via n-grams)."""
+    import pyarrow.compute as pc
+
+    reader = documents_index(sf_dir)
+    tbl = reader._term_stats_ds.to_table(columns=["term", "doc_freq"])
+    terms = tbl.column("term")
+    mask = pc.and_(pc.match_substring(terms, pattern=needle),
+                   pc.invert(pc.match_substring(terms, pattern=":")))
+    hits = tbl.filter(mask)
+    df = hits.to_pandas()
+    df["doc_freq"] = df["doc_freq"].astype("int64")
+    df = df.sort_values(["doc_freq", "term"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
 _freetext_lms: dict[tuple, tuple] = {}
 
 
