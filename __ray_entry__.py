@@ -1246,6 +1246,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 fromlist=["passages_bm25"]).passages_bm25(
                     sf, ["join", "hash"], window=32, n_passages=2)
         ),
+        # --- per-position payloads (DelimitedPayloadTokenFilter +
+        # PayloadScoreQuery with Sum/Max payload functions — queries/
+        # payloads/PayloadScoreQuery.java): derived corpus annotates token
+        # at position p as tok|((p*31+len)%101); the index stores one vbyte
+        # payload per posting position (pay_enc stream) ---
+        "ft_payload_sum": _q(lambda sf: ft.payload_term_scores(sf, "spark", "sum")),
+        "ft_payload_max": _q(lambda sf: ft.payload_term_scores(sf, "spark", "max")),
         # --- fuzzy suggester (suggest/analyzing.FuzzySuggester shape) ---
         "ft_suggest_fuzzy": _q(lambda sf: ft.suggest_fuzzy(sf, "hach", 10, 1)),
         # --- did-you-mean (suggest/spell.DirectSpellChecker shape) ---
@@ -2577,6 +2584,15 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT DISTINCT t.doc_id FROM toks t JOIN documents d USING (doc_id) "
         "WHERE t.tok = 'join' AND d.source = 'src3' AND d.lang = 'en' "
         "ORDER BY doc_id",
+        # per-position payloads: the derived corpus annotates the token at
+        # position p as tok|((p*31+len(tok))%101), so the payload of every
+        # occurrence is pure (pos, token) arithmetic the _PT CTE replays
+        "ft_payload_sum": _PT
+        + "SELECT doc_id, SUM((pos*31 + length(tok)) % 101)::BIGINT AS pay "
+        "FROM pt WHERE tok = 'spark' GROUP BY doc_id ORDER BY doc_id",
+        "ft_payload_max": _PT
+        + "SELECT doc_id, MAX((pos*31 + length(tok)) % 101)::BIGINT AS pay "
+        "FROM pt WHERE tok = 'spark' GROUP BY doc_id ORDER BY doc_id",
         # passage highlighter: fixed 32-token windows, score = query-term
         # occurrences, rank (n desc, passage asc), top 2 per doc
         "ft_passages_top": _PT

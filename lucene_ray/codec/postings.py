@@ -163,6 +163,16 @@ def decode_offsets(off_enc: bytes, freqs: np.ndarray) -> tuple[np.ndarray, np.nd
     return s, s + lens
 
 
+def decode_payloads(pay_enc: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Flattened per-occurrence integer payloads (absolute vbytes, one per
+    occurrence; per-doc counts = freqs) — PostingsEnum.getPayload for the
+    integer-payload case (DelimitedPayloadTokenFilter +
+    PayloadScoreQuery's numeric decoder,
+    queries/src/java/org/apache/lucene/queries/payloads/PayloadScoreQuery.java)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    return vbyte_decode(pay_enc, int(freqs.sum()))
+
+
 def split_positions(flat_positions: np.ndarray, freqs: np.ndarray, i: int) -> np.ndarray:
     """Positions of the i-th doc in a decoded chunk."""
     freqs = np.asarray(freqs, dtype=np.int64)

@@ -165,6 +165,12 @@ class IndexConfig:
     # unigrams (analysis/commongrams/CommonGramsFilter.java): phrase
     # queries touching these words become single term lookups
     common_grams: tuple = ()
+    # per-position integer payloads, DelimitedPayloadTokenFilter style
+    # (analysis/payloads/DelimitedPayloadTokenFilter.java:34-49): a token
+    # "foo<delim>5" indexes term "foo" with payload 5 at that position
+    # (PostingsEnum.getPayload / IndexOptions payload level). Incompatible
+    # with stream-mutating filters — validated in invert_partition.
+    payload_delimiter: str | None = None
     compression: str = "zstd"
     # codec for the INTERMEDIATE shuffle files (Stage-A partials + hot
     # sidecars): written once, read once by Stage C, then deleted — decode
@@ -617,6 +623,7 @@ class _StageA:
                     shingles=cfg.shingles,
                     phrase_synonyms=cfg.phrase_synonyms,
                     common_grams=cfg.common_grams,
+                    payload_delimiter=cfg.payload_delimiter,
                 )
                 slice_tables.append(shift_doc_offsets(part, s0))
                 len_parts.append(lens)
@@ -654,6 +661,7 @@ class _StageA:
                         shingles=cfg.shingles,
                         phrase_synonyms=cfg.phrase_synonyms,
                         common_grams=cfg.common_grams,
+                        payload_delimiter=cfg.payload_delimiter,
                     )
                     part = part.set_column(
                         part.schema.get_field_index("term"), "term",
@@ -673,12 +681,14 @@ class _StageA:
             if cfg.keyword_cols:
                 slice_tables.append(
                     _keyword_partials(tbl, cfg.keyword_cols, norms,
-                                      cfg.with_positions, cfg.with_offsets)
+                                      cfg.with_positions, cfg.with_offsets,
+                                      bool(cfg.payload_delimiter))
                 )
             if cfg.path_cols:
                 slice_tables.append(
                     _path_partials(tbl, cfg.path_cols, norms,
-                                   cfg.with_positions, cfg.with_offsets)
+                                   cfg.with_positions, cfg.with_offsets,
+                                   bool(cfg.payload_delimiter))
                 )
             # groups come out already in (bucket, term) shuffle order — the
             # standalone sort+take this folds away was ~15% of task time at
@@ -790,14 +800,15 @@ class _StageA:
 
 
 def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
-                      with_positions: bool, with_offsets: bool) -> pa.Table:
+                      with_positions: bool, with_offsets: bool,
+                      with_payloads: bool = False) -> pa.Table:
     """Partial-postings rows for keyword fields: one term ``col:value`` per
     distinct value, freq 1 per doc, doc's norm byte carried (keyword terms
     never contribute to field length — StringField semantics). Positions
     are a constant 0 (one vbyte 0x00 per occurrence) so the shared chunk
-    machinery needs no special case; offsets likewise (0, 0)."""
+    machinery needs no special case; offsets likewise (0, 0), payloads 0."""
     parts = {"term": [], "df": [], "ttf": [], "doc_offsets": [], "freqs": [],
-             "norms": [], "pos_enc": [], "off_enc": []}
+             "norms": [], "pos_enc": [], "off_enc": [], "pay_enc": []}
     n = len(tbl)
     for col in keyword_cols:
         vals = tbl.column(col)
@@ -828,6 +839,7 @@ def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
             parts["norms"].append(norms[docs].tolist())
             parts["pos_enc"].append(b"\x00" * int(cnt) if with_positions else b"")
             parts["off_enc"].append(b"\x00\x00" * int(cnt) if with_offsets else b"")
+            parts["pay_enc"].append(b"\x00" * int(cnt) if with_payloads else b"")
     return pa.table(
         {
             "term": pa.array(parts["term"], pa.string()),
@@ -838,12 +850,14 @@ def _keyword_partials(tbl: pa.Table, keyword_cols: tuple, norms: np.ndarray,
             "norms": pa.array(parts["norms"], pa.list_(pa.uint8())),
             "pos_enc": pa.array(parts["pos_enc"], pa.binary()),
             "off_enc": pa.array(parts["off_enc"], pa.binary()),
+            "pay_enc": pa.array(parts["pay_enc"], pa.binary()),
         }
     )
 
 
 def _path_partials(tbl: pa.Table, path_cols: tuple, norms: np.ndarray,
-                   with_positions: bool, with_offsets: bool) -> pa.Table:
+                   with_positions: bool, with_offsets: bool,
+                   with_payloads: bool = False) -> pa.Table:
     """Partial-postings rows for taxonomy path fields: a doc whose ``col``
     value is ``a/b/c`` yields keyword terms ``col:a``, ``col:a/b`` and
     ``col:a/b/c`` (one per ancestor level — the ordinal-per-ancestor
@@ -851,7 +865,7 @@ def _path_partials(tbl: pa.Table, path_cols: tuple, norms: np.ndarray,
     TaxonomyReader.java:59 / FacetField), each freq 1, outside field
     length/norms like plain keyword fields."""
     parts = {"term": [], "df": [], "ttf": [], "doc_offsets": [], "freqs": [],
-             "norms": [], "pos_enc": [], "off_enc": []}
+             "norms": [], "pos_enc": [], "off_enc": [], "pay_enc": []}
     n = len(tbl)
     for col in path_cols:
         vals = tbl.column(col)
@@ -875,6 +889,7 @@ def _path_partials(tbl: pa.Table, path_cols: tuple, norms: np.ndarray,
             parts["norms"].append(norms[docs].tolist())
             parts["pos_enc"].append(b"\x00" * cnt if with_positions else b"")
             parts["off_enc"].append(b"\x00\x00" * cnt if with_offsets else b"")
+            parts["pay_enc"].append(b"\x00" * cnt if with_payloads else b"")
     return pa.table(
         {
             "term": pa.array(parts["term"], pa.string()),
@@ -885,6 +900,7 @@ def _path_partials(tbl: pa.Table, path_cols: tuple, norms: np.ndarray,
             "norms": pa.array(parts["norms"], pa.list_(pa.uint8())),
             "pos_enc": pa.array(parts["pos_enc"], pa.binary()),
             "off_enc": pa.array(parts["off_enc"], pa.binary()),
+            "pay_enc": pa.array(parts["pay_enc"], pa.binary()),
         }
     )
 
@@ -933,15 +949,17 @@ class _MergeEncode:
         return self._deleted
 
     def _row_arrays(self, r, pids, doc_off_col, freqs_col, norms_col, pos_col,
-                    off_col):
+                    off_col, pay_col=None):
         """One partial-postings row's arrays, with tombstoned docs filtered
-        out (positions/offsets byte-sliced per doc — each doc's vbyte delta
-        stream is self-contained, so removal is a gather of byte spans)."""
+        out (positions/offsets/payloads byte-sliced per doc — each doc's
+        vbyte stream is self-contained, so removal is a gather of byte
+        spans)."""
         doc_off = np.asarray(doc_off_col[r].values, dtype=np.int64)
         f = np.asarray(freqs_col[r].values, dtype=np.int64)
         nb = np.asarray(norms_col[r].values, dtype=np.int64)
         posb = pos_col[r].as_py() if pos_col is not None else b""
         offb = off_col[r].as_py() if off_col is not None else b""
+        payb = pay_col[r].as_py() if pay_col is not None else b""
         dele = self.deleted.get(int(pids[r]))
         if dele is not None and len(dele):
             keep = ~np.isin(doc_off, dele)
@@ -950,8 +968,10 @@ class _MergeEncode:
                     posb = _filter_pos_stream(posb, f, keep)
                 if off_col is not None and len(offb):
                     offb = _filter_pos_stream(offb, f * 2, keep)
+                if pay_col is not None and len(payb):
+                    payb = _filter_pos_stream(payb, f, keep)
                 doc_off, f, nb = doc_off[keep], f[keep], nb[keep]
-        return doc_off, f, nb, posb, offb
+        return doc_off, f, nb, posb, offb, payb
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from lucene_ray.codec.packing import delta_encode, encode_blocks
@@ -973,13 +993,17 @@ class _MergeEncode:
         norms_col = g.column("norms").combine_chunks()
         pos_col = g.column("pos_enc").combine_chunks() if cfg.with_positions else None
         off_col = g.column("off_enc").combine_chunks() if cfg.with_offsets else None
+        with_payloads = (getattr(cfg, "payload_delimiter", None)
+                         and "pay_enc" in g.schema.names)
+        pay_col = g.column("pay_enc").combine_chunks() if with_payloads else None
         base = self.doc_base
         cs = cfg.chunk_size
 
         rows: dict = {
             "seg": [], "term": [], "chunk": [], "count": [],
             "min_doc": [], "max_doc": [], "docs_enc": [], "freqs_enc": [],
-            "pos_enc": [], "off_enc": [], "impact_freqs": [], "impact_norms": [],
+            "pos_enc": [], "off_enc": [], "pay_enc": [],
+            "impact_freqs": [], "impact_norms": [],
         }
         n = len(g)
         i = 0
@@ -987,16 +1011,18 @@ class _MergeEncode:
             j = i
             while j < n and terms[j] == terms[i] and salts[j] == salts[i]:
                 j += 1
-            docs_l, freqs_l, norms_l, pos_l, off_l = [], [], [], [], []
+            docs_l, freqs_l, norms_l, pos_l, off_l, pay_l = [], [], [], [], [], []
             for r in range(i, j):
-                d0, f0, n0, p0, o0 = self._row_arrays(
-                    r, pids, doc_off_col, freqs_col, norms_col, pos_col, off_col
+                d0, f0, n0, p0, o0, y0 = self._row_arrays(
+                    r, pids, doc_off_col, freqs_col, norms_col, pos_col,
+                    off_col, pay_col
                 )
                 docs_l.append(d0 + base[pids[r]])
                 freqs_l.append(f0)
                 norms_l.append(n0)
                 pos_l.append(p0)
                 off_l.append(o0)
+                pay_l.append(y0)
             docs = np.concatenate(docs_l)
             freqs = np.concatenate(freqs_l)
             norms = np.concatenate(norms_l)
@@ -1010,6 +1036,12 @@ class _MergeEncode:
                 osb = np.frombuffer(off_stream, dtype=np.uint8)
                 off_value_ends = np.flatnonzero((osb & 0x80) == 0) + 1
                 if not cfg.with_positions:
+                    pos_counts = np.cumsum(freqs)
+            if with_payloads:
+                pay_stream = b"".join(pay_l)
+                ysb = np.frombuffer(pay_stream, dtype=np.uint8)
+                pay_value_ends = np.flatnonzero((ysb & 0x80) == 0) + 1
+                if not cfg.with_positions and not cfg.with_offsets:
                     pos_counts = np.cumsum(freqs)
             total = len(docs)
             if total == 0:
@@ -1035,6 +1067,13 @@ class _MergeEncode:
                     chunk_off = off_stream[ob0:ob1]
                 else:
                     chunk_off = b""
+                if with_payloads:
+                    # 1 absolute vbyte value per occurrence (like positions)
+                    yb0 = 0 if start == 0 else int(pay_value_ends[pos_counts[start - 1] - 1])
+                    yb1 = int(pay_value_ends[pos_counts[end - 1] - 1])
+                    chunk_pay = pay_stream[yb0:yb1]
+                else:
+                    chunk_pay = b""
                 imp_f, imp_n = competitive_impacts(f, nb)
                 rows["seg"].append(seg)
                 rows["term"].append(terms[i])
@@ -1046,6 +1085,7 @@ class _MergeEncode:
                 rows["freqs_enc"].append(encode_blocks(f.astype(np.uint64)))
                 rows["pos_enc"].append(chunk_pos)
                 rows["off_enc"].append(chunk_off)
+                rows["pay_enc"].append(chunk_pay)
                 rows["impact_freqs"].append(imp_f.tolist())
                 rows["impact_norms"].append(imp_n.tolist())
             i = j
@@ -1063,6 +1103,7 @@ class _MergeEncode:
                 "freqs_enc": pa.array(rows["freqs_enc"], pa.binary()),
                 "pos_enc": pa.array(rows["pos_enc"], pa.binary()),
                 "off_enc": pa.array(rows["off_enc"], pa.binary()),
+                "pay_enc": pa.array(rows["pay_enc"], pa.binary()),
                 "impact_freqs": pa.array(rows["impact_freqs"], pa.list_(pa.int32())),
                 "impact_norms": pa.array(rows["impact_norms"], pa.list_(pa.int32())),
             }
@@ -1292,7 +1333,7 @@ _ADDIDX_COMPAT_KEYS = (
     "content_col", "grammar", "dict_lexicon", "token_filters", "stopwords",
     "max_token_length", "with_positions", "with_offsets", "keyword_cols",
     "path_cols", "text_cols", "char_filters", "shingles", "phrase_synonyms", "common_grams", "index_sort", "block_col",
-    "compute_sha256", "merge_buckets", "id_cols",
+    "compute_sha256", "merge_buckets", "id_cols", "payload_delimiter",
 )
 
 

@@ -978,6 +978,7 @@ def invert_partition(
     shingles: tuple = (),
     phrase_synonyms: tuple = (),
     common_grams: tuple = (),
+    payload_delimiter: str | None = None,
 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
     """Invert one partition of documents.
 
@@ -992,7 +993,26 @@ def invert_partition(
     (start_char_delta, token_char_length) pairs per occurrence, deltas
     per doc with the first start absolute — the offsets level of
     IndexOptions (IndexOptions.java:44), enabling highlighting/snippets.
+
+    ``pay_enc`` (when ``payload_delimiter``) is a vbyte stream of ONE
+    absolute unsigned-integer payload per occurrence — the per-position
+    payload level of IndexOptions (PostingsEnum.getPayload). Payloads are
+    taken from the token text itself, DelimitedPayloadTokenFilter style
+    (analysis/payloads/DelimitedPayloadTokenFilter.java:34-49): a token
+    ``foo<delim>5`` indexes term ``foo`` with integer payload 5 at that
+    position; tokens without the delimiter (or with a non-numeric suffix)
+    carry payload 0 and index verbatim. Integer payloads are this engine's
+    PayloadDecoder (Lucene stores raw BytesRef; our vbyte integers are the
+    numeric-payload use case PayloadScoreQuery exists for). Incompatible
+    with stream-mutating stages (token_filters / shingles /
+    phrase_synonyms / common_grams) — same composition limits as Lucene's
+    payload filters, which must run last in the chain.
     """
+    if payload_delimiter and (token_filters or shingles or phrase_synonyms
+                              or common_grams):
+        raise ValueError(
+            "payload_delimiter cannot be combined with token_filters/"
+            "shingles/phrase_synonyms/common_grams")
     if isinstance(contents, pa.ChunkedArray):
         contents = contents.combine_chunks()
     n_docs = len(contents)
@@ -1027,6 +1047,27 @@ def invert_partition(
         dict_arr = dict_arr.combine_chunks()
     tok_ids = np.asarray(dict_arr.indices, dtype=np.int32)
     vocab = dict_arr.dictionary
+
+    pay_vals = None
+    if payload_delimiter:
+        # DelimitedPayloadTokenFilter at VOCAB level: the payload is a pure
+        # function of the surface token string, so splitting each DISTINCT
+        # token once and gathering per occurrence is exact and vectorized
+        # (vocab is tiny next to the token stream).
+        stripped: list[str] = []
+        vocab_pay = np.zeros(len(vocab), dtype=np.uint64)
+        for vi, t in enumerate(vocab.to_pylist()):
+            k = t.rfind(payload_delimiter)
+            if k > 0 and t[k + 1:].isdigit():
+                stripped.append(t[:k])
+                vocab_pay[vi] = int(t[k + 1:])
+            else:
+                stripped.append(t)
+        d2 = pa.array(stripped, pa.string()).dictionary_encode()
+        remap = np.asarray(d2.indices, dtype=np.int32)
+        pay_vals = vocab_pay[tok_ids]
+        tok_ids = remap[tok_ids]
+        vocab = d2.dictionary
 
     if token_filters:
         if not with_offsets:
@@ -1158,6 +1199,13 @@ def invert_partition(
     else:
         off_arr = pa.array([b""] * len(term_ids), pa.binary())
 
+    if pay_vals is not None:
+        # one absolute vbyte payload per occurrence (no deltas: payloads
+        # are arbitrary values, not monotone like positions)
+        pay_arr = _stream_column(pay_vals[order].astype(np.uint64), 1)
+    else:
+        pay_arr = pa.array([b""] * len(term_ids), pa.binary())
+
     partials = pa.table(
         {
             "term": vocab.take(pa.array(term_ids)),
@@ -1168,6 +1216,7 @@ def invert_partition(
             "norms": norms_arr,
             "pos_enc": pos_arr,
             "off_enc": off_arr,
+            "pay_enc": pay_arr,
         }
     )
     return partials, lengths, norm_bytes
@@ -1300,6 +1349,7 @@ def merge_partials(tables: list[pa.Table],
             "norms": norms,
             "pos_enc": merge_binary_col("pos_enc"),
             "off_enc": merge_binary_col("off_enc"),
+            "pay_enc": merge_binary_col("pay_enc"),
         }
     )
 
@@ -1315,5 +1365,6 @@ def _empty_partials() -> pa.Table:
             "norms": pa.array([], pa.list_(pa.uint8())),
             "pos_enc": pa.array([], pa.binary()),
             "off_enc": pa.array([], pa.binary()),
+            "pay_enc": pa.array([], pa.binary()),
         }
     )

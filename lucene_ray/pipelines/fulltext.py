@@ -2544,3 +2544,118 @@ def _scored_topk(sf_dir: str, q: Query, k: int) -> pa.Table:
             "score": pa.array(td.scores, pa.float32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-position payloads: DelimitedPayloadTokenFilter + PayloadScoreQuery
+# ---------------------------------------------------------------------------
+
+PAYLOAD_DELIM = "|"
+
+
+def _payload_value(pos: int, tok_len: int) -> int:
+    """Deterministic per-occurrence payload for the derived corpus —
+    varies with both position and token, SQL-replayable as arithmetic."""
+    return (pos * 31 + tok_len) % 101
+
+
+def documents_payload_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived payload-annotated twin
+    of ``text``: token at position p becomes ``tok|((p*31+len(tok))%101)``,
+    tokenized by the ``pattern`` grammar on space runs (PatternTokenizer —
+    the WhitespaceTokenizer+DelimitedPayloadTokenFilter pairing of Lucene's
+    payload tests, analysis/payloads/DelimitedPayloadTokenFilterTest.java)
+    with ``payload_delimiter`` so each posting position carries its integer
+    payload (IndexOptions payload level, PostingsEnum.getPayload)."""
+    import re as _re
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getmtime(src)}:pay-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-pay-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            split = _re.compile(r"[^a-z0-9_]+")
+
+            def _annot(b: pa.Table) -> pa.Table:
+                # same token list as the oracle's _TOKLIST split, annotated
+                # and re-joined with single spaces so the pattern grammar
+                # re-finds exactly these tokens at these positions
+                texts = b.column("text").to_pylist()
+                out = [
+                    " ".join(
+                        f"{t}{PAYLOAD_DELIM}{_payload_value(p, len(t))}"
+                        for p, t in enumerate(
+                            x for x in split.split(s.lower()) if x)
+                    )
+                    for s in texts
+                ]
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", pa.array(out, pa.string()))
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_annot, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="pattern:[^ ]+",
+            payload_delimiter=PAYLOAD_DELIM,
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def payload_term_scores(sf_dir: str, term: str, fn: str = "sum") -> pa.Table:
+    """Per-doc aggregate of the integer payloads at ``term``'s occurrences —
+    the PayloadScoreQuery surface (queries/src/java/org/apache/lucene/
+    queries/payloads/PayloadScoreQuery.java with SumPayloadFunction /
+    MaxPayloadFunction / MinPayloadFunction). Decodes the pay_enc stream of
+    every posting chunk and reduces per doc fully vectorized
+    (np.{add,maximum,minimum}.reduceat over the flat payload stream).
+    Returns (doc_id, pay) sorted by doc_id."""
+    from lucene_ray.codec.postings import (
+        decode_docs,
+        decode_freqs,
+        decode_payloads,
+    )
+
+    red = {"sum": np.add, "max": np.maximum, "min": np.minimum}[fn]
+    reader = documents_payload_index(sf_dir)
+    ids: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    for s in reader.manifest.segments:
+        seg = s["seg"]
+        tbl = reader.postings(seg, [term])
+        if tbl is None or len(tbl) == 0:
+            continue
+        gids = reader.global_doc_ids(seg)
+        for i in range(len(tbl)):
+            cnt = tbl.column("count")[i].as_py()
+            docs = decode_docs(tbl.column("docs_enc")[i].as_py(), cnt)
+            freqs = decode_freqs(tbl.column("freqs_enc")[i].as_py(), cnt)
+            pays = decode_payloads(tbl.column("pay_enc")[i].as_py(), freqs)
+            starts = np.concatenate([[0], np.cumsum(freqs)[:-1]]).astype(np.int64)
+            ids.append(gids[docs.astype(np.int64)])
+            vals.append(red.reduceat(pays.astype(np.int64), starts))
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pay": pa.array([], pa.int64())})
+    gid_all = np.concatenate(ids)
+    val_all = np.concatenate(vals)
+    t = reader.lookup_docs(gid_all, columns=["doc_id", "doc_id_orig"])
+    m = dict(zip(t.column("doc_id").to_pylist(),
+                 t.column("doc_id_orig").to_pylist()))
+    orig = np.array([m[int(g)] for g in gid_all], dtype=np.int64)
+    order = np.argsort(orig, kind="stable")
+    return pa.table({"doc_id": pa.array(orig[order], pa.int64()),
+                     "pay": pa.array(val_all[order], pa.int64())})
