@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- full-text engine (index build + query ops, SURVEY §2.5/2.7/2.9) ---
         "ft_term_hits_join": _q(lambda sf: ft.term_hits(sf, "join")),
+        # NRT replication (replicator/nrt/ReplicaNode): commit point synced
+        # to a replica dir (incremental, crc-verified), served from there
+        "ft_term_hits_replica": _q(lambda sf: ft.replica_term_hits(sf, "join")),
         "ft_term_hits_after_delete": _q(
             lambda sf: ft.term_hits_after_delete(sf, "join")
         ),
@@ -1318,6 +1321,9 @@ _QUALITY_BASE = (
 def oracle_sql() -> dict[str, str]:
     out = {
         "ft_term_hits_join": _TOKS
+        + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
+        # a synced replica must serve the primary's exact hit set
+        "ft_term_hits_replica": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' ORDER BY doc_id",
         "ft_term_hits_after_delete": _TOKS
         + "SELECT DISTINCT doc_id FROM toks WHERE tok = 'join' "

@@ -2659,3 +2659,23 @@ def payload_term_scores(sf_dir: str, term: str, fn: str = "sum") -> pa.Table:
     order = np.argsort(orig, kind="stable")
     return pa.table({"doc_id": pa.array(orig[order], pa.int64()),
                      "pay": pa.array(val_all[order], pa.int64())})
+
+
+def replica_term_hits(sf_dir: str, term: str) -> pa.Table:
+    """Term hit set served from a SYNCED REPLICA of the documents index —
+    the NRT replication surface end-to-end (lucene/replicator/nrt/
+    ReplicaNode.java): the primary's commit point is shipped to a separate
+    directory (incremental, checksum-verified, Ray-task file fan-out) and
+    the query runs against the replica's own reader. Exact same oracle as
+    ft_term_hits — a replica MUST serve identically."""
+    from lucene_ray.index.replicate import sync_replica
+    from lucene_ray.search.query import TermQuery
+
+    primary = documents_index(sf_dir)
+    replica_dir = primary.index_dir + "-replica"
+    sync_replica(primary.index_dir, replica_dir, concurrency=4)
+    if replica_dir not in _readers:
+        _readers[replica_dir] = IndexReader(replica_dir)
+    reader = _readers[replica_dir]
+    return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader),
+                     reader)
