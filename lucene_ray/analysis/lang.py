@@ -187,96 +187,131 @@ def english_minimal_stem(t: str) -> str:
 
 
 def french_minimal_stem(t: str) -> str:
-    """Savoy's minimal French stemmer (FrenchMinimalStemmer.java shape):
-    words >= 6 chars; 'aux' -> 'al', else drop final 'x'; otherwise strip a
-    trailing 's', then 'r', then 'e', then collapse a doubled final letter
-    ("chevaux"->"cheval", "chanteuses"->"chanteus"->... )."""
+    """Savoy's minimal French stemmer — exact FrenchMinimalStemmer.java
+    behavior (golden-verified on the reference frminimaltestdata
+    vocabulary): words >= 6 chars; final 'x' drops ('aux' -> 'al'); else
+    strip in sequence a trailing 's', 'r', 'e', 'é', then collapse a
+    doubled final letter ("chevaux"->"cheval", "abandonnée"->"abandon")."""
     if len(t) < 6:
         return t
     if t[-1] == "x":
-        if t.endswith("aux"):
-            return t[:-3] + "al"
+        if t[-3] == "a" and t[-2] == "u":
+            return t[:-2] + "l"
         return t[:-1]
     if t[-1] == "s":
         t = t[:-1]
-    if t and t[-1] == "r":
+    if t[-1] == "r":
         t = t[:-1]
-    if t and t[-1] == "e":
+    if t[-1] == "e":
         t = t[:-1]
-    if len(t) >= 2 and t[-1] == t[-2]:
+    if t[-1] == "é":
+        t = t[:-1]
+    if len(t) >= 2 and t[-1] == t[-2] and t[-1].isalpha():
         t = t[:-1]
     return t
 
 
+_DE_FOLD = str.maketrans("äöü", "aou")
+
+
 def german_minimal_stem(t: str) -> str:
-    """Savoy's minimal German stemmer (GermanMinimalStemmer.java shape):
-    words >= 5 chars; strip plural/case endings 'nen' (len>6), then one of
-    'en'/'er'/'es'/'se' (len>5), then a single final 'e'/'n'/'r'/'s'
-    ("frauen"->"frau", "kindern"->"kinder"->... applied once each)."""
+    """Savoy's minimal German stemmer — exact GermanMinimalStemmer.java
+    behavior (golden-verified on deminimaltestdata): words >= 5 chars;
+    fold umlauts; strip 'nen' (len>6), else a paired 'en'/'se'/'es'/'er'
+    (len>5), else a single final 'n'/'e'/'s'/'r'."""
     if len(t) < 5:
         return t
+    t = t.translate(_DE_FOLD)
     if len(t) > 6 and t.endswith("nen"):
         return t[:-3]
-    if len(t) > 5 and t[-2:] in ("en", "er", "es", "se"):
-        return t[:-2]
-    if t[-1] in "enrs":
+    if len(t) > 5:
+        a, b = t[-1], t[-2]
+        if (a == "n" and b == "e") or (a == "e" and b == "s") or \
+           (a == "s" and b == "e") or (a == "r" and b == "e"):
+            return t[:-2]
+    if t[-1] in "nesr":
         return t[:-1]
     return t
 
 
+_ES_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
 def spanish_light_stem(t: str) -> str:
-    """Light Spanish plural/gender stemmer (SpanishLightStemmer.java shape,
-    folded spellings): words >= 5 chars; strip plural 'es' after a stemmable
-    consonant (r,l,n,d,s,z) or plain final 's'; then reduce a final gender
-    vowel 'o'/'a'/'e' ("gatos"->"gat", "actrices" handled as 'es' strip)."""
+    """Light Spanish stemmer — exact SpanishLightStemmer.java behavior
+    (Savoy CLEF-2001; golden-verified on eslighttestdata): words >= 5
+    chars; fold accented vowels; drop a final gender vowel 'o'/'a'/'e';
+    for final 's': 'eses' -> 'es', 'ces' -> 'z', or drop 'os'/'as'/'es'."""
     if len(t) < 5:
         return t
-    if t.endswith("es") and len(t) >= 6 and t[-3] in "rlndsz":
-        t = t[:-2]
-    elif t[-1] == "s":
-        t = t[:-1]
-    if len(t) >= 4 and t[-1] in "oae":
-        t = t[:-1]
+    t = t.translate(_ES_FOLD)
+    if t[-1] in "oae":
+        return t[:-1]
+    if t[-1] == "s":
+        if t[-2] == "e" and t[-3] == "s" and t[-4] == "e":
+            return t[:-2]
+        if t[-2] == "e" and t[-3] == "c":
+            return t[:-3] + "z"
+        if t[-2] in "oae":
+            return t[:-2]
     return t
 
 
 def italian_light_stem(t: str) -> str:
-    """Light Italian stemmer (ItalianLightStemmer.java shape): words >= 6
-    chars; map a final plural/gender vowel ('i'/'e' plural, 'o'/'a'
-    singular) to nothing, with 'i'->'o' class merges handled by just
-    stripping ("gatti"/"gatto"->"gatt", "case"/"casa"->"cas")."""
+    """Light Italian stemmer — exact ItalianLightStemmer.java behavior
+    (golden-verified on itlighttestdata): words >= 6 chars; fold accented
+    vowels; drop a final plural/gender vowel, taking the preceding 'i'/'h'
+    with it per class ('ie'/'he' -> -2, 'hi'/'ii' -> -2, 'ia' -> -2,
+    'io' -> -2, else -1)."""
     if len(t) < 6:
         return t
-    if t[-1] in "ioae":
-        t = t[:-1]
-        # double vowel endings like "io"/"ia" ("occhio" -> "occhi" -> "occh")
-        if t and t[-1] in "i":
-            t = t[:-1]
+    t = t.translate(_ES_FOLD)
+    last, prev = t[-1], t[-2]
+    if last == "e":
+        return t[:-2] if prev in "ih" else t[:-1]
+    if last == "i":
+        return t[:-2] if prev in "hi" else t[:-1]
+    if last == "a" or last == "o":
+        return t[:-2] if prev == "i" else t[:-1]
     return t
 
 
+# RSLP "Plural" step (Orengo & Huyck 2001) exactly as the reference encodes
+# it in resources/.../pt/portuguese.rslp — ordered (suffix, min_stem,
+# replacement, whole-word exceptions); first match fires, step requires
+# len >= 3 and a final 's'
+_PT_PLURAL_RULES = (
+    ("ns", 1, "m", ()),
+    ("ões", 3, "ão", ()),
+    ("ães", 1, "ão", ("mães",)),
+    ("ais", 1, "al", ("cais", "mais")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ()),
+    ("is", 2, "il", ("lápis", "cais", "mais", "crúcis", "biquínis", "pois",
+                     "depois", "dois", "leis")),
+    ("les", 3, "l", ()),
+    ("res", 3, "r", ("árvores",)),
+    ("s", 2, "", ("aliás", "pires", "lápis", "cais", "mais", "mas", "menos",
+                  "férias", "fezes", "pêsames", "crúcis", "gás", "atrás",
+                  "moisés", "através", "convés", "ês", "país", "após",
+                  "ambas", "ambos", "messias", "depois")),
+)
+
+
 def portuguese_minimal_stem(t: str) -> str:
-    """Plural-only Portuguese reduction (PortugueseMinimalStemmer.java
-    shape — RSLP step 1, Orengo & Huyck 2001, folded-ASCII spellings):
-    words >= 4 chars ending in 's'; map the classic plural classes
-    'oes'/'aes' -> 'ao', 'ais' -> 'al', 'eis' -> 'el', 'ois' -> 'ol',
-    'ns' -> 'm' ("limoes"->"limao", "animais"->"animal", "bons"->"bom"),
-    keep '-ss' words, else drop the final 's'."""
-    if len(t) < 4 or t[-1] != "s":
+    """Plural-only Portuguese reduction — exact PortugueseMinimalStemmer
+    behavior (RSLP step 'Plural' of pt/portuguese.rslp via
+    RSLPStemmerBase.java Step.apply semantics; golden-verified on
+    ptminimaltestdata): first matching rule with sufficient stem length
+    and no whole-word exception fires ("balões"->"balão",
+    "normais"->"normal", "casas"->"casa")."""
+    if len(t) < 3 or t[-1] != "s":
         return t
-    if len(t) >= 6 and (t.endswith("oes") or t.endswith("aes")):
-        return t[:-3] + "ao"
-    if len(t) >= 5 and t.endswith("ais"):
-        return t[:-3] + "al"
-    if len(t) >= 5 and t.endswith("eis"):
-        return t[:-3] + "el"
-    if len(t) >= 5 and t.endswith("ois"):
-        return t[:-3] + "ol"
-    if t.endswith("ns"):
-        return t[:-2] + "m"
-    if t[-2] == "s":  # "-ss" class kept, like the English s-stemmer
-        return t
-    return t[:-1]
+    for suf, mn, rep, exc in _PT_PLURAL_RULES:
+        if len(t) - len(suf) >= mn and t.endswith(suf) and t not in exc:
+            return t[: len(t) - len(suf)] + rep
+    return t
 
 
 def swedish_light_stem(t: str) -> str:
@@ -339,6 +374,7 @@ def czech_light_stem(t: str) -> str:
 
 
 _FI_VOWELS = frozenset("aeiouy")
+_FI_FOLD = str.maketrans("äåö", "aao")
 
 
 def finnish_light_stem(t: str) -> str:
@@ -347,10 +383,11 @@ def finnish_light_stem(t: str) -> str:
     strip (-kin/-ko), -dellinen/-dellisuus, case/possessive endings with
     the s-substitutions (nnen→s, ntena→s, den→s+, ksen→s), then two
     normalization passes (hde→ksi, final t/s/j/e/a/i, long-vowel trim,
-    doubled k/p/t collapse). Operates on folded lowercase ASCII (the Java
-    ä/å→a, ö→o fold is a no-op after fold_text)."""
+    doubled k/p/t collapse). Folds ä/å→a, ö→o first, exactly as
+    FinnishLightStemmer.java does (golden-verified on filighttestdata)."""
     if len(t) < 4:
         return t
+    t = t.translate(_FI_FOLD)
     # step 1: clitics + -dellinen/-dellisuus
     while True:
         if len(t) > 8 and t.endswith("kin"):
@@ -437,14 +474,16 @@ def _fi_step3(t: str) -> str:
 
 
 _HU_VOWELS = frozenset("aeiouy")
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
 
 
 def hungarian_light_stem(t: str) -> str:
     """Light Hungarian stemmer (the UniNE algorithm in Savoy, "Light
     Stemming Approaches for the French, Portuguese, German and Hungarian
-    Languages", ACM SAC 2006; rule shape of HungarianLightStemmer.java):
-    case ending → possessive → plural → final-vowel normalization, one
-    rule per pass, on folded lowercase ASCII."""
+    Languages", ACM SAC 2006; exact HungarianLightStemmer.java behavior,
+    golden-verified on hulighttestdata): fold accents, then case ending →
+    possessive → plural → final-vowel normalization, one rule per pass."""
+    t = t.translate(_HU_FOLD)
     return _hu_normalize(_hu_plural(_hu_possessive(_hu_case(t))))
 
 

