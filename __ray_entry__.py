@@ -595,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Arabic light10 pack ('hash' -> ' الكتاب '): the bare stem كتاب
         # hits exactly the injected docs (normalize + article strip)
         "ft_arabic_stem_hits": _q(ft.arabic_stem_hits),
+        # GermanLightStemmer pack end-to-end (golden-verified stemmer;
+        # injected 'häusern' must index as the bare stem 'haus')
+        "ft_german_light_hits": _q(ft.german_light_stem_hits),
         # CommonGrams: 'the_fast' one-term lookup == adjacent pair oracle
         "ft_common_grams_hits": _q(ft.common_grams_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
@@ -1388,6 +1391,12 @@ def oracle_sql() -> dict[str, str]:
         # Arabic pack: stem hits == 'hash'-bearing docs
         "ft_arabic_stem_hits": (
             "SELECT doc_id FROM documents WHERE contains(text, 'hash') "
+            "ORDER BY doc_id"
+        ),
+        # de_light pack: 'häusern' injected at every 'sort' substring stems
+        # to 'haus' (fold + ern strip), so the hit set IS the trigger set
+        "ft_german_light_hits": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'sort') "
             "ORDER BY doc_id"
         ),
         # multi-word synonym: both the contraction 'ny' and the source

@@ -167,6 +167,14 @@ STOPWORDS: dict[str, frozenset] = {
         aki ami akik amik lesz lenni volna ugy ott mindig minden"""
         .split()
     ),
+    # Sorani Kurdish function words (conjunctions, prepositions,
+    # demonstratives — the ckb/stopwords.txt class of words)
+    "ckb": frozenset(
+        """و لە بە بۆ کە لەگەڵ ئەم ئەو هەر هەموو ئێمە ئێوە ئەوان من تۆ
+        ناو سەر دوای پێش بەڵام یان نە تا کو چی کێ چۆن بوو دەبێت هەیە نیە
+        وەک تر هیچ چەند لەو لەم بەو بەم دا دە لا"""
+        .split()
+    ),
 }
 
 
@@ -731,6 +739,305 @@ def persian_normalize(t: str) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# Light variants (the *Analyzer default stemmers where minimal ones exist)
+# ---------------------------------------------------------------------------
+
+_DE_LIGHT_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST = frozenset("bdfghklmnt")
+
+
+def german_light_stem(t: str) -> str:
+    """Savoy's light German stemmer — exact GermanLightStemmer.java
+    behavior (golden-verified on delighttestdata): fold accents, then two
+    suffix passes ('ern'/'em,en,er,es'/'e'/consonant+'s', then
+    'est'/'er,en'/consonant+'st')."""
+    t = t.translate(_DE_LIGHT_FOLD)
+    # step 1
+    n = len(t)
+    if n > 5 and t.endswith("ern"):
+        t = t[:-3]
+    elif n > 4 and t[-2] == "e" and t[-1] in "mnrs":
+        t = t[:-2]
+    elif n > 3 and t[-1] == "e":
+        t = t[:-1]
+    elif n > 3 and t[-1] == "s" and t[-2] in _DE_ST:
+        t = t[:-1]
+    # step 2
+    n = len(t)
+    if n > 5 and t.endswith("est"):
+        t = t[:-3]
+    elif n > 4 and (t.endswith("er") or t.endswith("en")):
+        t = t[:-2]
+    elif n > 4 and t.endswith("st") and t[-3] in _DE_ST:
+        t = t[:-2]
+    return t
+
+
+_FR_NORM_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(t: str) -> str:
+    """FrenchLightStemmer.norm: fold + collapse ALL doubled letters
+    (len>4), strip 'ie', then r/e/e and a doubled final."""
+    if len(t) > 4:
+        t = t.translate(_FR_NORM_FOLD)
+        out = [t[0]]
+        for c in t[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        t = "".join(out)
+    if len(t) > 4 and t.endswith("ie"):
+        t = t[:-2]
+    if len(t) > 4:
+        if t[-1] == "r":
+            t = t[:-1]
+        if t[-1] == "e":
+            t = t[:-1]
+        if t[-1] == "e":
+            t = t[:-1]
+        if t[-1] == t[-2] and t[-1].isalpha():
+            t = t[:-1]
+    return t
+
+
+def french_light_stem(t: str) -> str:
+    """Savoy's light French stemmer — exact FrenchLightStemmer.java
+    behavior (golden-verified on frlighttestdata): plural x/s strip, then
+    ONE derivational-suffix rewrite (issement→ir, ateur→er, catrice→quer,
+    euse/teuse, ive→if, isation, …), then the norm pass."""
+    if len(t) > 5 and t[-1] == "x":
+        if t[-3] == "a" and t[-2] == "u" and t[-4] != "e":
+            t = t[:-2] + "l"
+        else:
+            t = t[:-1]
+    if len(t) > 3 and t[-1] == "x":
+        t = t[:-1]
+    if len(t) > 3 and t[-1] == "s":
+        t = t[:-1]
+    n = len(t)
+    if n > 9 and t.endswith("issement"):
+        return _fr_norm(t[:-7] + "r")
+    if n > 8 and t.endswith("issant"):
+        return _fr_norm(t[:-5] + "r")
+    if n > 6 and t.endswith("ement"):
+        t = t[:-4]
+        if len(t) > 3 and t.endswith("ive"):
+            t = t[:-2] + "f"
+        return _fr_norm(t)
+    if n > 11 and t.endswith("ficatrice"):
+        return _fr_norm(t[:-6] + "er")
+    if n > 10 and t.endswith("ficateur"):
+        return _fr_norm(t[:-6] + "er")
+    if n > 9 and t.endswith("catrice"):
+        return _fr_norm(t[:-7] + "quer")
+    if n > 8 and t.endswith("cateur"):
+        return _fr_norm(t[:-6] + "quer")
+    if n > 8 and t.endswith("atrice"):
+        return _fr_norm(t[:-6] + "er")
+    if n > 7 and t.endswith("ateur"):
+        return _fr_norm(t[:-5] + "er")
+    if n > 6 and t.endswith("trice"):
+        t = t[:-5] + "teur"
+        n = len(t)
+    if n > 5 and t.endswith("ième"):
+        return _fr_norm(t[:-4])
+    if n > 7 and t.endswith("teuse"):
+        return _fr_norm(t[:-3] + "r")
+    if n > 6 and t.endswith("teur"):
+        return _fr_norm(t[:-2] + "r")
+    if n > 5 and t.endswith("euse"):
+        return _fr_norm(t[:-2])
+    if n > 8 and t.endswith("ère"):
+        return _fr_norm(t[:-3] + "er")
+    if n > 7 and t.endswith("ive"):
+        return _fr_norm(t[:-2] + "f")
+    if n > 4 and (t.endswith("folle") or t.endswith("molle")):
+        return _fr_norm(t[:-3] + "u")
+    if n > 9 and t.endswith("nnelle"):
+        return _fr_norm(t[:-5])
+    if n > 9 and t.endswith("nnel"):
+        return _fr_norm(t[:-3])
+    if n > 4 and t.endswith("ète"):
+        t = t[:-3] + "et"
+        n = len(t)
+    if n > 8 and t.endswith("ique"):
+        t = t[:-4]
+        n = len(t)
+    if n > 8 and t.endswith("esse"):
+        return _fr_norm(t[:-3])
+    if n > 7 and t.endswith("inage"):
+        return _fr_norm(t[:-3])
+    if n > 9 and t.endswith("isation"):
+        t = t[:-7]
+        if len(t) > 5 and t.endswith("ual"):
+            t = t[:-2] + "el"
+        return _fr_norm(t)
+    if n > 9 and t.endswith("isateur"):
+        return _fr_norm(t[:-7])
+    if n > 8 and t.endswith("ation"):
+        return _fr_norm(t[:-5])
+    if n > 8 and t.endswith("ition"):
+        return _fr_norm(t[:-5])
+    return _fr_norm(t)
+
+
+_PT_LIGHT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç",
+                               "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_light_suffix(t: str) -> str:
+    n = len(t)
+    if n > 4 and t.endswith("es") and t[-3] in "rslz":
+        return t[:-2]
+    if n > 3 and t.endswith("ns"):
+        return t[:-2] + "m"
+    if n > 4 and (t.endswith("eis") or t.endswith("éis")):
+        return t[:-3] + "el"
+    if n > 4 and t.endswith("ais"):
+        return t[:-2] + "l"
+    if n > 4 and t.endswith("óis"):
+        return t[:-3] + "ol"
+    if n > 4 and t.endswith("is"):
+        return t[:-1] + "l"
+    if n > 3 and (t.endswith("ões") or t.endswith("ães")):
+        return t[:-3] + "ão"
+    if n > 6 and t.endswith("mente"):
+        return t[:-5]
+    if n > 3 and t[-1] == "s":
+        return t[:-1]
+    return t
+
+
+def _pt_norm_feminine(t: str) -> str:
+    n = len(t)
+    if n > 7 and (t.endswith("inha") or t.endswith("iaca") or t.endswith("eira")):
+        return t[:-1] + "o"
+    if n > 6:
+        if t.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return t[:-1] + "o"
+        if t.endswith("ona"):
+            return t[:-3] + "ão"
+        if t.endswith("ora"):
+            return t[:-1]
+        if t.endswith("esa"):
+            return t[:-3] + "ês"
+        if t.endswith("na"):
+            return t[:-1] + "o"
+    return t
+
+
+def portuguese_light_stem(t: str) -> str:
+    """Savoy's light Portuguese stemmer — exact PortugueseLightStemmer.java
+    behavior (golden-verified on ptlighttestdata): plural suffix rewrite,
+    feminine normalization, final-vowel strip, THEN the accent fold (the
+    fold is last, unlike the other light stemmers)."""
+    if len(t) < 4:
+        return t
+    t = _pt_light_suffix(t)
+    if len(t) > 3 and t[-1] == "a":
+        t = _pt_norm_feminine(t)
+    if len(t) > 4 and t[-1] in "eao":
+        t = t[:-1]
+    return t.translate(_PT_LIGHT_FOLD)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb) — lucene/analysis/common/.../ckb/{SoraniNormalizer,
+# SoraniStemmer}.java, golden-verified on ckbtestdata (8,272 pairs)
+# ---------------------------------------------------------------------------
+
+_CKB_MAP = {
+    "ي": "ی", "ى": "ی",   # yeh / dotless yeh -> farsi yeh
+    "ك": "ک",                        # kaf -> keheh
+    "ة": "ە",                        # teh marbuta -> ae
+    "ھ": "ه",                        # heh doachashmee -> heh
+    "ڒ": "ڕ",                        # reh with v above -> rreh
+}
+_CKB_DEL = frozenset("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(t: str) -> str:
+    """SoraniNormalizer.java behavior: unify yeh/kaf forms, ZWNJ after heh
+    turns the heh into ae (else ZWNJ deleted), final heh -> ae, initial
+    reh -> rreh, delete tatweel/harakat and Unicode FORMAT chars."""
+    import unicodedata
+
+    out: list[str] = []
+    last = len(t) - 1
+    for i, c in enumerate(t):
+        if c == "‌":  # ZWNJ
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+            continue
+        if c in _CKB_DEL or unicodedata.category(c) == "Cf":
+            continue
+        if c == "ر" and not out:  # reh at (post-deletion) position 0 -> rreh
+            out.append("ڕ")
+            continue
+        if c == "ه" and i == last:  # heh with nothing following -> ae
+            out.append("ە")
+            continue
+        out.append(_CKB_MAP.get(c, c))
+    return "".join(out)
+
+
+def sorani_stem(t: str) -> str:
+    """SoraniStemmer.java behavior: postposition + possessive-pronoun
+    strip, then ONE ezafe/definiteness/plural/demonstrative suffix."""
+    n = len(t)
+    if n > 5 and t.endswith("دا"):
+        t = t[:-2]
+    elif n > 4 and t.endswith("نا"):
+        t = t[:-1]
+    elif n > 6 and t.endswith("ەوە"):
+        t = t[:-3]
+    if len(t) > 6 and t.endswith(("مان", "یان", "تان")):
+        t = t[:-3]
+    n = len(t)
+    if n > 6 and t.endswith("ێکی"):
+        return t[:-3]
+    if n > 7 and t.endswith("یەکی"):
+        return t[:-4]
+    if n > 5 and t.endswith("ێک"):
+        return t[:-2]
+    if n > 6 and t.endswith("یەک"):
+        return t[:-3]
+    if n > 6 and t.endswith("ەکە"):
+        return t[:-3]
+    if n > 5 and t.endswith("کە"):
+        return t[:-2]
+    if n > 7 and t.endswith("ەکان"):
+        return t[:-4]
+    if n > 6 and t.endswith("کان"):
+        return t[:-3]
+    if n > 7 and t.endswith("یانی"):
+        return t[:-4]
+    if n > 6 and t.endswith("انی"):
+        return t[:-3]
+    if n > 6 and t.endswith("یان"):
+        return t[:-3]
+    if n > 5 and t.endswith("ان"):
+        return t[:-2]
+    if n > 7 and t.endswith("یانە"):
+        return t[:-4]
+    if n > 6 and t.endswith("انە"):
+        return t[:-3]
+    if n > 5 and (t.endswith("ایە") or t.endswith("ەیە")):
+        return t[:-2]
+    if n > 4 and t.endswith("ە"):
+        return t[:-1]
+    if n > 4 and t.endswith("ی"):
+        return t[:-1]
+    return t
+
+
+def sorani_light_stem(t: str) -> str:
+    """The SoraniAnalyzer chain core: normalize then stem."""
+    return sorani_stem(sorani_normalize(t))
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
@@ -747,6 +1054,12 @@ STEMMERS = {
     "ar": arabic_light_stem,
     "fa": persian_normalize,
     "hi": hindi_light_stem,
+    # light variants (the *Analyzer defaults; language_pack(minimal=False))
+    "de_light": german_light_stem,
+    "fr_light": french_light_stem,
+    "pt_light": portuguese_light_stem,
+    # Sorani Kurdish (ckb): normalize + stem chain
+    "ckb": sorani_light_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
@@ -779,9 +1092,14 @@ def language_pack(lang: str, minimal: bool = True) -> dict:
         raise ValueError(f"unsupported language {lang!r}; have {SUPPORTED_LANGUAGES}")
     if lang == "en" and not minimal:
         specs: tuple = (("porter_stem",),)
+    elif not minimal and f"{lang}_light" in STEMMERS:
+        # the *Analyzer default where a light variant exists (de/fr/pt)
+        specs = (("light_stem", {"lang": f"{lang}_light"}),)
     else:
         specs = (("light_stem", {"lang": lang}),)
-    return {"stopwords": STOPWORDS[lang], "filter_specs": specs}
+    base = lang.split("_")[0]
+    return {"stopwords": STOPWORDS.get(lang, STOPWORDS.get(base, frozenset())),
+            "filter_specs": specs}
 
 
 def analyzer_for(lang: str, minimal: bool = True):

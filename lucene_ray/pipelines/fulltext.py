@@ -2679,3 +2679,67 @@ def replica_term_hits(sf_dir: str, term: str) -> pa.Table:
     reader = _readers[replica_dir]
     return _orig_ids(sf_dir, _all_matches(sf_dir, TermQuery(term), reader),
                      reader)
+
+
+# German light-pack injection: every 'sort' substring becomes the inflected
+# noun below; GermanLightStemmer folds ä->a and strips 'ern' then 'e'/'er'
+# ('häusern' -> 'haus'), so hits of the bare stem replay as substring
+# containment of the trigger ('haus' never occurs naturally in the corpus)
+GERMAN_SUB = ("sort", " häusern ")
+GERMAN_STEM_TERM = "haus"
+
+
+def documents_german_light_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived German-bearing twin
+    analyzed with uax29 + the de light pack (GermanLightStemmer — lucene/
+    analysis/common/src/java/org/apache/lucene/analysis/de/
+    GermanLightStemmer.java, golden-verified on delighttestdata)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:delight-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-delight-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=GERMAN_SUB[0],
+                                         replacement=GERMAN_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("light_stem", {"lang": "de_light"}),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def german_light_stem_hits(sf_dir: str) -> pa.Table:
+    """doc_ids where the bare stem 'haus' matches — every injected
+    'häusern' must have been folded + suffix-stripped by the de_light
+    pack (GermanLightStemmer behavior)."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_german_light_index(sf_dir)
+    t = _orig_ids(sf_dir,
+                  _all_matches(sf_dir, TermQuery(GERMAN_STEM_TERM), reader),
+                  reader)
+    return t.sort_by("doc_id")

@@ -80,10 +80,15 @@ def test_unknown_language_rejected():
 def test_language_pack_shapes():
     for lang in SUPPORTED_LANGUAGES:
         pack = language_pack(lang)
-        assert pack["stopwords"] is STOPWORDS[lang]
+        base = lang.split("_")[0]
+        assert pack["stopwords"] is STOPWORDS.get(lang, STOPWORDS[base])
         assert pack["filter_specs"][0][0] == "light_stem"
     en_full = language_pack("en", minimal=False)
     assert en_full["filter_specs"] == (("porter_stem",),)
+    # the *Analyzer-default light variants (GermanAnalyzer = GermanLight...)
+    for lang in ("de", "fr", "pt"):
+        assert language_pack(lang, minimal=False)["filter_specs"] == (
+            ("light_stem", {"lang": f"{lang}_light"}),)
 
 
 def test_analyzer_for_round_trip():
