@@ -167,6 +167,20 @@ STOPWORDS: dict[str, frozenset] = {
         aki ami akik amik lesz lenni volna ugy ott mindig minden"""
         .split()
     ),
+    # Latvian / Indonesian function words (the lv/id stopwords.txt class)
+    "lv": frozenset(
+        """un ar uz no par kā ir bija tiek tika bet ja vai šis šī tas tā
+        es tu viņš viņa mēs jūs viņi kas ko kur kad jau vēl tikai arī
+        pie pēc līdz bez pret caur starp"""
+        .split()
+    ),
+    "id": frozenset(
+        """yang dan di ke dari untuk pada dengan dalam adalah ini itu
+        tidak akan ada atau juga sudah telah bisa dapat oleh sebagai
+        karena jika maka kami kita mereka saya dia anda bahwa hanya
+        lebih masih harus saat seperti antara namun tetapi"""
+        .split()
+    ),
     # Sorani Kurdish function words (conjunctions, prepositions,
     # demonstratives — the ckb/stopwords.txt class of words)
     "ckb": frozenset(
@@ -1038,6 +1052,183 @@ def sorani_light_stem(t: str) -> str:
     return sorani_stem(sorani_normalize(t))
 
 
+# ---------------------------------------------------------------------------
+# Latvian (lv) — lucene/analysis/common/.../lv/LatvianStemmer.java (light
+# stemmer after Karlis Kreslins), verified on the reference's full
+# TestLatvianStemmer vector set
+# ---------------------------------------------------------------------------
+
+# (affix, vowel_count_threshold, fires_unpalatalization)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False), ("am", 1, False),
+    ("ēm", 1, False), ("īm", 1, False), ("im", 1, False), ("um", 1, False),
+    ("us", 1, True), ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False),
+    ("is", 1, False), ("ie", 1, False), ("u", 1, True), ("a", 1, True),
+    ("i", 1, True), ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False), ("s", 0, False),
+    ("š", 0, False),
+)
+_LV_VOWELS = frozenset("aeiouāīēū")
+_LV_UNPAL_2 = (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"), ("žļ", "zl"),
+               ("ļņ", "ln"), ("ļļ", "ll"))
+_LV_UNPAL_1 = {"č": "c", "ļ": "l", "ņ": "n"}
+
+
+def _lv_unpalatalize(t: str, removed_first: str) -> str:
+    if removed_first == "u":
+        if t.endswith("kš"):
+            return t[:-2] + "kst"
+        if t.endswith("ņņ"):
+            return t[:-2] + "nn"
+    if t.endswith(("pj", "bj", "mj", "vj")):  # labial consonant
+        return t[:-1]
+    for suf, rep in _LV_UNPAL_2:
+        if t.endswith(suf):
+            return t[:-2] + rep
+    if t and t[-1] in _LV_UNPAL_1:
+        return t[:-1] + _LV_UNPAL_1[t[-1]]
+    return t
+
+
+def latvian_stem(t: str) -> str:
+    """LatvianStemmer.java behavior: remove ONE inflectional affix whose
+    vowel-count threshold the word exceeds (stem keeps >= 3 chars), then
+    reverse palatalization for the affix classes that fire it
+    ('lāči' -> 'lāc', 'zvaigžņu' -> 'zvaigzn', 'akmeņi' -> 'akmen')."""
+    nv = sum(1 for c in t if c in _LV_VOWELS)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(t) >= len(affix) + 3 and t.endswith(affix):
+            stem = t[: len(t) - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if pal else stem
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (id) — lucene/analysis/common/.../id/IndonesianStemmer.java
+# (Tala 2003, "A Study of Stemming Effects on Information Retrieval in
+# Bahasa Indonesia"), verified on the reference's TestIndonesianStemmer
+# vector set
+# ---------------------------------------------------------------------------
+
+_ID_VOWELS = frozenset("aeiou")
+
+
+def indonesian_stem(t: str, derivational: bool = True) -> str:
+    """IndonesianStemmer.java behavior: particle + possessive-pronoun
+    strip, then (derivational) first-order prefix -> suffix -> second-order
+    prefix with the published rule-firing flow and prefix/suffix
+    disallowed-combination flags."""
+    flags = 0
+    KE, PENG, DI, MENG, TER, BER, PE = 1, 2, 4, 8, 16, 32, 64
+    ns = sum(1 for c in t if c in _ID_VOWELS)
+
+    def particle(w):
+        nonlocal ns
+        if w.endswith(("kah", "lah", "pun")):
+            ns -= 1
+            return w[:-3]
+        return w
+
+    def possessive(w):
+        nonlocal ns
+        if w.endswith(("ku", "mu")):
+            ns -= 1
+            return w[:-2]
+        if w.endswith("nya"):
+            ns -= 1
+            return w[:-3]
+        return w
+
+    def first_order(w):
+        nonlocal ns, flags
+        if w.startswith("meng"):
+            flags |= MENG; ns -= 1; return w[4:]
+        if w.startswith("meny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            flags |= MENG; ns -= 1; return "s" + w[4:]
+        if w.startswith("men"):
+            flags |= MENG; ns -= 1; return w[3:]
+        if w.startswith("mem"):
+            flags |= MENG; ns -= 1; return w[3:]
+        if w.startswith("me"):
+            flags |= MENG; ns -= 1; return w[2:]
+        if w.startswith("peng"):
+            flags |= PENG; ns -= 1; return w[4:]
+        if w.startswith("peny") and len(w) > 4 and w[4] in _ID_VOWELS:
+            flags |= PENG; ns -= 1; return "s" + w[4:]
+        if w.startswith("peny"):
+            flags |= PENG; ns -= 1; return w[4:]
+        if w.startswith("pen") and len(w) > 3 and w[3] in _ID_VOWELS:
+            flags |= PENG; ns -= 1; return "t" + w[3:]
+        if w.startswith("pen"):
+            flags |= PENG; ns -= 1; return w[3:]
+        if w.startswith("pem"):
+            flags |= PENG; ns -= 1; return w[3:]
+        if w.startswith("di"):
+            flags |= DI; ns -= 1; return w[2:]
+        if w.startswith("ter"):
+            flags |= TER; ns -= 1; return w[3:]
+        if w.startswith("ke"):
+            flags |= KE; ns -= 1; return w[2:]
+        return w
+
+    def second_order(w):
+        nonlocal ns, flags
+        if w.startswith("ber"):
+            flags |= BER; ns -= 1; return w[3:]
+        if w == "belajar":
+            flags |= BER; ns -= 1; return w[3:]
+        if (w.startswith("be") and len(w) > 4 and w[2] not in _ID_VOWELS
+                and w[3] == "e" and w[4] == "r"):
+            flags |= BER; ns -= 1; return w[2:]
+        if w.startswith("per"):
+            ns -= 1; return w[3:]
+        if w == "pelajar":
+            ns -= 1; return w[3:]
+        if w.startswith("pe"):
+            flags |= PE; ns -= 1; return w[2:]
+        return w
+
+    def suffix(w):
+        nonlocal ns
+        if w.endswith("kan") and not flags & (KE | PENG | PE):
+            ns -= 1
+            return w[:-3]
+        if w.endswith("an") and not flags & (DI | MENG | TER):
+            ns -= 1
+            return w[:-2]
+        if (w.endswith("i") and not w.endswith("si")
+                and not flags & (BER | KE | PENG)):
+            ns -= 1
+            return w[:-1]
+        return w
+
+    if ns > 2:
+        t = particle(t)
+    if ns > 2:
+        t = possessive(t)
+    if not derivational:
+        return t
+    old = t
+    if ns > 2:
+        t = first_order(t)
+    if t != old:  # a first-order rule fired
+        old = t
+        if ns > 2:
+            t = suffix(t)
+        if t != old and ns > 2:  # a suffix rule fired
+            t = second_order(t)
+    else:
+        if ns > 2:
+            t = second_order(t)
+        if ns > 2:
+            t = suffix(t)
+    return t
+
+
 STEMMERS = {
     "en": english_minimal_stem,
     "fr": french_minimal_stem,
@@ -1060,6 +1251,8 @@ STEMMERS = {
     "pt_light": portuguese_light_stem,
     # Sorani Kurdish (ckb): normalize + stem chain
     "ckb": sorani_light_stem,
+    "lv": latvian_stem,
+    "id": indonesian_stem,
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
