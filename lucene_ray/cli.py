@@ -196,6 +196,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """Ship the primary's commit point to a replica directory (the
+    replicator/nrt surface; incremental, checksum-verified, Ray-task file
+    fan-out)."""
+    from lucene_ray.index.replicate import sync_replica
+
+    _ray_up()
+    stats = sync_replica(
+        args.index, args.replica,
+        generation=args.generation,
+        concurrency=args.concurrency,
+        delete_unreferenced=not args.keep_unreferenced,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lucene_ray",
                                  description=__doc__.splitlines()[0])
@@ -263,6 +280,17 @@ def main(argv=None) -> int:
     t = sub.add_parser("stats", help="manifest stats")
     t.add_argument("--index", required=True)
     t.set_defaults(fn=cmd_stats)
+
+    r = sub.add_parser("replicate",
+                       help="sync a commit point to a replica dir")
+    r.add_argument("--index", required=True, help="primary index dir")
+    r.add_argument("--replica", required=True, help="replica dir")
+    r.add_argument("--generation", type=int, default=None,
+                   help="pinned commit generation (default: latest)")
+    r.add_argument("--concurrency", type=int, default=8,
+                   help="parallel Ray copy tasks")
+    r.add_argument("--keep-unreferenced", action="store_true")
+    r.set_defaults(fn=cmd_replicate)
 
     args = ap.parse_args(argv)
     # single-path source convenience: build/add accept one or many

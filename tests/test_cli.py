@@ -152,3 +152,27 @@ def test_cli_xml_search_custom_content_col(cli_env, capsys, tmp_path):
     assert main(["compact", "--index", idx, "--segments", "0,1"]) == 0
     out = _lines(capsys)[-1]
     assert out["merged"] == [[0, 1]]
+
+
+def test_cli_replicate(cli_env, capsys, tmp_path):
+    d, corpus = cli_env
+    idx = str(d / "idx_repl")
+    assert main(["build", "--source", str(d / "a.parquet"), "--index", idx,
+                 "--rows-per-partition", "100",
+                 "--partitions-per-segment", "2"]) == 0
+    _lines(capsys)
+    replica = str(tmp_path / "replica")
+    assert main(["replicate", "--index", idx, "--replica", replica,
+                 "--concurrency", "4"]) == 0
+    st = _lines(capsys)[-1]
+    assert st["copied"] > 0 and st["skipped"] == 0
+    # replica serves the same count
+    assert main(["count", "--index", replica, "--query", "import"]) == 0
+    n_rep = int(capsys.readouterr().out.strip())
+    assert main(["count", "--index", idx, "--query", "import"]) == 0
+    n_pri = int(capsys.readouterr().out.strip())
+    assert n_rep == n_pri > 0
+    # second sync is a no-op
+    assert main(["replicate", "--index", idx, "--replica", replica]) == 0
+    st2 = _lines(capsys)[-1]
+    assert st2["copied"] == 0 and st2["skipped"] == st["copied"]
