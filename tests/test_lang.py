@@ -148,7 +148,11 @@ def test_swedish_light_stem():
     assert sv("husen") == "hus"
     assert sv("bilar") == "bil"
     assert sv("pojkens") == "pojk"   # genitive s, then -en
-    assert sv("stolarna") == "stol"
+    # 'arna' is NOT in the light stemmer's 4-char set (it is in the
+    # MINIMAL stemmer's) — golden: 'abborrarna' -> 'abborrarn'
+    assert sv("stolarna") == "stolarn"
+    from lucene_ray.analysis.lang import swedish_minimal_stem
+    assert swedish_minimal_stem("stolarna") == "stol"
     assert sv("hus") == "hus"
 
 
@@ -158,18 +162,24 @@ def test_norwegian_minimal_stem():
     assert no("husene") == "hus"
     assert no("bilen") == "bil"
     assert no("jenta") == "jent"
-    assert no("guttane") == "gutt"
+    # 'ane' is Nynorsk-gated; the filter default is BOKMAAL
+    assert no("guttane") == "guttan"
+    assert no("guttane", nynorsk=True, bokmaal=False) == "gutt"
     assert no("bok") == "bok"
 
 
 def test_czech_light_stem():
     from lucene_ray.analysis.lang import czech_light_stem as cs
 
-    assert cs("zenami") == "zen"
+    # exact CzechStemmer behavior (verified on the reference's full
+    # TestCzechStemmer vector set): note the aggressive e-collapse
+    # normalization ('žena' -> 'žn' is Lucene's own golden expectation)
+    assert cs("ženami") == "žn"
+    assert cs("zenami") == "zn"      # folded-ASCII input, same collapse
     assert cs("hradem") == "hrad"
-    assert cs("mestech") == "mest"
+    assert cs("městech") == "měst"
     assert cs("okna") == "okn"
-    assert cs("dum") == "dum"        # len 3 untouched
+    assert cs("dům") == "dom"        # ů->o normalization applies at any len
 
 
 def test_new_packs_round_trip():
@@ -181,7 +191,7 @@ def test_new_packs_round_trip():
     no = analyzer_for("no")
     assert no("de fine husene og bilen") == ["fin", "hus", "bil"]
     cs = analyzer_for("cs")
-    assert cs("ty velke hrady a zenami") == ["velk", "hrad", "zen"]
+    assert cs("ty velke hrady a zenami") == ["velk", "hrad", "zn"]
 
 
 def test_finnish_light_stem():
