@@ -194,6 +194,27 @@ STOPWORDS: dict[str, frozenset] = {
 # Nynorsk shares the Norwegian function-word set
 STOPWORDS["nn"] = STOPWORDS["no"]
 
+# Bulgarian / Bengali / Telugu function words (the bg/bn/te stopwords.txt
+# class of words)
+STOPWORDS["bg"] = frozenset(
+    """и в на с за от по но или а че това той тя то те ние вие аз ти се си
+    му ѝ им ги го я не да ще е са бе ли как кога къде защо какво кой която
+    което които при като след преди между през без във със до из над под"""
+    .split()
+)
+STOPWORDS["bn"] = frozenset(
+    """এবং ও আর কিন্তু বা যে এই সে তার তাদের আমি আমরা তুমি আপনি এটা ওটা
+    একটি করে করা হয় হয়েছে ছিল আছে নেই না হবে থেকে জন্য সাথে মধ্যে উপর
+    নিচে আগে পরে যদি তবে কেন কি কোথায় কখন কীভাবে"""
+    .split()
+)
+STOPWORDS["te"] = frozenset(
+    """మరియు కానీ లేదా అని ఈ ఆ అది ఇది నేను మేము మీరు వారు తన వారి నా మా
+    మీ కాదు లేదు ఉంది ఉన్న చేసి నుండి కోసం తో లో పై కింద ముందు తరువాత
+    ఎందుకు ఏమి ఎక్కడ ఎప్పుడు ఎలా"""
+    .split()
+)
+
 
 # ---------------------------------------------------------------------------
 # Minimal / light stemmers (pure functions on folded lowercase ASCII terms)
@@ -1415,3 +1436,206 @@ def analyzer_for(lang: str, minimal: bool = True):
 
     pack = language_pack(lang, minimal)
     return AnalyzerChain(pack["filter_specs"], stopwords=pack["stopwords"])
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (bg) — lucene/analysis/common/.../bg/BulgarianStemmer.java
+# (light stemmer after Nakov, "BulStem: Design and evaluation of inflectional
+# stemmer for Bulgarian"; verified on the reference's full
+# TestBulgarianStemmer vector set)
+# ---------------------------------------------------------------------------
+
+
+def bulgarian_stem(t: str) -> str:
+    """BulgarianStemmer.java behavior: -ища, article removal, plural
+    removal with consonant mutations (ци→к, зи→г, си→х, еве→й), final
+    я/а/о/е strip, ен→н and ъN→N normalizations."""
+    if len(t) < 4:
+        return t
+    if len(t) > 5 and t.endswith("ища"):
+        return t[:-3]
+    t = _bg_remove_article(t)
+    t = _bg_remove_plural(t)
+    if len(t) > 3:
+        if t.endswith("я"):
+            t = t[:-1]
+        if t.endswith(("а", "о", "е")):
+            t = t[:-1]
+    if len(t) > 4 and t.endswith("ен"):
+        t = t[:-2] + "н"
+    if len(t) > 5 and t[-2] == "ъ":
+        t = t[:-2] + t[-1]
+    return t
+
+
+def _bg_remove_article(t: str) -> str:
+    n = len(t)
+    if n > 6 and t.endswith("ият"):
+        return t[:-3]
+    if n > 5 and t.endswith(("ът", "то", "те", "та", "ия")):
+        return t[:-2]
+    if n > 4 and t.endswith("ят"):
+        return t[:-2]
+    return t
+
+
+def _bg_remove_plural(t: str) -> str:
+    n = len(t)
+    if n > 6:
+        if t.endswith("овци"):
+            return t[:-3]
+        if t.endswith("ове"):
+            return t[:-3]
+        if t.endswith("еве"):
+            return t[:-3] + "й"
+    if n > 5:
+        if t.endswith("ища"):
+            return t[:-3]
+        if t.endswith("та"):
+            return t[:-2]
+        if t.endswith("ци"):
+            return t[:-2] + "к"
+        if t.endswith("зи"):
+            return t[:-2] + "г"
+        if t[-3] == "е" and t[-1] == "и":
+            return t[:-3] + "я" + t[-2]
+    if n > 4:
+        if t.endswith("си"):
+            return t[:-2] + "х"
+        if t.endswith("и"):
+            return t[:-1]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Bengali (bn) + Telugu (te) — suffix-tier stemmers of
+# lucene/analysis/common/.../{bn/BengaliStemmer,te/TeluguStemmer}.java;
+# tier tables transcribed codepoint-exact (each suffix's length equals its
+# tier's strip count, asserted in tests). Bengali additionally gets the
+# BengaliNormalizer.java char rewriting the bn Analyzer chains before it.
+# ---------------------------------------------------------------------------
+
+_BN_TIERS = (
+    (9, 8, ("\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09be\u09ae", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u0987\u09a4\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09c7\u09a8", "\u0987\u09df\u09be\u099b\u09bf\u09b2\u09c7\u09a8")),
+    (8, 7, ("\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09bf", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09be", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09c7", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09be", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09bf", "\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (7, 6, ("\u09bf\u09a4\u09c7\u099b\u09bf\u09b8", "\u09bf\u09a4\u09c7\u099b\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf\u09b8", "\u09bf\u09df\u09be\u099b\u09c7\u09a8", "\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u09c7\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (6, 5, ("\u09bf\u09a4\u09c7\u099b\u09bf", "\u09bf\u09a4\u09c7\u099b\u09be", "\u09bf\u09a4\u09c7\u099b\u09c7", "\u099b\u09bf\u09b2\u09be\u09ae", "\u099b\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf", "\u09bf\u09df\u09be\u099b\u09be", "\u09bf\u09df\u09be\u099b\u09c7", "\u09c7\u099b\u09bf\u09b2\u09c7", "\u09c7\u099b\u09bf\u09b2\u09be", "\u09df\u09c7\u09a6\u09c7\u09b0", "\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (5, 4, ("\u09bf\u09b2\u09be\u09ae", "\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09a4\u09be\u09ae", "\u09bf\u09a4\u09c7\u09a8", "\u09bf\u09ac\u09c7\u09a8", "\u099b\u09bf\u09b2\u09bf", "\u099b\u09bf\u09b2\u09c7", "\u099b\u09bf\u09b2\u09be", "\u09a4\u09c7\u099b\u09c7", "\u09bf\u09a4\u09c7\u099b", "\u0996\u09be\u09a8\u09be", "\u0996\u09be\u09a8\u09bf", "\u0997\u09c1\u09b2\u09cb", "\u0997\u09c1\u09b2\u09bf", "\u09df\u09c7\u09b0\u09be", "\u09c7\u09a6\u09c7\u09b0")),
+    (4, 3, ("\u09b2\u09be\u09ae", "\u09bf\u09b2\u09bf", "\u0987\u09b2\u09bf", "\u09bf\u09b2\u09c7", "\u0987\u09b2\u09c7", "\u09b2\u09c7\u09a8", "\u09bf\u09b2\u09be", "\u0987\u09b2\u09be", "\u09a4\u09be\u09ae", "\u09bf\u09a4\u09bf", "\u0987\u09a4\u09bf", "\u09bf\u09a4\u09c7", "\u0987\u09a4\u09c7", "\u09a4\u09c7\u09a8", "\u09bf\u09a4\u09be", "\u09bf\u09ac\u09be", "\u0987\u09ac\u09be", "\u09bf\u09ac\u09bf", "\u0987\u09ac\u09bf", "\u09ac\u09c7\u09a8", "\u09bf\u09ac\u09c7", "\u0987\u09ac\u09c7", "\u099b\u09c7\u09a8", "\u09df\u09cb\u09a8", "\u09df\u09c7\u09b0", "\u09c7\u09b0\u09be", "\u09a6\u09c7\u09b0")),
+    (3, 2, ("\u09bf\u09b8", "\u09c7\u09a8", "\u09b2\u09bf", "\u09b2\u09c7", "\u09b2\u09be", "\u09a4\u09bf", "\u09a4\u09c7", "\u09a4\u09be", "\u09ac\u09bf", "\u09ac\u09c7", "\u09ac\u09be", "\u099b\u09bf", "\u099b\u09be", "\u099b\u09c7", "\u09c1\u09a8", "\u09c1\u0995", "\u099f\u09be", "\u099f\u09bf", "\u09a8\u09bf", "\u09c7\u09b0", "\u09b0\u09be", "\u0995\u09c7")),
+    (2, 1, ("\u09bf", "\u09c0", "\u09be", "\u09cb", "\u09c7", "\u09ac", "\u09a4")),
+)
+
+_TE_TIERS = (
+    (5, 4, ("\u0c33\u0c4d\u0c33\u0c41", "\u0c21\u0c4d\u0c32\u0c41")),
+    (3, 2, ("\u0c21\u0c41", "\u0c2e\u0c41", "\u0c35\u0c41", "\u0c32\u0c41", "\u0c28\u0c3f", "\u0c28\u0c41", "\u0c1a\u0c47", "\u0c15\u0c48", "\u0c32\u0c4b", "\u0c26\u0c3f", "\u0c15\u0c3f", "\u0c38\u0c41", "\u0c35\u0c48", "\u0c2a\u0c48")),
+    (2, 1, ("\u0c3f", "\u0c40", "\u0c41", "\u0c42", "\u0c46", "\u0c47", "\u0c4a", "\u0c4b", "\u0c3e")),
+)
+
+
+def _tier_stem(t: str, tiers) -> str:
+    for guard, strip, sufs in tiers:
+        if len(t) > guard and t.endswith(sufs):
+            return t[:-strip]
+    return t
+
+
+def bengali_normalize(t: str) -> str:
+    """BengaliNormalizer.java behavior: chandrabindu deletion, vowel-sign
+    shortening, khio/nga/ja-phala/ba-phala/visarga rewrites, sh/na/ra
+    unification (index walk mirrors the Java in-place char-array edits)."""
+    s = list(t)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "ঁ":  # chandrabindu: delete, revisit
+            del s[i]
+            continue
+        if c == "ী":
+            s[i] = "ি"
+        elif c == "ূ":
+            s[i] = "ু"
+        elif c == "ক":  # khio
+            if i + 2 < len(s) and s[i + 1] == "্" and s[i + 2] == "ি":
+                if i == 0:
+                    s[i] = "খ"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "খ"
+                    del s[i + 2]
+        elif c == "ঙ":
+            s[i] = "ং"
+        elif c == "য":  # ja phala
+            if i - 2 == 0 and s[i - 1] == "্":
+                s[i - 1] = "ে"
+                if i + 1 < len(s) and s[i + 1] == "া":
+                    del s[i + 1]
+                del s[i]
+                continue  # revisit index i
+            if i - 1 >= 0 and s[i - 1] == "্":
+                del s[i]
+                del s[i - 1]
+                i -= 1  # next visit = original i-1
+                continue
+        elif c == "ব":  # ba phala
+            if i >= 1 and s[i - 1] == "্":
+                if i - 2 == 0:
+                    del s[i]
+                    del s[i - 1]
+                    i -= 1
+                    continue
+                if i - 5 >= 0 and s[i - 3] == "্":
+                    del s[i]
+                    del s[i - 1]
+                    i -= 1
+                    continue
+                if i - 2 >= 0:
+                    s[i - 1] = s[i - 2]
+                    del s[i]
+                    continue  # revisit index i
+        elif c == "ঃ":  # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "হ"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in ("শ", "ষ"):
+            s[i] = "স"
+        elif c == "ণ":
+            s[i] = "ন"
+        elif c in ("ড়", "ঢ়"):
+            s[i] = "র"
+        elif c == "ৎ":
+            s[i] = "ত"
+        i += 1
+    return "".join(s)
+
+
+def bengali_stem(t: str) -> str:
+    """BengaliStemmer.java suffix tiers, bare (the BengaliStemFilter
+    surface — verified on the reference's TestBengaliStemmer vector set;
+    the BengaliAnalyzer chain applies :func:`bengali_normalize` first, as
+    the ``bn`` pack's filter chain does)."""
+    return _tier_stem(t, _BN_TIERS)
+
+
+def telugu_stem(t: str) -> str:
+    """TeluguStemmer.java suffix tiers (verified on the reference's
+    TestTeluguStemmer vectors)."""
+    return _tier_stem(t, _TE_TIERS)
+
+
+def bengali_pack_stem(t: str) -> str:
+    """The BengaliAnalyzer chain core (BengaliNormalizationFilter then
+    BengaliStemFilter) — what the ``bn`` language pack applies."""
+    return _tier_stem(bengali_normalize(t), _BN_TIERS)
+
+
+STEMMERS["bg"] = bulgarian_stem
+STEMMERS["bn"] = bengali_pack_stem
+STEMMERS["te"] = telugu_stem
+SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
