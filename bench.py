@@ -168,7 +168,9 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                      "ft_suffix_wildcard_hits", "ft_multisim_top10",
                      "ft_phrase_synonym_hits", "ft_arabic_stem_hits",
                      "ft_common_grams_hits", "ft_perfield_sim_top10",
-                     "geo_shape_polygon_hits", "curate_domain_cap"]:
+                     "geo_shape_polygon_hits", "curate_domain_cap",
+                     "ft_payload_sum", "ft_term_hits_replica",
+                     "ft_german_light_hits", "text_bpe_token_count"]:
             # ANN entries build a /tmp-cached index on first touch; a cold
             # battery number would conflate one-time build with per-query
             # search (the round-4 ann_ivf 0.84->4.56s adjudication). Warm
