@@ -1635,7 +1635,16 @@ def bengali_pack_stem(t: str) -> str:
     return _tier_stem(bengali_normalize(t), _BN_TIERS)
 
 
+def _pt_rslp(t: str) -> str:
+    from lucene_ray.analysis.rslp_pt import portuguese_rslp_stem
+
+    return portuguese_rslp_stem(t)
+
+
 STEMMERS["bg"] = bulgarian_stem
 STEMMERS["bn"] = bengali_pack_stem
 STEMMERS["te"] = telugu_stem
+# full RSLP Portuguese (PortugueseStemFilter — the aggressive 7-step
+# variant beside pt minimal/light; analysis/rslp_pt.py)
+STEMMERS["pt_rslp"] = _pt_rslp
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
