@@ -208,6 +208,13 @@ STOPWORDS["bn"] = frozenset(
     নিচে আগে পরে যদি তবে কেন কি কোথায় কখন কীভাবে"""
     .split()
 )
+STOPWORDS["gl"] = frozenset(
+    """a o as os un unha uns unhas e ou de do da dos das en no na nos nas
+    por para con sen que se non é son foi era ser estar este esta estes
+    estas ese esa eses esas aquel aquela eu ti el ela nós vós eles elas
+    lle lles me che nos vos ao á aos ás polo pola polos polas"""
+    .split()
+)
 STOPWORDS["te"] = frozenset(
     """మరియు కానీ లేదా అని ఈ ఆ అది ఇది నేను మేము మీరు వారు తన వారి నా మా
     మీ కాదు లేదు ఉంది ఉన్న చేసి నుండి కోసం తో లో పై కింద ముందు తరువాత
@@ -1647,4 +1654,22 @@ STEMMERS["te"] = telugu_stem
 # full RSLP Portuguese (PortugueseStemFilter — the aggressive 7-step
 # variant beside pt minimal/light; analysis/rslp_pt.py)
 STEMMERS["pt_rslp"] = _pt_rslp
+
+
+def _gl_stem(t: str) -> str:
+    from lucene_ray.analysis.rslp_gl import galician_stem
+
+    return galician_stem(t)
+
+
+def _gl_minimal(t: str) -> str:
+    from lucene_ray.analysis.rslp_gl import galician_minimal_stem
+
+    return galician_minimal_stem(t)
+
+
+# Galician RSLP-G (GalicianStemFilter / GalicianMinimalStemFilter;
+# analysis/rslp_gl.py)
+STEMMERS["gl"] = _gl_stem
+STEMMERS["gl_minimal"] = _gl_minimal
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
