@@ -598,6 +598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GermanLightStemmer pack end-to-end (golden-verified stemmer;
         # injected 'häusern' must index as the bare stem 'haus')
         "ft_german_light_hits": _q(ft.german_light_stem_hits),
+        # full-RSLP Portuguese pack end-to-end ('balões' -> 'bal')
+        "ft_rslp_stem_hits": _q(ft.rslp_stem_hits),
         # CommonGrams: 'the_fast' one-term lookup == adjacent pair oracle
         "ft_common_grams_hits": _q(ft.common_grams_hits),
         # CJK bigram grammar (CJKBigramFilter) over a derived han-run twin
@@ -1397,6 +1399,12 @@ def oracle_sql() -> dict[str, str]:
         # to 'haus' (fold + ern strip), so the hit set IS the trigger set
         "ft_german_light_hits": (
             "SELECT doc_id FROM documents WHERE contains(text, 'sort') "
+            "ORDER BY doc_id"
+        ),
+        # pt_rslp pack: 'balões' injected at every 'scan' substring runs
+        # the full RSLP flow to 'bal'
+        "ft_rslp_stem_hits": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'scan') "
             "ORDER BY doc_id"
         ),
         # multi-word synonym: both the contraction 'ny' and the source

@@ -2743,3 +2743,64 @@ def german_light_stem_hits(sf_dir: str) -> pa.Table:
                   _all_matches(sf_dir, TermQuery(GERMAN_STEM_TERM), reader),
                   reader)
     return t.sort_by("doc_id")
+
+
+# Full-RSLP Portuguese injection: every 'scan' substring becomes the
+# inflected plural below; the 7-step RSLP flow takes 'balões' -> plural
+# 'balão' -> noun 'ão' removal -> 'bal' ('bal' never occurs naturally)
+RSLP_SUB = ("scan", " balões ")
+RSLP_STEM_TERM = "bal"
+
+
+def documents_rslp_index(sf_dir: str) -> IndexReader:
+    """Build-or-open a documents index over a derived Portuguese-bearing
+    twin analyzed with uax29 + the full-RSLP pt pack (PortugueseStemmer —
+    analysis/rslp_pt.py, golden-verified on ptrslptestdata)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:rslp-v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"documents-rslp-{key}")
+    if index_dir not in _readers:
+        derived = index_dir + "-src"
+        if not os.path.isdir(derived):
+            def _inj(b: pa.Table) -> pa.Table:
+                t = pc.replace_substring(b.column("text"),
+                                         pattern=RSLP_SUB[0],
+                                         replacement=RSLP_SUB[1])
+                return b.set_column(b.schema.get_field_index("text"),
+                                    "text", t)
+
+            tmp = derived + ".tmp"
+            (ray.data.read_parquet(src, columns=["doc_id", "lang", "source", "text"])
+             .map_batches(_inj, batch_format="pyarrow")
+             .write_parquet(tmp))
+            os.replace(tmp, derived)  # atomic publish (resume-safe)
+        cfg = IndexConfig(
+            content_col="text",
+            id_cols=("doc_id", "lang", "source"),
+            target_rows_per_partition=20_000,
+            partitions_per_segment=4,
+            hot_df_threshold=500_000,
+            grammar="uax29",
+            token_filters=(("light_stem", {"lang": "pt_rslp"}),),
+        )
+        manifest = build_index(derived, index_dir, cfg, resume=True)
+        assert manifest.postings_done
+        _readers[index_dir] = IndexReader(index_dir)
+    return _readers[index_dir]
+
+
+def rslp_stem_hits(sf_dir: str) -> pa.Table:
+    """doc_ids where the bare RSLP stem 'bal' matches — every injected
+    'balões' must have run the full plural+noun RSLP flow."""
+    from lucene_ray.search.query import TermQuery
+
+    reader = documents_rslp_index(sf_dir)
+    t = _orig_ids(sf_dir,
+                  _all_matches(sf_dir, TermQuery(RSLP_STEM_TERM), reader),
+                  reader)
+    return t.sort_by("doc_id")
