@@ -1656,6 +1656,136 @@ STEMMERS["te"] = telugu_stem
 STEMMERS["pt_rslp"] = _pt_rslp
 
 
+def german_heuristic_stem(t: str) -> str:
+    """GermanStemmer.java behavior (the original heuristic German
+    stemmer behind GermanStemFilter, after Joerg Caumanns, "A Fast and
+    Simple Stemming Algorithm for German Words"): marker substitution
+    (doubled letters, sch/ch/ei/ie/ig/st digraphs, umlauts, eszett),
+    iterative declension strip with the substitution-aware length
+    guard, contextual optimize (erin*, z->x), resubstitution, and
+    gege-particle removal. Verified exact on the reference's full
+    de/data.txt vocabulary."""
+    t = t.lower()
+    if not t or not all(c.isalpha() for c in t):
+        return t
+    s = list(t)
+    subst = [0]
+    _substitute(s, subst)
+    _strip(s, subst)
+    _optimize(s, subst)
+    _resubstitute(s)
+    _remove_particle(s)
+    return "".join(s)
+
+
+def _substitute(s: list, subst: list) -> None:
+    subst[0] = 0
+    c = 0
+    while c < len(s):
+        if c > 0 and s[c] == s[c - 1]:
+            s[c] = "*"
+        elif s[c] == "ä":
+            s[c] = "a"
+        elif s[c] == "ö":
+            s[c] = "o"
+        elif s[c] == "ü":
+            s[c] = "u"
+        elif s[c] == "ß":
+            s[c] = "s"
+            s.insert(c + 1, "s")
+            subst[0] += 1
+        if c < len(s) - 1:
+            if (c < len(s) - 2 and s[c] == "s" and s[c + 1] == "c"
+                    and s[c + 2] == "h"):
+                s[c] = "$"
+                del s[c + 1:c + 3]
+                subst[0] += 2
+            elif s[c] == "c" and s[c + 1] == "h":
+                s[c] = "§"
+                del s[c + 1]
+                subst[0] += 1
+            elif s[c] == "e" and s[c + 1] == "i":
+                s[c] = "%"
+                del s[c + 1]
+                subst[0] += 1
+            elif s[c] == "i" and s[c + 1] == "e":
+                s[c] = "&"
+                del s[c + 1]
+                subst[0] += 1
+            elif s[c] == "i" and s[c + 1] == "g":
+                s[c] = "#"
+                del s[c + 1]
+                subst[0] += 1
+            elif s[c] == "s" and s[c + 1] == "t":
+                s[c] = "!"
+                del s[c + 1]
+                subst[0] += 1
+        c += 1
+
+
+def _strip(s: list, subst: list) -> None:
+    while len(s) > 3:
+        if len(s) + subst[0] > 5 and s[-2] == "n" and s[-1] == "d":
+            del s[-2:]
+        elif len(s) + subst[0] > 4 and s[-2] == "e" and s[-1] == "m":
+            del s[-2:]
+        elif len(s) + subst[0] > 4 and s[-2] == "e" and s[-1] == "r":
+            del s[-2:]
+        elif s[-1] == "e":
+            del s[-1]
+        elif s[-1] == "s":
+            del s[-1]
+        elif s[-1] == "n":
+            del s[-1]
+        elif s[-1] == "t":
+            del s[-1]
+        else:
+            break
+
+
+def _optimize(s: list, subst: list) -> None:
+    if len(s) > 5 and "".join(s[-5:]) == "erin*":
+        del s[-1]
+        _strip(s, subst)
+    if s and s[-1] == "z":
+        s[-1] = "x"
+
+
+def _resubstitute(s: list) -> None:
+    c = 0
+    while c < len(s):
+        if s[c] == "*":
+            s[c] = s[c - 1]
+        elif s[c] == "$":
+            s[c] = "s"
+            s[c + 1:c + 1] = ["c", "h"]
+        elif s[c] == "§":
+            s[c] = "c"
+            s.insert(c + 1, "h")
+        elif s[c] == "%":
+            s[c] = "e"
+            s.insert(c + 1, "i")
+        elif s[c] == "&":
+            s[c] = "i"
+            s.insert(c + 1, "e")
+        elif s[c] == "#":
+            s[c] = "i"
+            s.insert(c + 1, "g")
+        elif s[c] == "!":
+            s[c] = "s"
+            s.insert(c + 1, "t")
+        c += 1
+
+
+def _remove_particle(s: list) -> None:
+    if len(s) > 4:
+        for c in range(len(s) - 3):
+            if "".join(s[c:c + 4]) == "gege":
+                del s[c:c + 2]
+                return
+
+
+
 def _gl_stem(t: str) -> str:
     from lucene_ray.analysis.rslp_gl import galician_stem
 
@@ -1670,6 +1800,7 @@ def _gl_minimal(t: str) -> str:
 
 # Galician RSLP-G (GalicianStemFilter / GalicianMinimalStemFilter;
 # analysis/rslp_gl.py)
+STEMMERS["de_heuristic"] = german_heuristic_stem
 STEMMERS["gl"] = _gl_stem
 STEMMERS["gl_minimal"] = _gl_minimal
 SUPPORTED_LANGUAGES = tuple(sorted(STEMMERS))
