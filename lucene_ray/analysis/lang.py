@@ -812,70 +812,92 @@ _HI_NUKTA = {
     "क़": "क", "ख़": "ख", "ग़": "ग", "ज़": "ज",
     "ड़": "ड", "ढ़": "ढ", "फ़": "फ", "य़": "य",
 }
-# suffix families of the lightweight Hindi stemmer (A. Ramanathan &
-# D. Rao 2003, "A Lightweight Stemmer for Hindi" — the algorithm behind
-# lucene/analysis/common/.../hi/HindiStemmer.java). Rule set pinned here;
-# a k-char suffix strips only when the word is longer than k+2 chars
-# (HindiStemmer's length-tier gates — the stem keeps >= 3 chars), one
-# strip, longer tiers first:
-_HI_SUFFIX_TIERS = {
-    1: ("ा", "ि", "ी", "ु", "ू", "ृ", "े", "ै", "ो", "ौ"),
-    2: ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना",
-        "ते", "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें"),
-    3: ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
-        "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं",
-        "ुओं", "ुएं", "ुआं"),
-    4: ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "ेंगी", "ेंगे",
-        "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं",
-        "ियाँ", "ियों", "ियां"),
-}
+# Suffix tiers of the lightweight Hindi stemmer (A. Ramanathan & D. Rao
+# 2003, "A Lightweight Stemmer for Hindi") — transcribed codepoint-exact
+# from lucene/analysis/common/.../hi/HindiStemmer.java (each suffix's
+# length equals its tier's strip count; guards are the Java len gates).
+# Verified on the reference's full TestHindiStemmer vector set.
+_HI_TIERS = (
+    (6, 5, ("\u093e\u090f\u0902\u0917\u0940", "\u093e\u090f\u0902\u0917\u0947", "\u093e\u090a\u0902\u0917\u0940", "\u093e\u090a\u0902\u0917\u093e", "\u093e\u0907\u092f\u093e\u0901", "\u093e\u0907\u092f\u094b\u0902", "\u093e\u0907\u092f\u093e\u0902")),
+    (5, 4, ("\u093e\u090f\u0917\u0940", "\u093e\u090f\u0917\u093e", "\u093e\u0913\u0917\u0940", "\u093e\u0913\u0917\u0947", "\u090f\u0902\u0917\u0940", "\u0947\u0902\u0917\u0940", "\u090f\u0902\u0917\u0947", "\u0947\u0902\u0917\u0947", "\u0942\u0902\u0917\u0940", "\u0942\u0902\u0917\u093e", "\u093e\u0924\u0940\u0902", "\u0928\u093e\u0913\u0902", "\u0928\u093e\u090f\u0902", "\u0924\u093e\u0913\u0902", "\u0924\u093e\u090f\u0902", "\u093f\u092f\u093e\u0901", "\u093f\u092f\u094b\u0902", "\u093f\u092f\u093e\u0902")),
+    (4, 3, ("\u093e\u0915\u0930", "\u093e\u0907\u090f", "\u093e\u0908\u0902", "\u093e\u092f\u093e", "\u0947\u0917\u0940", "\u0947\u0917\u093e", "\u094b\u0917\u0940", "\u094b\u0917\u0947", "\u093e\u0928\u0947", "\u093e\u0928\u093e", "\u093e\u0924\u0947", "\u093e\u0924\u0940", "\u093e\u0924\u093e", "\u0924\u0940\u0902", "\u093e\u0913\u0902", "\u093e\u090f\u0902", "\u0941\u0913\u0902", "\u0941\u090f\u0902", "\u0941\u0906\u0902")),
+    (3, 2, ("\u0915\u0930", "\u093e\u0913", "\u093f\u090f", "\u093e\u0908", "\u093e\u090f", "\u0928\u0947", "\u0928\u0940", "\u0928\u093e", "\u0924\u0947", "\u0940\u0902", "\u0924\u0940", "\u0924\u093e", "\u093e\u0901", "\u093e\u0902", "\u094b\u0902", "\u0947\u0902")),
+    (2, 1, ("\u094b", "\u0947", "\u0942", "\u0941", "\u0940", "\u093f", "\u093e")),
+)
 
 
 def hindi_normalize(t: str) -> str:
-    """HindiNormalizer core (lucene/analysis/common/src/java/org/apache/
-    lucene/analysis/hi/HindiNormalizer.java:34): fold nukta consonants to
-    their base forms and chandrabindu to anusvara."""
-    if not t or ord(max(t)) < 0x900:
-        return t
-    out = []
-    for c in t:
-        if c == "़":          # combining nukta: delete
+    """HindiNormalizer.java behavior (Dolamic & Savoy's Hindi
+    normalizations): nasal n+virama -> anusvara, chandrabindu -> anusvara,
+    nukta deletion and nukta-consonant folds, ZWJ/ZWNJ + virama deletion,
+    candra/short vowel-sign unification, long->short vowel folds (ी->ि,
+    ू->ु, आ->अ, ई->इ, ऊ->उ, ऐ->ए, औ->ओ, ...). Verified on the
+    reference's full TestHindiNormalizer vector set."""
+    s = list(t)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0928":  # na + virama -> anusvara
+            if i + 1 < len(s) and s[i + 1] == "\u094d":
+                s[i] = "\u0902"
+                del s[i + 1]
+        elif c == "\u0901":
+            s[i] = "\u0902"
+        elif c == "\u093c" or c in ("\u200d", "\u200c") or c == "\u094d":
+            del s[i]
             continue
-        if c == "ँ":          # chandrabindu -> anusvara
-            c = "ं"
-        out.append(_HI_NUKTA.get(c, c))
-    return "".join(out)
+        elif c in _HI_MAP:
+            s[i] = _HI_MAP[c]
+        i += 1
+    return "".join(s)
+
+
+_HI_MAP = {
+    "\u0929": "\u0928", "\u0931": "\u0930", "\u0934": "\u0933",
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095a": "\u0917",
+    "\u095b": "\u091c", "\u095c": "\u0921", "\u095d": "\u0922",
+    "\u095e": "\u092b", "\u095f": "\u092f",
+    "\u0945": "\u0947", "\u0946": "\u0947",
+    "\u0949": "\u094b", "\u094a": "\u094b",
+    "\u090d": "\u090f", "\u090e": "\u090f",
+    "\u0911": "\u0913", "\u0912": "\u0913",
+    "\u0972": "\u0905", "\u0906": "\u0905",
+    "\u0908": "\u0907", "\u090a": "\u0909",
+    "\u0960": "\u090b", "\u0961": "\u090c",
+    "\u0910": "\u090f", "\u0914": "\u0913",
+    "\u0940": "\u093f", "\u0942": "\u0941",
+    "\u0944": "\u0943", "\u0963": "\u0962",
+    "\u0948": "\u0947", "\u094c": "\u094b",
+}
+
+
+def hindi_stem(t: str) -> str:
+    """HindiStemmer.java suffix tiers, bare (the HindiStemFilter surface —
+    verified on the reference's TestHindiStemmer vectors)."""
+    return _tier_stem(t, _HI_TIERS)
 
 
 def hindi_light_stem(t: str) -> str:
-    """Lightweight Hindi stemmer (Ramanathan & Rao 2003; HindiStemmer.java
-    applies the same length-gated one-suffix strip)."""
-    t = hindi_normalize(t)
-    n = len(t)
-    for k in (4, 3, 2, 1):
-        if n > k + 2:
-            for s in _HI_SUFFIX_TIERS[k]:
-                if t.endswith(s):
-                    return t[:-k]
-    return t
+    """The HindiAnalyzer chain core: HindiNormalizer then HindiStemmer."""
+    return hindi_stem(hindi_normalize(t))
 
 
 def persian_normalize(t: str) -> str:
-    """PersianNormalizer (lucene/analysis/common/src/java/org/apache/
-    lucene/analysis/fa/PersianNormalizer.java:29): fold arabic yeh ي and
-    yeh barree ے to farsi yeh ی, kaf ك to keheh ک, heh+hamza/heh goal
-    variants to heh ه, and drop hamza above."""
+    """PersianNormalizer — exact PersianNormalizer.java behavior (verified
+    on the reference's TestPersianNormalizationFilter vectors): fold farsi
+    yeh ی and yeh barree ے to ARABIC yeh ي, keheh ک to arabic kaf ك, heh
+    with yeh above ۀ / heh goal ہ to heh ه, and delete hamza above."""
     if not t or ord(max(t)) < 0x600:
         return t
     out = []
     for c in t:
-        if c == "ٔ":                           # hamza above: delete
+        if c == "ٔ":        # hamza above: delete
             continue
-        if c in ("ي", "ے", "ى"):     # ي ے ى -> ی
-            c = "ی"
-        elif c == "ك":                         # ك -> ک
-            c = "ک"
-        elif c in ("ۀ", "ہ"):             # ۀ ہ -> ه
+        if c in ("ی", "ے"):   # farsi yeh / yeh barree -> yeh
+            c = "ي"
+        elif c == "ک":             # keheh -> kaf
+            c = "ك"
+        elif c in ("ۀ", "ہ"):  # heh+yeh / heh goal -> heh
             c = "ه"
         out.append(c)
     return "".join(out)

@@ -65,8 +65,10 @@ def test_arabic_stem_one_prefix_then_suffixes():
 
 
 def test_persian_normalize():
-    assert persian_normalize("كتاب") == "کتاب"      # arabic kaf -> keheh
-    assert persian_normalize("علي") == "علی"          # arabic yeh -> farsi yeh
+    # exact PersianNormalizer.java direction: unify TOWARD the arabic
+    # forms (keheh -> kaf, farsi yeh -> yeh), per the reference vectors
+    assert persian_normalize("کتاب") == "كتاب"      # keheh -> arabic kaf
+    assert persian_normalize("علی") == "علي"          # farsi yeh -> yeh
     assert persian_normalize("hello") == "hello"
 
 
@@ -83,7 +85,8 @@ def test_packs_registered():
 def test_hindi_normalize():
     from lucene_ray.analysis.lang import hindi_normalize
 
-    assert hindi_normalize("ज़रूर") == "जरूर"      # nukta consonant folds
+    # exact HindiNormalizer: nukta removal AND long-vowel shortening ू->ु
+    assert hindi_normalize("ज़रूर") == "जरुर"
     assert hindi_normalize("हँस") == "हंस"          # chandrabindu -> anusvara
     assert hindi_normalize("hello") == "hello"
 
@@ -93,9 +96,10 @@ def test_hindi_stem_matras_and_suffixes():
 
     assert hindi_light_stem("लडके") == "लडक"        # े matra
     assert hindi_light_stem("लडकियों") == "लडक"    # ियों (4-char tier)
-    assert hindi_light_stem("चलाकर") == "चला"        # कर (2-char tier)
-    # length gates: a 4-char word only reaches the 1-char tier
-    assert hindi_light_stem("खाना") == "खान"
+    # exact HindiStemmer tiers: ाकर is a 3-char suffix (guard len>4)
+    assert hindi_light_stem("चलाकर") == "चल"
+    # ना is a 2-char suffix at guard len>3 -> the reference's खाना -> खा
+    assert hindi_light_stem("खाना") == "खा"
     # too short for any tier: unchanged
     assert hindi_light_stem("ने") == "ने"
 
